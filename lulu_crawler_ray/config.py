@@ -1,0 +1,67 @@
+"""Crawl configuration — every knob that crawl order depends on.
+
+Crawl order and the final URL-seen set are pure functions of
+(seed list, CrawlConfig) — never of parallelism (SURVEY.md §3.2.4,
+BASELINE.json:6 "reproduce ... crawl ordering and final URL-seen set
+exactly").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Parameters of a deterministic crawl.
+
+    Attributes:
+        seed: master RNG seed driving the synthetic web graph
+            (FIXTURES.md §B.1) — a real HTTP fetcher ignores it.
+        budget: politeness budget B — max fetches per host per wave
+            (BASELINE.json:6 "per-domain politeness budgets").
+        max_depth: terminate when wave == max_depth (depth <= wave, BFS).
+        max_urls: global cap on assigned crawl ranks.
+        n_hosts: host-universe size of the synthetic graph.
+        link_bound: L in the seq formula — max refs per page bound;
+            link/image ref j on the page with global rank r gets
+            seq = (r + 1) * L + j, seeds get seq = 0..n_seeds-1
+            (SURVEY.md §3.2.3; the +1 keeps link seqs disjoint from
+            seed seqs so the total order needs no collision handling).
+        num_shards: K — number of seen-set shards, range-partitioned by
+            host_hash (BASELINE.json:6 "range-partitioned by host-hash").
+        allowed_suffixes: host allowlist (scope filter M6).
+        fetch_batch_size / image_batch_size / fetch_concurrency:
+            physical sizing only — MUST NOT affect crawl order.
+    """
+
+    seed: int = 42
+    budget: int = 8
+    max_depth: int = 6
+    max_urls: int = 100_000
+    n_hosts: int = 50
+    link_bound: int = 1 << 20
+    num_shards: int = 8
+    allowed_suffixes: tuple[str, ...] = (".test",)
+    zipf_alpha: float = 1.1
+    max_links_per_page: int = 12
+
+    # physical knobs (order-neutral)
+    fetch_batch_size: int = 64
+    image_batch_size: int = 32
+    dedup_batch_size: int = 4096
+    fetch_concurrency: int = 4
+    num_partitions: int = 16
+
+    def priority(self, depth: int) -> int:
+        """Pluggable priority function (SURVEY.md §2 op U2); default 0:
+        pure (seq)-ordered BFS within a host."""
+        return 0
+
+
+DEFAULT_CONFIG = CrawlConfig()
+
+
+def seed_urls(cfg: CrawlConfig, n_seeds: int) -> list[str]:
+    """Deterministic seed list fixture (FIXTURES.md §B.1)."""
+    return [f"http://h{i % cfg.n_hosts}.test/s/{i}" for i in range(n_seeds)]

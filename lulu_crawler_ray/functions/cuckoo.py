@@ -1,0 +1,95 @@
+"""Cuckoo filter — the 10^10-capacity URL-seen structure (BASELINE.json:6
+"sharded cuckoo-filter URL-seen set ... 10^10-entry capacity").
+
+Design (SURVEY.md §5.3 capacity math): 4-way buckets, 16-bit
+fingerprints => ~2.1 bytes/entry at 0.95 load; 10^10 entries ~= 25 GB
+across K=64 shards (~400 MB each) — each shard's table is a single
+numpy uint16 array, serializable for checkpoints.
+
+The filter answers "definitely not seen" with zero false negatives and
+false-positive rate ~ 2^-13 at 4x16-bit. Because the crawl's seen-set
+equality criterion is EXACT (BASELINE.json:6), the owning shard actor
+pairs the filter with an exact fingerprint store consulted only on
+filter-positive probes (state/seen.py) — the filter screens ~all
+lookups, the exact store settles the rare positives.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MAX_KICKS = 500
+
+
+class CuckooFilter:
+    """4-way, 16-bit-fingerprint cuckoo filter over 20-byte keys."""
+
+    def __init__(self, capacity: int, seed: int = 0):
+        nb = 1
+        while nb * 4 < capacity / 0.95:
+            nb *= 2
+        self.nbuckets = nb
+        self.table = np.zeros((nb, 4), np.uint16)  # 0 == empty slot
+        self.size = 0
+        self._rng = np.random.default_rng(seed)  # eviction-slot choice only
+
+    # -- hashing ---------------------------------------------------------
+    def _fp_and_index(self, key: bytes) -> tuple[int, int]:
+        h = hashlib.sha1(key).digest() if len(key) != 20 else key
+        fp = int.from_bytes(h[0:2], "big") or 1  # fingerprint never 0
+        i1 = int.from_bytes(h[2:10], "big") % self.nbuckets
+        return fp, i1
+
+    def _alt_index(self, i: int, fp: int) -> int:
+        # partial-key cuckoo: i2 = i XOR hash(fp)
+        fp_h = int.from_bytes(hashlib.sha1(fp.to_bytes(2, "big")).digest()[:8], "big")
+        return (i ^ fp_h) % self.nbuckets
+
+    # -- ops -------------------------------------------------------------
+    def add(self, key: bytes) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        i2 = self._alt_index(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.size += 1
+                return True
+        # evict
+        i = i1 if (self._rng.integers(2) == 0) else i2
+        for _ in range(_MAX_KICKS):
+            slot = int(self._rng.integers(4))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = self._alt_index(i, fp)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.size += 1
+                return True
+        return False  # table effectively full
+
+    def __contains__(self, key: bytes) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        i2 = self._alt_index(i1, fp)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def contains_many(self, keys: list[bytes]) -> np.ndarray:
+        return np.fromiter((k in self for k in keys), bool, count=len(keys))
+
+    # -- checkpoint ------------------------------------------------------
+    def dump(self) -> bytes:
+        return self.nbuckets.to_bytes(8, "big") + self.size.to_bytes(8, "big") + self.table.tobytes()
+
+    @classmethod
+    def load(cls, data: bytes, seed: int = 0) -> "CuckooFilter":
+        nb = int.from_bytes(data[:8], "big")
+        obj = cls.__new__(cls)
+        obj.nbuckets = nb
+        obj.size = int.from_bytes(data[8:16], "big")
+        obj.table = np.frombuffer(data, np.uint16, offset=16).reshape(nb, 4).copy()
+        obj._rng = np.random.default_rng(seed)
+        return obj

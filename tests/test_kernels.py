@@ -1,0 +1,160 @@
+"""Unit + property tests for image codecs, phash, cuckoo filter,
+robots matcher, page generator (SURVEY.md §5.2.1/2)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from lulu_crawler_ray.functions import imagecodec as ic
+from lulu_crawler_ray.functions import pagegen, robots
+from lulu_crawler_ray.functions.cuckoo import CuckooFilter
+from lulu_crawler_ray.functions.htmlparse import extract_refs, norm_caption
+from lulu_crawler_ray.functions.phash import hamming64, hamming64_vec, phash64
+
+
+# ---------------------------------------------------------------- codecs
+@pytest.mark.parametrize("fmt", ic.FORMATS)
+@pytest.mark.parametrize("wh", [(32, 32), (48, 96), (1, 1), (128, 64)])
+def test_codec_roundtrip(fmt, wh):
+    w, h = wh
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    data = ic.encode(img, fmt)
+    out = ic.decode(data, fmt)
+    assert out.shape == img.shape
+    assert (out == img).all()
+    assert ic.psnr(img, out) == float("inf")  # lossless => PSNR >= 40dB trivially
+
+
+def test_psnr_nontrivial():
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = a.copy()
+    b[0, 0, 0] = 255
+    assert 0 < ic.psnr(a, b) < 100
+
+
+def test_resize_nearest():
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = ic.resize_nearest(img, 2, 2)
+    assert out.shape == (2, 2, 3)
+    assert (ic.resize_nearest(img, 4, 4) == img).all()
+
+
+# ---------------------------------------------------------------- phash
+def test_phash_deterministic_and_robust():
+    img = pagegen.image_pixels(42, "http://h0.test/img/abc.raw")
+    h1 = phash64(img)
+    assert h1 == phash64(img.copy())
+    assert -(2**63) <= h1 < 2**63
+    # small noise -> small hamming distance
+    noisy = img.astype(np.int16) + np.random.default_rng(1).integers(-4, 5, img.shape)
+    h2 = phash64(noisy.clip(0, 255).astype(np.uint8))
+    assert hamming64(h1, h2) <= 16
+    # different image -> large distance
+    other = pagegen.image_pixels(42, "http://h1.test/img/zzz.raw")
+    assert hamming64(h1, phash64(other)) > 16
+
+
+def test_hamming_vec_matches_scalar():
+    rng = np.random.default_rng(3)
+    a = rng.integers(-(2**62), 2**62, 50, np.int64)
+    b = rng.integers(-(2**62), 2**62, 50, np.int64)
+    vec = hamming64_vec(a, b)
+    for i in range(50):
+        assert vec[i] == hamming64(int(a[i]), int(b[i]))
+
+
+# ---------------------------------------------------------------- cuckoo
+def test_cuckoo_basic():
+    f = CuckooFilter(1000, seed=1)
+    keys = [hashlib.sha1(str(i).encode()).digest() for i in range(500)]
+    for k in keys:
+        assert f.add(k)
+    for k in keys:
+        assert k in f  # no false negatives
+    absent = [hashlib.sha1(f"x{i}".encode()).digest() for i in range(5000)]
+    fp = sum(k in f for k in absent)
+    assert fp / 5000 < 0.01  # fp rate ~2^-13 at 4x16-bit; generous bound
+
+
+def test_cuckoo_dump_load():
+    f = CuckooFilter(100, seed=2)
+    keys = [hashlib.sha1(str(i).encode()).digest() for i in range(80)]
+    for k in keys:
+        f.add(k)
+    g = CuckooFilter.load(f.dump())
+    assert g.size == f.size
+    assert (g.table == f.table).all()
+    for k in keys:
+        assert k in g
+
+
+@settings(max_examples=25)
+@given(st.lists(st.binary(min_size=20, max_size=20), max_size=200, unique=True))
+def test_cuckoo_no_false_negatives(keys):
+    f = CuckooFilter(max(64, len(keys) * 2), seed=0)
+    ok = [k for k in keys if f.add(k)]
+    for k in ok:
+        assert k in f
+
+
+# ---------------------------------------------------------------- robots
+def test_robots_longest_prefix():
+    rules = [("/", False), ("/public", True)]
+    assert not robots.allowed("/private/x", rules)
+    assert robots.allowed("/public/x", rules)
+    assert robots.allowed("/anything", [])
+    # allow wins length ties
+    assert robots.allowed("/p", [("/p", False), ("/p", True)])
+
+
+def test_parse_robots_txt():
+    txt = "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\nUser-agent: bot\nDisallow: /\n"
+    rules = robots.parse_robots_txt(txt)
+    assert rules == [("/private", False), ("/private/ok", True)]
+    assert robots.allowed("/private/ok/x", rules)
+    assert not robots.allowed("/private/no", rules)
+
+
+# ---------------------------------------------------------------- pagegen
+def test_pagegen_deterministic():
+    b1 = pagegen.page_bytes(42, "http://h0.test/s/0", n_hosts=50, alpha=1.1, max_links=12)
+    b2 = pagegen.page_bytes(42, "http://h0.test/s/0", n_hosts=50, alpha=1.1, max_links=12)
+    assert b1 == b2
+    assert b1 != pagegen.page_bytes(43, "http://h0.test/s/0", n_hosts=50, alpha=1.1, max_links=12)
+
+
+def test_pagegen_parse_shape():
+    body = pagegen.page_bytes(42, "http://h0.test/s/0", n_hosts=50, alpha=1.1, max_links=12)
+    refs = extract_refs(body)
+    kinds = [k for _, k, _, _ in refs]
+    assert kinds.count("image") == 1
+    assert kinds[-1] == "image"  # image last in document order
+    assert 1 <= kinds.count("link") <= 12
+    js = [j for j, _, _, _ in refs]
+    assert js == list(range(len(refs)))
+    # image has a caption
+    cap = refs[-1][3]
+    assert cap.startswith("cap-") and len(cap) == 20
+
+
+def test_image_payload_roundtrip():
+    for ext in ("raw", "ppm", "png"):
+        url = f"http://h0.test/img/0011aabbccdd.{ext}"
+        w, h, fmt, data = pagegen.image_payload(42, url)
+        assert fmt == ext
+        img = ic.decode(data, fmt)
+        assert img.shape == (h, w, 3)
+        assert (img == pagegen.image_pixels(42, url)).all()
+
+
+def test_caption_norm():
+    assert norm_caption("  a\t\nb  ") == "a b"
+
+
+def test_zipf_skew():
+    # host 0 must receive noticeably more link mass than host 25
+    hits = [pagegen.zipf_host(50, 1.1, v) for v in range(0, 65536, 13)]
+    assert hits.count(0) > hits.count(25) > 0 or hits.count(0) > 50
