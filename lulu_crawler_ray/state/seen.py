@@ -1,0 +1,111 @@
+"""Sharded cuckoo-filter URL-seen set (A1) — BASELINE.json:6
+"sharded cuckoo-filter URL-seen set (canonicalized + SHA-1-hashed URLs,
+10^10-entry capacity) held in actor-pool stages ... range-partitioned by
+host-hash".
+
+Shard k owns the host_hash range [k * 2^64 / K, (k+1) * 2^64 / K): all
+URLs of one host land on one shard, so a host's admission decisions are
+serialized through a single actor (single-threaded per shard => no
+races). The dedup stage is a *semi-join against actor state*, not a Ray
+shuffle: tasks sub-batch their rows per shard and make one admit() call
+per shard per batch (SURVEY.md §2.3 A1).
+
+Exactness: the crawl's seen-set equality criterion is exact
+(BASELINE.json:6), so the cuckoo filter screens lookups ("definitely
+not seen" fast path) and an exact fingerprint store settles
+filter-positive probes. In this sandbox the exact store is an in-memory
+set (20 B/key); at 10^10 scale it becomes per-shard sorted spill runs
+on local disk, probed only at the cuckoo's ~2^-13 false-positive rate —
+i.e. ~10^-4 of lookups touch disk. Namespaces separate URL-seen from
+image-seen ("url" / "img").
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import ray
+
+from ..functions.cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One seen-set shard; admit() is the only hot-path method."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        self.capacity = capacity
+        self._filters: dict[str, CuckooFilter] = {}
+        self._exact: dict[str, set[bytes]] = {}
+
+    def _ns(self, ns: str) -> tuple[CuckooFilter, set]:
+        if ns not in self._filters:
+            self._filters[ns] = CuckooFilter(self.capacity, seed=self.shard_id)
+            self._exact[ns] = set()
+        return self._filters[ns], self._exact[ns]
+
+    def admit(self, ns: str, keys: list[bytes]) -> list[bool]:
+        """For each key: True (first sighting, now marked seen) or False
+        (already seen). Exact — cuckoo screens, exact store confirms."""
+        filt, exact = self._ns(ns)
+        out = []
+        for k in keys:
+            if k in filt and k in exact:  # cuckoo positive -> confirm exactly
+                out.append(False)
+            else:
+                filt.add(k)
+                exact.add(k)
+                out.append(True)
+        return out
+
+    def contains(self, ns: str, keys: list[bytes]) -> list[bool]:
+        filt, exact = self._ns(ns)
+        return [(k in filt and k in exact) for k in keys]
+
+    def count(self, ns: str) -> int:
+        return len(self._exact.get(ns, ()))
+
+    def dump_keys(self, ns: str) -> list[bytes]:
+        """Sorted key dump — the auditable T5 form."""
+        return sorted(self._exact.get(ns, ()))
+
+    # -- checkpoint (S5): the shard serializes itself to its own file ----
+    def checkpoint(self, path: str) -> int:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(
+                {
+                    "shard_id": self.shard_id,
+                    "capacity": self.capacity,
+                    "filters": {ns: f_.dump() for ns, f_ in self._filters.items()},
+                    "exact": self._exact,
+                },
+                f,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+        os.replace(tmp, path)
+        return sum(len(s) for s in self._exact.values())
+
+    def restore(self, path: str) -> None:
+        with open(path, "rb") as f:
+            st = pickle.load(f)
+        self.shard_id = st["shard_id"]
+        self.capacity = st["capacity"]
+        self._filters = {
+            ns: CuckooFilter.load(b, seed=self.shard_id) for ns, b in st["filters"].items()
+        }
+        self._exact = st["exact"]
+
+
+def shard_of(host_hash: int, num_shards: int) -> int:
+    """Range partition of the uint64 host-hash space."""
+    return min(num_shards - 1, host_hash * num_shards >> 64)
+
+
+def make_shards(num_shards: int, capacity_per_shard: int = 1 << 20) -> list:
+    return [
+        SeenShard.options(max_restarts=0).remote(k, capacity_per_shard)
+        for k in range(num_shards)
+    ]

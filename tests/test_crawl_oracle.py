@@ -1,0 +1,75 @@
+"""Oracle-equality tests (SURVEY.md §5.2.3/4): the Ray engine's T4
+crawl ledger, T5 seen dump and T3 image rows must equal the
+single-threaded oracle byte-for-byte — the testable form of
+BASELINE.json:6 "reproduce ... crawl ordering and final URL-seen set
+exactly ... decoded-pixel allclose ... caption equality"."""
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from lulu_crawler_ray.config import CrawlConfig, seed_urls
+from lulu_crawler_ray.functions.imagecodec import decode
+from lulu_crawler_ray.pipelines.oracle import run_oracle
+
+CFGS = [
+    CrawlConfig(seed=42, budget=4, max_depth=3, max_urls=1000, n_hosts=20, num_shards=4),
+    CrawlConfig(seed=7, budget=2, max_depth=4, max_urls=150, n_hosts=8, num_shards=2),
+]
+N_SEEDS = [10, 5]
+
+
+def _read_sorted(path, sort_cols):
+    t = pads.dataset(path, format="parquet").to_table()
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[(c, "ascending") for c in sort_cols]))
+
+
+def _engine_outputs(tmp_path, cfg, n_seeds, ray_session, resume=False, out=None):
+    from lulu_crawler_ray.pipelines.crawl import run_crawl
+
+    out = out or str(tmp_path / "crawl")
+    run_crawl(seed_urls(cfg, n_seeds), cfg, out, resume=resume)
+    ledger = _read_sorted(f"{out}/ledger", ["rank"])
+    seen = pads.dataset(f"{out}/seen.parquet", format="parquet").to_table()
+    images = _read_sorted(f"{out}/waves", ["image_id"])
+    return ledger, seen, images
+
+
+def _assert_equal(ledger, seen, images, oracle, cfg):
+    # T4: crawl order byte-equal
+    o_ledger = oracle.ledger
+    assert ledger.num_rows == len(o_ledger)
+    for col in ("rank", "url", "url_sha1", "wave", "host", "seq"):
+        got = ledger[col].to_pylist()
+        want = [r[col] for r in o_ledger]
+        assert got == want, f"ledger col {col} differs"
+    # T5: seen set equal
+    assert seen["url_sha1"].to_pylist() == sorted(oracle.seen)
+    # T3: image rows — id/caption equality + decoded-pixel equality
+    o_imgs = sorted(oracle.images, key=lambda r: r["image_id"])
+    assert images.num_rows == len(o_imgs)
+    for i, o in enumerate(o_imgs):
+        assert images["image_id"][i].as_py() == o["image_id"]
+        assert images["caption"][i].as_py() == o["caption"]
+        assert images["fmt"][i].as_py() == o["fmt"]
+        assert images["phash"][i].as_py() == o["phash"]
+        got_px = decode(images["bytes"][i].as_py(), o["fmt"])
+        want_px = decode(o["bytes"], o["fmt"])
+        assert np.array_equal(got_px, want_px)  # lossless => exact (PSNR inf)
+
+
+@pytest.mark.parametrize("cfg,n_seeds", list(zip(CFGS, N_SEEDS)))
+def test_engine_matches_oracle(tmp_path, ray_session, cfg, n_seeds):
+    oracle = run_oracle(seed_urls(cfg, n_seeds), cfg)
+    ledger, seen, images = _engine_outputs(tmp_path, cfg, n_seeds, ray_session)
+    _assert_equal(ledger, seen, images, oracle, cfg)
+
+
+def test_max_urls_truncation(tmp_path, ray_session):
+    cfg = CrawlConfig(seed=3, budget=4, max_depth=4, max_urls=30, n_hosts=10, num_shards=2)
+    oracle = run_oracle(seed_urls(cfg, 6), cfg)
+    assert len(oracle.ledger) <= 30
+    ledger, seen, images = _engine_outputs(tmp_path, cfg, 6, ray_session)
+    _assert_equal(ledger, seen, images, oracle, cfg)
