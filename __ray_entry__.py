@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship crawl at smoke scale and returns the T3
+image+caption dataset. ``queries()`` exposes one callable per
+implemented operator from SURVEY.md §2 (plus the training-data ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (same column names; floats rounded to 4 decimals on
+both sides). Ray is initialised by the driver BEFORE this module is
+imported — nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +16,209 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic crawl over the synthetic web
+    graph at smoke scale -> T3 image+caption dataset (input_hint
+    schema). sf0.001 sizes the run (seed count from the smallest
+    harness scale)."""
+    from lulu_crawler_ray.config import CrawlConfig, seed_urls
+    from lulu_crawler_ray.pipelines.crawl import run_crawl
+    from lulu_crawler_ray.sources.image_table import read_images
+
+    cfg = CrawlConfig(seed=42, budget=4, max_depth=3, max_urls=500, n_hosts=20, num_shards=4)
+    out = "/tmp/lulu_ray_entry/crawl"
+    run_crawl(seed_urls(cfg, 10), cfg, out)
+    ds = read_images(f"{out}/waves")
+    # hive partition dirs (wave=NNNN) add a wave column; the input_hint
+    # schema is the 7 T3 columns
+    return ds.select_columns(
+        ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    )
+
+
+def _crawl_outputs(sf_dir: str, what: str):
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from lulu_crawler_ray.config import CrawlConfig, seed_urls
+    from lulu_crawler_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(seed=42, budget=4, max_depth=3, max_urls=500, n_hosts=20, num_shards=4)
+    out = "/tmp/lulu_ray_queries/crawl"
+    run_crawl(seed_urls(cfg, 10), cfg, out)
+    if what == "ledger":
+        t = pads.dataset(f"{out}/ledger", format="parquet").to_table()
+        t = t.take(pc.sort_indices(t, sort_keys=[("rank", "ascending")]))
+        return t.select(["rank", "url", "wave", "host", "seq"])
+    t = pads.dataset(f"{out}/waves", format="parquet").to_table()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return t.select(["image_id", "w", "h", "fmt", "caption", "phash"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lulu_crawler_ray.pipelines import annsearch as an
+    from lulu_crawler_ray.pipelines import images_pipe as im
+    from lulu_crawler_ray.pipelines import relational as rl
+    from lulu_crawler_ray.pipelines import textops as to
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational surface (SURVEY.md §2.5-2.7)
+        "g1_groupby_count": rl.g1_groupby_count,
+        "g3_distinct": rl.g3_distinct,
+        "g4_hll_distinct": rl.g4_hll_distinct,
+        "g5_grouped_stats": rl.g5_grouped_stats,
+        "q1_pricing_summary": rl.q1_pricing_summary,
+        "j1_anti_join": rl.j1_anti_join,
+        "j2_inner_join": rl.j2_inner_join,
+        "j3_broadcast_lookup": rl.j3_broadcast_lookup,
+        "o2_topk": rl.o2_topk,
+        "o4_hash_sample": rl.o4_hash_sample,
+        "d1_first_by_key": rl.d1_first_by_key,
+        "d4_union": rl.d4_union,
+        "d5_except": rl.d5_except,
+        "m6_filter_project": rl.m6_filter_project,
+        "m12_json_extract": rl.m12_json_extract,
+        "m13_string_ops": rl.m13_string_ops,
+        "m13_date_bucket": rl.m13_date_bucket,
+        "w1_window_agg": rl.w1_window_agg,
+        "w2_sessionize": rl.w2_sessionize,
+        # text / training-data ops (documents)
+        "t_token_count": to.t_token_count,
+        "t_quality": to.t_quality,
+        "t_exact_dedup": to.t_exact_dedup,
+        "t_group_by_lang": to.t_group_by_lang,
+        "t_langid": to.t_langid,
+        "t_simhash": to.t_simhash,
+        "t_fingerprint": to.t_fingerprint,
+        "t_minhash_pairs": to.t_minhash_pairs,
+        "t_near_dedup": to.t_near_dedup,
+        # similarity search (embeddings)
+        "e_knn_bruteforce": an.e_knn_bruteforce,
+        "e_lsh_ann": an.e_lsh_ann,
+        "e_cosine_neardup": an.e_cosine_neardup,
+        "e_label_centroids": an.e_label_centroids,
+        # image ops (J4/D3, multimodal decode)
+        "img_neardup_pairs": im.img_neardup_pairs_query,
+        "img_stats": im.img_stats_query,
+        # flagship crawl outputs (oracle-crawler-verified in pytest)
+        "crawl_ledger": lambda sf: _crawl_outputs(sf, "ledger"),
+        "crawl_images": lambda sf: _crawl_outputs(sf, "images"),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "g1_groupby_count": (
+            "SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity),4) AS sum_qty "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "g3_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+        "g5_grouped_stats": (
+            "SELECT l_returnflag, ROUND(MIN(l_extendedprice),4) AS min_price, "
+            "ROUND(MAX(l_extendedprice),4) AS max_price, "
+            "ROUND(AVG(l_extendedprice),4) AS avg_price, "
+            "ROUND(STDDEV(l_extendedprice),4) AS std_price "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),4) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice),4) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice*(1-l_discount)),4) AS sum_revenue, "
+            "ROUND(AVG(l_quantity),4) AS avg_qty, ROUND(AVG(l_extendedprice),4) AS avg_price, "
+            "COUNT(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "j1_anti_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"
+        ),
+        "j2_inner_join": (
+            "SELECT o_orderkey, c_name, c_mktsegment, ROUND(o_totalprice,4) AS o_totalprice "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "j3_broadcast_lookup": (
+            "SELECT s_nationkey AS nationkey, COUNT(*) AS n FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1"
+        ),
+        "o2_topk": (
+            "SELECT c_custkey, c_name, ROUND(c_acctbal,4) AS c_acctbal FROM customer "
+            "ORDER BY c_acctbal DESC, c_custkey LIMIT 10"
+        ),
+        "o4_hash_sample": (
+            "SELECT l_orderkey, l_partkey, ROUND(l_quantity,4) AS l_quantity "
+            "FROM lineitem WHERE l_orderkey % 100 = 0"
+        ),
+        "d1_first_by_key": (
+            "SELECT l_orderkey, l_linenumber, l_partkey FROM ("
+            "SELECT l_orderkey, l_linenumber, l_partkey, "
+            "ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn "
+            "FROM lineitem) t WHERE rn = 1"
+        ),
+        "d4_union": (
+            "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus='F' "
+            "UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus='O'"
+        ),
+        "d5_except": (
+            "SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING' "
+            "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O'"
+        ),
+        "m6_filter_project": (
+            "SELECT l_orderkey, ROUND(l_extendedprice*(1-l_discount),4) AS revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01'"
+        ),
+        "m12_json_extract": (
+            "SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events"
+        ),
+        "m13_string_ops": (
+            "SELECT p_partkey, UPPER(p_brand) AS brand_u, substr(p_name,1,8) AS name8 FROM part"
+        ),
+        "m13_date_bucket": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n FROM events GROUP BY 1"
+        ),
+        "w1_window_agg": (
+            "SELECT user_id, strftime(ts, '%Y-%m-%d %H:00:00') AS hour, COUNT(*) AS n, "
+            "ROUND(SUM(value),4) AS sum_value FROM events GROUP BY 1,2"
+        ),
+        "w2_sessionize": (
+            "WITH g AS (SELECT user_id, CASE WHEN ts - LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events) SELECT user_id, CAST(SUM(brk)+1 AS BIGINT) AS n_sessions "
+            "FROM g GROUP BY user_id"
+        ),
+        "t_token_count": (
+            "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE "
+            "len(string_split_regex(trim(text),'\\s+')) END AS n_tokens FROM documents"
+        ),
+        "t_quality": (
+            "SELECT doc_id, length(text) AS n_chars_m, "
+            "length(text)-length(regexp_replace(text,'[A-Za-z]','','g')) AS n_alpha, "
+            "length(text)-length(regexp_replace(text,'[0-9]','','g')) AS n_digit FROM documents"
+        ),
+        "t_exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
+        ),
+        "t_group_by_lang": (
+            "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "e_knn_bruteforce": (
+            "SELECT query_id, neighbor_id, rnk FROM ("
+            "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rnk "
+            "FROM embeddings q, embeddings e "
+            "WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) t WHERE rnk <= 10"
+        ),
+        "e_cosine_neardup": (
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b "
+            "ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45 "
+            "ORDER BY a, b"
+        ),
+        # g4_hll_distinct, t_langid, t_simhash, t_fingerprint,
+        # t_minhash_pairs, t_near_dedup, e_lsh_ann, e_label_centroids,
+        # img_neardup_pairs, img_stats, crawl_ledger, crawl_images:
+        # approximate / heuristic / non-SQL-expressible -> rows-only
+        # check; correctness covered by pytest oracles (brute-force,
+        # single-threaded crawler, property tests).
+    }

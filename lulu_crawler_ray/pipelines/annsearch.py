@@ -1,0 +1,243 @@
+"""Similarity search over the embeddings table (list<float> column).
+
+- Brute-force cosine top-k: the exact baseline — numpy matmul per batch
+  against a broadcast query matrix (ray.put once, read in every task),
+  per-batch partial top-k, tiny driver-side merge. At 100 TB the same
+  shape holds: the broadcast is O(num_queries x dim), the scan streams.
+- LSH-bucketed ANN: random-hyperplane signatures bucket the corpus
+  (groupby on the signature); queries probe their bucket ± multiprobe —
+  the scale path (recall tested vs brute force in pytest).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..sources.testdata import read_table
+
+
+def _emb_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy()
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, m
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def load_queries(sf: str, n_queries: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    t = (
+        read_table(sf, "embeddings", ["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q = np.array(t["embedding"].tolist(), dtype=np.float64)
+    return t["vec_id"].to_numpy().astype(np.int64), _normalize(q)
+
+
+def e_knn_bruteforce(sf: str, k: int = 10, n_queries: int = 3):
+    """Exact cosine top-k for the first n_queries vectors (self
+    excluded). Output (query_id, neighbor_id, rnk) — rnk by similarity
+    desc, neighbor_id asc tiebreak; deterministic."""
+    qids, qm = load_queries(sf, n_queries)
+    ref = ray.put((qids, qm))
+    ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(ref)
+        ids, m = _emb_matrix(t)
+        sims = _normalize(m) @ qm_.T  # (n, nq)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            col = sims[:, j]
+            keep = np.flatnonzero(ids != qid)
+            # partial top-k within batch: global top-k survives any batching
+            order = keep[np.lexsort((ids[keep], -col[keep]))][:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(ids[order])
+            out_s.extend(col[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out_rows = {"query_id": [], "neighbor_id": [], "rnk": []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        out_rows["query_id"].extend([qid] * len(g))
+        out_rows["neighbor_id"].extend(g["neighbor_id"])
+        out_rows["rnk"].extend(range(1, len(g) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out_rows["query_id"], pa.int64()),
+            "neighbor_id": pa.array(out_rows["neighbor_id"], pa.int64()),
+            "rnk": pa.array(out_rows["rnk"], pa.int64()),
+        }
+    )
+
+
+class HyperplaneHasher:
+    """Actor-pool stage: seeded random hyperplanes drawn once per actor
+    (identical across actors); emits (bucket, vec_id) rows."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 5):
+        self.planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(t)
+        return pa.table(
+            {
+                "bucket": pa.array(self.bucket_of(m), pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+
+def e_lsh_ann(sf: str, k: int = 10, n_queries: int = 3, dim: int = 64):
+    """Approximate top-k: scan restricted to vectors sharing the
+    query's hyperplane bucket or differing in one bit (multiprobe=1).
+    Same output shape as brute force; recall measured in pytest."""
+    qids, qm = load_queries(sf, n_queries)
+    hasher = HyperplaneHasher(dim)
+    qb = hasher.bucket_of(qm)
+    probe: set[int] = set()
+    for b in qb:
+        probe.add(int(b))
+        for bit in range(hasher.planes.shape[0]):
+            probe.add(int(b) ^ (1 << bit))
+    probe_ref = ray.put(np.array(sorted(probe), np.int64))
+    qref = ray.put((qids, qm, qb))
+    ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+    def probe_topk(t: pa.Table) -> pa.Table:
+        buckets = ray.get(probe_ref)
+        qids_, qm_, _ = ray.get(qref)
+        ids, m = _emb_matrix(t)
+        bk = hasher.bucket_of(_normalize(m))
+        mask = np.isin(bk, buckets)
+        ids, m = ids[mask], m[mask]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        sims = _normalize(m) @ qm_.T
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            col = sims[:, j]
+            keep = np.flatnonzero(ids != qid)
+            order = keep[np.lexsort((ids[keep], -col[keep]))][:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(ids[order])
+            out_s.extend(col[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
+    out = {"query_id": [], "neighbor_id": [], "rnk": []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        out["query_id"].extend([qid] * len(g))
+        out["neighbor_id"].extend(g["neighbor_id"])
+        out["rnk"].extend(range(1, len(g) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+            "rnk": pa.array(out["rnk"], pa.int64()),
+        }
+    )
+
+
+def e_cosine_neardup(sf: str, threshold: float = 0.45):
+    """Embedding-cosine near-dup pairs above threshold, restricted to
+    same-label blocks (blocking keeps the pairwise work per group
+    tractable; cross-label near-dups are out of contract by design).
+    Output (a, b) with a < b."""
+    import pandas as pd
+
+    ds = read_table(sf, "embeddings", ["vec_id", "embedding", "label"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        m = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
+        s = m @ m.T
+        iu = np.triu_indices(len(ids), 1)
+        hit = s[iu] > threshold
+        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi})
+
+    out = ds.groupby("label").map_groups(pairs, batch_format="pandas").to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table(
+        {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}
+    )
+
+
+def e_label_centroids(sf: str):
+    """Per-label centroid summary via mergeable partials (sum vector +
+    count per batch), finalized on the driver: (label, n, centroid_norm)."""
+    ds = read_table(sf, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        labels = t["label"].to_numpy()
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        rows = []
+        for lb in np.unique(labels):
+            sel = m[labels == lb]
+            rows.append((int(lb), sel.sum(axis=0).tolist(), len(sel)))
+        return pa.table(
+            {
+                "label": pa.array([r[0] for r in rows], pa.int32()),
+                "vsum": pa.array([r[1] for r in rows], pa.list_(pa.float64())),
+                "n": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=4096
+    ):
+        for lb, vs, n in zip(b["label"].to_pylist(), b["vsum"].to_pylist(), b["n"].to_pylist()):
+            v = np.array(vs)
+            if lb in acc:
+                acc[lb] = (acc[lb][0] + v, acc[lb][1] + n)
+            else:
+                acc[lb] = (v, n)
+    labels = sorted(acc)
+    return pa.table(
+        {
+            "label": pa.array(labels, pa.int32()),
+            "n": pa.array([acc[l][1] for l in labels], pa.int64()),
+            "centroid_norm": pa.array(
+                [round(float(np.linalg.norm(acc[l][0] / acc[l][1])), 4) for l in labels],
+                pa.float64(),
+            ),
+        }
+    )

@@ -1,0 +1,184 @@
+"""Image-table pipelines: the near-dup band join (J4/D3) over phash,
+image transform stages, and the deterministic image+caption fixture
+(FIXTURES.md §B.3 — equals the crawl output by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import CrawlConfig
+from ..functions import pagegen
+from ..functions.imagecodec import decode, encode, resize_nearest
+from ..functions.phash import hamming64_vec, phash64
+from ..functions.urlnorm import sha1_bytes
+from .. import schemas
+
+
+def build_image_fixture(n_rows: int, seed: int = 42) -> pa.Table:
+    """Deterministic T3 table (input_hint schema) from the synthetic
+    generators — the standalone stand-in for a crawl's image output."""
+    cols: dict[str, list] = {f.name: [] for f in schemas.IMAGE_TABLE}
+    fmts = ("raw", "ppm", "png")
+    for i in range(n_rows):
+        url = f"http://h{i % 50}.test/img/{i:012x}.{fmts[i % 3]}"
+        w, h, fmt, data = pagegen.image_payload(seed, url)
+        img = decode(data, fmt)
+        cols["image_id"].append(sha1_bytes(url).hex())
+        cols["bytes"].append(data)
+        cols["w"].append(w)
+        cols["h"].append(h)
+        cols["fmt"].append(fmt)
+        cols["caption"].append(f"cap-{i:08d}")
+        cols["phash"].append(phash64(img))
+    return pa.Table.from_pydict(
+        {f.name: pa.array(cols[f.name], f.type) for f in schemas.IMAGE_TABLE},
+        schema=schemas.IMAGE_TABLE,
+    )
+
+
+def fixture_dataset(n_rows: int, seed: int = 42, parallelism: int = 8) -> ray.data.Dataset:
+    return ray.data.from_arrow(build_image_fixture(n_rows, seed)).repartition(parallelism)
+
+
+def phash_near_pairs(images: ray.data.Dataset, max_hamming: int = 8) -> pd.DataFrame:
+    """J4 — near-dup image pairs with hamming(phash) <= t via the LSH
+    band join: each 64-bit phash explodes into 4 x 16-bit bands; a pair
+    within hamming 8 of uniformly-spread error agrees on >=1 band with
+    high probability (exact for <=3 bit flips by pigeonhole over 4
+    bands... exact guarantee holds for <=3 flips; wider radii trade
+    recall, as in production near-dup systems). Bands groupby ->
+    in-bucket pairwise hamming (vectorized popcount). Bytes never enter
+    the shuffle — only (band_key, phash, image_id)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = t["image_id"].to_pylist()
+        n = len(ids)
+        band_key, phs, iids = [], [], []
+        for b in range(4):
+            vals = (ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            band_key.extend((np.int64(b) << np.int64(16)) | vals.astype(np.int64))
+            phs.extend(t["phash"].to_pylist())
+            iids.extend(ids)
+        return pa.table(
+            {
+                "band_key": pa.array(band_key, pa.int64()),
+                "phash": pa.array(phs, pa.int64()),
+                "image_id": pa.array(iids, pa.string()),
+            }
+        )
+
+    bands = images.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_id")
+        ids = g["image_id"].to_numpy()
+        ph = g["phash"].to_numpy().astype(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str)})
+        iu = np.triu_indices(len(ids), 1)
+        d = hamming64_vec(ph[iu[0]], ph[iu[1]])
+        hit = d <= max_hamming
+        return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]]})
+
+    out = bands.groupby("band_key").map_groups(pairs, batch_format="pandas").to_pandas()
+    return out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def near_dedup_images(images: ray.data.Dataset, max_hamming: int = 8) -> ray.data.Dataset:
+    """D3 — drop near-duplicate images: J4 pairs -> union-find on the
+    driver (pair count << corpus) -> keep min image_id per cluster."""
+    pr = phash_near_pairs(images, max_hamming)
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pr["a"], pr["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        return t.filter(pa.array([i not in d for i in t["image_id"].to_pylist()]))
+
+    return images.map_batches(keep, batch_format="pyarrow")
+
+
+class ImageTransform:
+    """Actor-pool decode/resize/re-encode stage — the multimodal
+    map_batches shape (decode state like codec tables lives per actor;
+    small batch_size because rows carry MB-scale binary payloads)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
+            "caption": [], "phash": [],
+        }
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            small = resize_nearest(img, self.out_w, self.out_h)
+            out["image_id"].append(t["image_id"][i].as_py())
+            out["bytes"].append(encode(small, "png"))
+            out["w"].append(self.out_w)
+            out["h"].append(self.out_h)
+            out["fmt"].append("png")
+            out["caption"].append(t["caption"][i].as_py())
+            out["phash"].append(phash64(small))
+        return pa.Table.from_pydict(
+            {f.name: pa.array(out[f.name], f.type) for f in schemas.IMAGE_TABLE},
+            schema=schemas.IMAGE_TABLE,
+        )
+
+
+def img_neardup_pairs_query(sf: str):
+    """queries() entry: J4 band join over a deterministic fixture
+    (size scaled loosely by sf dir name; content independent of sf)."""
+    n = 600 if "0.1" in sf else 300
+    ds = fixture_dataset(n)
+    pr = phash_near_pairs(ds, max_hamming=10)
+    return pa.table(
+        {"a": pa.array(pr["a"], pa.string()), "b": pa.array(pr["b"], pa.string())}
+    )
+
+
+def img_stats_query(sf: str):
+    """queries() entry: decode-validate + grouped stats by fmt over the
+    fixture table (real decode per row — M8/M10 exercised end-to-end)."""
+    from .relational import grouped_agg
+
+    n = 600 if "0.1" in sf else 300
+    ds = fixture_dataset(n)
+
+    def px(t: pa.Table) -> pa.Table:
+        ok, mean_px = [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            ok.append(img.shape == (t["h"][i].as_py(), t["w"][i].as_py(), 3))
+            mean_px.append(round(float(img.mean()), 4))
+        return pa.table(
+            {
+                "fmt": t["fmt"],
+                "ok": pa.array(ok, pa.bool_()),
+                "mean_px": pa.array(mean_px, pa.float64()),
+            }
+        )
+
+    decoded = ds.map_batches(px, batch_format="pyarrow")
+    return grouped_agg(
+        decoded, ["fmt"], [("n", "count", None), ("avg_px", "mean", "mean_px")]
+    )

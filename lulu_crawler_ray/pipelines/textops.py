@@ -1,0 +1,272 @@
+"""Large-scale training-data text operators over the documents table:
+exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard verify,
+language ID, quality scoring, token counting, winnowing fingerprints.
+
+Stateful per-actor setup (minhash permutations, compiled patterns) runs
+once in __init__ of callable classes (actor pools); per-batch work is
+batched Python over smallish string rows with numpy where it pays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..functions import textstats as tx
+from ..sources.testdata import read_table
+from .relational import grouped_agg
+
+
+def t_token_count(sf: str):
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    [tx.token_count(s) for s in t["text"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def t_quality(sf: str):
+    """SQL-checkable slice of quality scoring: character-class counts
+    (integer outputs — ratios are count quotients and hit decimal
+    rounding-mode boundaries between engines; counts compare exactly)."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        counts = [tx.char_class_counts(s) for s in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_m": pa.array([len(s) for s in texts], pa.int64()),
+                "n_alpha": pa.array([a for a, _ in counts], pa.int64()),
+                "n_digit": pa.array([d for _, d in counts], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class QualityScorer:
+    """Actor-pool stage (state = stopword tables) — full quality score
+    incl. stopword ratio and language guess. Rows-only check (the
+    heuristics aren't SQL-expressible)."""
+
+    def __init__(self):
+        self.stop = tx.STOPWORDS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        langs = [tx.langid(s) for s in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_pred": pa.array(langs, pa.string()),
+                "stop_ratio": pa.array(
+                    [round(tx.stopword_ratio(s, l), 4) for s, l in zip(texts, langs)],
+                    pa.float64(),
+                ),
+                "n_tokens": pa.array([tx.token_count(s) for s in texts], pa.int64()),
+            }
+        )
+
+
+def t_langid(sf: str):
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
+
+
+def t_exact_dedup(sf: str):
+    """Exact dedup: content-hash (md5 of text) -> per-group min doc_id +
+    dup count. The hash is computed vectorized per batch; the shuffle
+    carries (hash, doc_id) only — never the text."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()), "doc_id": t["doc_id"]})
+
+    hashed = ds.map_batches(h, batch_format="pyarrow")
+    agg = hashed.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+    return agg.map_batches(
+        lambda t: t.select(["doc_id", "n_dups"]), batch_format="pyarrow"
+    )
+
+
+def t_simhash(sf: str):
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": pa.array(
+                    [tx.simhash64(s) for s in t["text"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def t_fingerprint(sf: str):
+    """Winnowing fingerprint cardinality per doc (document
+    fingerprinting op; the fingerprint sets drive containment checks)."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_fingerprints": pa.array(
+                    [len(tx.winnow_fingerprints(s)) for s in t["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class MinHasher:
+    """Actor-pool stage: permutations drawn once per actor (seeded =>
+    identical across actors); emits LSH band rows (band, band_hash,
+    doc_id) — 1 doc -> n_bands rows, ready for the bucket groupby."""
+
+    NUM_PERM = 64
+    BANDS = 16  # rows_per_band = 4
+
+    def __init__(self):
+        self.a, self.b = tx.minhash_params(self.NUM_PERM, seed=1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        r = self.NUM_PERM // self.BANDS
+        band_ids, band_hashes, doc_ids = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = tx.minhash_signature(tx.shingles(text), self.a, self.b)
+            for b in range(self.BANDS):
+                h = hashlib.md5(sig[b * r : (b + 1) * r].tobytes()).hexdigest()[:16]
+                band_ids.append(b)
+                band_hashes.append(h)
+                doc_ids.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+
+def minhash_candidate_pairs(docs: ray.data.Dataset, concurrency: int = 2):
+    """documents(doc_id, text) -> candidate near-dup pairs (a, b) via
+    MinHash LSH: shingle -> signature -> band rows -> bucket groupby ->
+    in-bucket pairs, deduplicated. The groupby key (band, band_hash) is
+    uniformly distributed — no skew salt needed; mega-buckets are capped
+    defensively (a bucket of n docs yields n-1 chained pairs, not n²,
+    which union-find closes transitively)."""
+    bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=concurrency)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        # chain pairs: enough for connected components, linear not n²
+        return pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
+
+    return bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+
+
+def t_minhash_pairs(sf: str):
+    docs = read_table(sf, "documents", ["doc_id", "text"])
+    cand = minhash_candidate_pairs(docs)
+    # dedup identical pairs from different bands (tiny result)
+    t = pa.Table.from_pandas(cand.to_pandas().drop_duplicates().sort_values(["a", "b"]),
+                             preserve_index=False)
+    return t
+
+
+def near_dedup_minhash(docs: ray.data.Dataset, threshold: float = 0.7):
+    """Full near-dedup: LSH candidates -> exact Jaccard verify ->
+    connected components (union-find on the driver over the verified
+    pair set, which is small relative to the corpus) -> keep min doc_id
+    per cluster. Returns (kept_doc_ids table, clusters dict)."""
+    cand_pd = minhash_candidate_pairs(docs).to_pandas().drop_duplicates()
+    ids = sorted(set(cand_pd["a"]) | set(cand_pd["b"])) if len(cand_pd) else []
+    shingle_map = {}
+    if ids:
+        idset = set(ids)
+
+        def sh(t: pa.Table) -> pa.Table:
+            rows = [
+                (d, list(tx.shingles(s)))
+                for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+                if d in idset
+            ]
+            return pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "sh": pa.array([r[1] for r in rows], pa.list_(pa.uint64())),
+                }
+            )
+
+        for b in docs.map_batches(sh, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=4096
+        ):
+            for d, s in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
+                shingle_map[d] = set(s)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(cand_pd.get("a", []), cand_pd.get("b", [])):
+        a, b = int(a), int(b)
+        if tx.jaccard(shingle_map[a], shingle_map[b]) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    ref = ray.put(np.array(sorted(drop), np.int64))
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        return t.select(["doc_id"]).filter(
+            pa.array(~np.isin(t["doc_id"].to_numpy(), d))
+        )
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def t_near_dedup(sf: str):
+    docs = read_table(sf, "documents", ["doc_id", "text"])
+    return near_dedup_minhash(docs)
+
+
+def t_group_by_lang(sf: str):
+    """Language composition summary (uses the stored lang column — the
+    SQL-checkable analog of the langid pipeline output)."""
+    ds = read_table(sf, "documents", ["lang", "n_chars"])
+    return grouped_agg(
+        ds, ["lang"], [("n", "count", None), ("sum_chars", "sum", "n_chars")]
+    )
