@@ -91,7 +91,7 @@ class HyperplaneHasher:
     """Actor-pool stage: seeded random hyperplanes drawn once per actor
     (identical across actors); emits (bucket, vec_id) rows."""
 
-    def __init__(self, dim: int, n_planes: int = 8, seed: int = 5):
+    def __init__(self, dim: int, n_planes: int = 4, seed: int = 5):
         self.planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
 
     def bucket_of(self, m: np.ndarray) -> np.ndarray:

@@ -465,12 +465,12 @@ def g4_hll_distinct(sf: str):
     ds = read_table(sf, "lineitem", ["l_partkey"])
 
     def sketch(t: pa.Table) -> pa.Table:
-        h = HyperLogLog(p=12)
+        h = HyperLogLog(p=14)
         h.add_many(t["l_partkey"].to_numpy().astype(np.uint64))
         return pa.table({"registers": pa.array([h.registers.tobytes()], pa.binary())})
 
     parts = ds.map_batches(sketch, batch_format="pyarrow")
-    h = HyperLogLog(p=12)
+    h = HyperLogLog(p=14)
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=1024):
         for r in b["registers"].to_pylist():
             h.merge_registers(r)

@@ -1,0 +1,284 @@
+"""PY-oracle tests for the non-SQL-expressible training-data ops:
+HLL accuracy, MinHash-LSH near-dedup vs brute force, LSH-ANN recall vs
+brute force, langid, phash near-dup band join, multimodal stubs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from lulu_crawler_ray.functions import textstats as tx
+from lulu_crawler_ray.functions.hll import HyperLogLog
+from lulu_crawler_ray.functions.phash import hamming64
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_accuracy_plain():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 1 << 62, 200_000, np.uint64)
+    h = HyperLogLog(p=12)
+    h.add_many(vals)
+    exact = len(np.unique(vals))
+    assert abs(h.count() - exact) / exact < 0.03
+
+
+def test_hll_merge_equivalence():
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 1 << 62, 50_000, np.uint64)
+    whole = HyperLogLog(p=12)
+    whole.add_many(vals)
+    merged = HyperLogLog(p=12)
+    for chunk in np.array_split(vals, 7):
+        part = HyperLogLog(p=12)
+        part.add_many(chunk)
+        merged.merge_registers(part.registers.tobytes())
+    assert (whole.registers == merged.registers).all()
+
+
+def test_g4_query_vs_exact(ray_session):
+    from lulu_crawler_ray.pipelines.relational import g4_hll_distinct
+
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_partkey) FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()[0]
+    approx = g4_hll_distinct(SF)["approx_distinct"][0].as_py()
+    assert abs(approx - exact) / exact < 0.03
+
+
+# ---------------------------------------------------------------- minhash
+def _fixture_docs():
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, 60)) for _ in range(30)]
+    docs, ids = [], []
+    for i, b in enumerate(base):
+        docs.append(b)
+        ids.append(2 * i)
+        toks = b.split()
+        if i < 10:  # near-dup: mutate 3 of 60 tokens
+            for j in rng.integers(0, 60, 3):
+                toks[j] = str(rng.choice(vocab))
+            docs.append(" ".join(toks))
+            ids.append(2 * i + 1)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs)})
+
+
+def test_minhash_neardedup_vs_bruteforce(ray_session):
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.textops import near_dedup_minhash
+
+    t = _fixture_docs()
+    docs = ray.data.from_arrow(t).repartition(4)
+    kept = set(near_dedup_minhash(docs, threshold=0.7).to_pandas()["doc_id"])
+
+    # brute-force oracle: union-find over all pairs with jaccard >= 0.7
+    sh = {d: tx.shingles(s) for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    parent = {d: d for d in sh}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if tx.jaccard(sh[a], sh[b]) >= 0.7:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expect = {d for d in ids if find(d) == d}
+    # LSH recall on 3-of-60-token mutations at 16 bands of 4 is ~1;
+    # allow zero false *merges* and at most 1 missed pair
+    assert kept <= set(ids)
+    missed = kept ^ expect
+    assert len(missed) <= 2, f"near-dedup diverges: {missed}"
+
+
+def test_minhash_similarity_estimate():
+    a, b = tx.minhash_params(256, seed=2)
+    s1 = tx.shingles("the quick brown fox jumps over the lazy dog and runs away fast", k=2)
+    s2 = tx.shingles("the quick brown fox jumps over the lazy cat and runs away fast", k=2)
+    sig1 = tx.minhash_signature(s1, a, b)
+    sig2 = tx.minhash_signature(s2, a, b)
+    est = (sig1 == sig2).mean()
+    true = tx.jaccard(s1, s2)
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_similarity():
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "alpha beta gamma delta epsilon zeta eta iota"
+    t3 = "completely different words entirely unrelated content here now"
+    d_close = hamming64(tx.simhash64(t1), tx.simhash64(t2))
+    d_far = hamming64(tx.simhash64(t1), tx.simhash64(t3))
+    assert d_close < d_far
+
+
+def test_langid_fixture():
+    assert tx.langid("the cat and the dog went to a house") == "en"
+    assert tx.langid("le chat et la maison est pour un jour") == "fr"
+    assert tx.langid("der hund und die katze ist ein tier") == "de"
+    assert tx.langid("el perro y la casa es un lugar") == "es"
+    assert tx.langid("xyzzy qwerty plugh") == "und"
+
+
+# ---------------------------------------------------------------- ANN
+def test_lsh_ann_recall(ray_session):
+    from lulu_crawler_ray.pipelines.annsearch import e_knn_bruteforce, e_lsh_ann
+
+    exact = e_knn_bruteforce(SF).to_pandas()
+    approx = e_lsh_ann(SF).to_pandas()
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.2, f"LSH recall too low: {recalls}"
+
+
+# ---------------------------------------------------------------- images
+def test_phash_neardup_band_join(ray_session):
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.images_pipe import (
+        build_image_fixture,
+        near_dedup_images,
+        phash_near_pairs,
+    )
+
+    t = build_image_fixture(60)
+    # plant near-dups: copies of row 0 with <=3 phash bits flipped
+    ph0 = t["phash"][0].as_py()
+    extra = pa.table(
+        {
+            "image_id": pa.array(["zz01", "zz02"], pa.string()),
+            "bytes": pa.array([t["bytes"][0].as_py()] * 2, pa.binary()),
+            "w": pa.array([t["w"][0].as_py()] * 2, pa.int32()),
+            "h": pa.array([t["h"][0].as_py()] * 2, pa.int32()),
+            "fmt": pa.array([t["fmt"][0].as_py()] * 2, pa.string()),
+            "caption": pa.array(["c1", "c2"], pa.string()),
+            "phash": pa.array(
+                [int(np.int64(np.uint64(np.uint64(ph0) ^ np.uint64(0b101)))), ph0],
+                pa.int64(),
+            ),
+        }
+    )
+    full = pa.concat_tables([t, extra])
+    ds = ray.data.from_arrow(full).repartition(3)
+    pairs = phash_near_pairs(ds, max_hamming=4)
+    pairset = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    id0 = t["image_id"][0].as_py()
+    assert tuple(sorted((id0, "zz02"))) in pairset  # exact dup
+    assert tuple(sorted((id0, "zz01"))) in pairset  # 2-bit flip
+    kept = set(near_dedup_images(ds, max_hamming=4).to_pandas()["image_id"])
+    assert "zz01" not in kept and "zz02" not in kept and id0 in kept
+
+
+def test_image_transform_stage(ray_session):
+    import ray.data
+
+    from lulu_crawler_ray.functions.imagecodec import decode
+    from lulu_crawler_ray.pipelines.images_pipe import ImageTransform, build_image_fixture
+
+    ds = ray.data.from_arrow(build_image_fixture(12)).repartition(2)
+    out = ds.map_batches(
+        ImageTransform, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).to_pandas()
+    assert len(out) == 12
+    assert (out["w"] == 32).all() and (out["fmt"] == "png").all()
+    img = decode(out["bytes"][0], "png")
+    assert img.shape == (32, 32, 3)
+
+
+# ---------------------------------------------------------------- multimodal
+def _audio_table():
+    from lulu_crawler_ray.stages.multimodal import AUDIO_SCHEMA
+
+    return pa.Table.from_pydict(
+        {
+            "media_id": ["a1", "a2"],
+            "bytes": [b"fake-audio-1", b"fake-audio-2"],
+            "codec": ["wav", "wav"],
+            "sample_rate": pa.array([8000, 8000], pa.int32()),
+            "n_channels": pa.array([1, 1], pa.int32()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
+def test_audio_stage_plumbing(ray_session):
+    import ray.data
+
+    from lulu_crawler_ray.stages.multimodal import AudioFeatureExtractor
+
+    out = (
+        ray.data.from_arrow(_audio_table())
+        .map_batches(AudioFeatureExtractor, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert len(out) == 2 and len(out["features"][0]) == 16
+    # deterministic fake: same bytes -> same features
+    assert out["duration_s"][0] == 1.0
+
+
+def test_audio_stub_raises():
+    from lulu_crawler_ray.stages.multimodal import AudioFeatureExtractor
+
+    ex = AudioFeatureExtractor(deterministic_fake=False)
+    with pytest.raises(NotImplementedError):
+        ex._decode_audio(b"x", "mp3")
+
+
+def test_video_frame_sampler(ray_session):
+    import ray.data
+
+    from lulu_crawler_ray.functions.imagecodec import decode_png
+    from lulu_crawler_ray.stages.multimodal import VIDEO_SCHEMA, VideoFrameSampler
+
+    t = pa.Table.from_pydict(
+        {
+            "media_id": ["v1"],
+            "bytes": [b"fake-video"],
+            "codec": ["h264"],
+            "fps": pa.array([30.0], pa.float32()),
+            "n_frames": pa.array([25], pa.int32()),
+        },
+        schema=VIDEO_SCHEMA,
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(VideoFrameSampler, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert list(out["frame_idx"]) == [0, 10, 20]
+    assert decode_png(out["frame_png"][0]).shape == (16, 16, 3)
+
+
+# ------------------------------------------------- batching independence
+def test_grouped_agg_batch_independence(ray_session):
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.relational import grouped_agg
+
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "k": pa.array(rng.choice(["a", "b", "c"], 1000)),
+            "v": pa.array(rng.standard_normal(1000)),
+        }
+    )
+    specs = [("n", "count", None), ("s", "sum", "v"), ("m", "mean", "v"), ("sd", "std", "v")]
+    r1 = grouped_agg(ray.data.from_arrow(t).repartition(1), ["k"], specs).to_pandas()
+    r8 = grouped_agg(ray.data.from_arrow(t).repartition(8), ["k"], specs).to_pandas()
+    pd.testing.assert_frame_equal(
+        r1.sort_values("k").reset_index(drop=True),
+        r8.sort_values("k").reset_index(drop=True),
+        check_exact=False,
+        atol=1e-9,
+    )
