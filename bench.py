@@ -1,0 +1,173 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "crawl": {"urls": U, "urls_per_sec": ..., "image_rows": I,
+               "img_rows_per_sec": ..., "t4_t5_hash": ...}}
+
+--scaling: runs the same bench twice in FRESH processes at num_cpus=8
+and num_cpus=32 on the same input (the sandbox form of the N vs 4N
+cluster-size criterion, BASELINE.json:14) and prints throughput at both
+plus scaling efficiency; asserts the two runs' crawl T4/T5 hashes match
+(the determinism leg).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _crawl_bench(out_root: str) -> dict:
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from lulu_crawler_ray.config import CrawlConfig, seed_urls
+    from lulu_crawler_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(
+        seed=42, budget=32, max_depth=6, max_urls=60_000, n_hosts=2000,
+        num_shards=16, fetch_concurrency=8,
+    )
+    out = os.path.join(out_root, "crawl")
+    t0 = time.time()
+    res = run_crawl(seed_urls(cfg, 2000), cfg, out)
+    wall = time.time() - t0
+    urls = res["metrics"]["ranks"]
+    imgs = res["metrics"].get("images", 0)
+    led = pads.dataset(f"{out}/ledger", format="parquet").to_table()
+    led = led.take(pc.sort_indices(led, sort_keys=[("rank", "ascending")]))
+    seen = pads.dataset(f"{out}/seen.parquet", format="parquet").to_table()
+    imgs_n = pads.dataset(f"{out}/waves", format="parquet").count_rows()
+    h = hashlib.sha256()
+    h.update("".join(led["url"].to_pylist()).encode())
+    for k in seen["url_sha1"].to_pylist():
+        h.update(k)
+    return {
+        "sec": round(wall, 3),
+        "urls": urls,
+        "urls_per_sec": round(urls / wall, 1),
+        "image_rows": imgs_n,
+        "img_rows_per_sec": round(imgs_n / wall, 1),
+        "waves": res["metrics"]["waves"],
+        "t4_t5_hash": h.hexdigest()[:16],
+    }
+
+
+def _consume(res) -> int:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow", batch_size=65536):
+            n += b.num_rows
+        return n
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    qfns = entrymod.queries()
+    bench_queries = [
+        "q1_pricing_summary", "g1_groupby_count", "g4_hll_distinct",
+        "j2_inner_join", "j3_broadcast_lookup", "o2_topk", "d1_first_by_key",
+        "m6_filter_project", "w1_window_agg", "t_exact_dedup",
+        "t_minhash_pairs", "t_token_count", "e_knn_bruteforce",
+        "img_neardup_pairs",
+    ]
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    warm = qfns["g1_groupby_count"](sf)
+    _consume(warm)
+
+    out_root = os.environ.get("GRAFT_BENCH_OUT", "/tmp/lulu_ray_bench")
+    if os.path.exists(out_root):
+        shutil.rmtree(out_root)
+    os.makedirs(out_root)
+
+    times: dict[str, float] = {}
+    t_all = time.time()
+    crawl = _crawl_bench(out_root)
+    times["crawl"] = crawl["sec"]
+    for name in bench_queries:
+        t0 = time.time()
+        _consume(qfns[name](sf))
+        times[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    result = {
+        "metric": "headline pipelines wall time (crawl + relational/text/ann) at sf",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "crawl": crawl,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    crawl_eff = (r_lo["crawl"]["sec"] / r_hi["crawl"]["sec"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency N->4N (num_cpus 8 vs 32, same input)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "crawl_urls_per_sec_8": r_lo["crawl"]["urls_per_sec"],
+                "crawl_urls_per_sec_32": r_hi["crawl"]["urls_per_sec"],
+                "crawl_efficiency": round(crawl_eff, 3),
+                "hash_match": r_lo["crawl"]["t4_t5_hash"] == r_hi["crawl"]["t4_t5_hash"],
+                "queries_8": r_lo["queries"],
+                "queries_32": r_hi["queries"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -45,10 +45,17 @@ class CrawlConfig:
     allowed_suffixes: tuple[str, ...] = (".test",)
     zipf_alpha: float = 1.1
     max_links_per_page: int = 12
+    image_sizes: tuple[int, ...] = (32, 48, 64, 96, 128)  # synthetic-universe knob
 
     # physical knobs (order-neutral)
-    fetch_batch_size: int = 64
-    image_batch_size: int = 32
+    # driver fast-path budgets: waves whose candidate / combined-ref
+    # column sets fit under these row counts are finalized with numpy on
+    # the driver (pruned columns only); larger waves use the distributed
+    # groupby/sort paths. Both paths are exact and order-identical.
+    driver_select_max: int = 5_000_000
+    driver_dedup_max: int = 5_000_000
+    fetch_batch_size: int = 256
+    image_batch_size: int = 128
     dedup_batch_size: int = 4096
     fetch_concurrency: int = 4
     num_partitions: int = 16

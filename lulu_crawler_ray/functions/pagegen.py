@@ -71,11 +71,13 @@ def page_bytes(seed: int, url: str, *, n_hosts: int, alpha: float, max_links: in
 _SIZES = (32, 48, 64, 96, 128)
 
 
-def image_pixels(seed: int, image_url: str) -> np.ndarray:
-    """Deterministic gradient image for a canonical image URL (B.2)."""
+def image_pixels(seed: int, image_url: str, sizes: tuple = _SIZES) -> np.ndarray:
+    """Deterministic gradient image for a canonical image URL (B.2).
+    ``sizes`` is a property of the synthetic universe (FIXTURES.md B.2
+    default); bench configs may use a smaller palette."""
     Hi = _h(f"{seed}|{image_url}")
-    w = _SIZES[Hi[0] % 5]
-    h = _SIZES[Hi[1] % 5]
+    w = sizes[Hi[0] % len(sizes)]
+    h = sizes[Hi[1] % len(sizes)]
     ax, ay, ac = Hi[3], Hi[4], Hi[5]
     x = np.arange(w, dtype=np.int64)[None, :, None]
     y = np.arange(h, dtype=np.int64)[:, None, None]
@@ -84,13 +86,15 @@ def image_pixels(seed: int, image_url: str) -> np.ndarray:
     return ((x * ax + y * ay + c * ac + base) % 256).astype(np.uint8)
 
 
-def image_payload(seed: int, image_url: str) -> tuple[int, int, str, bytes]:
+def image_payload(
+    seed: int, image_url: str, sizes: tuple = _SIZES
+) -> tuple[int, int, str, bytes]:
     """(w, h, fmt, encoded bytes) for a canonical image URL; fmt comes
     from the URL extension (written by page_bytes)."""
     fmt = image_url.rsplit(".", 1)[-1]
     if fmt not in FORMATS:
         fmt = "raw"
-    img = image_pixels(seed, image_url)
+    img = image_pixels(seed, image_url, sizes)
     h, w, _ = img.shape
     return w, h, fmt, encode(img, fmt)
 

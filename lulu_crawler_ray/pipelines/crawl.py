@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -155,18 +156,101 @@ def run_crawl(
     return {"out_dir": out_dir, "metrics": snap}
 
 
-def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
-    fdir = os.path.join(_ckpt_dir(out_dir, wave), "frontier")
-    frontier = ray.data.read_parquet(fdir, partitioning=None)
+_TRACE = bool(os.environ.get("LULU_TRACE"))
 
-    # ── politeness selection (A2): per-batch top-B combiner, then exact
-    # per-host top-B — only candidate rows (≤ B×hosts×blocks) shuffle;
-    # the bulk of a skewed host's pending URLs never leave their block
-    # (SURVEY.md §4.3 hot-domain handling).
+
+def _select_and_rank(frontier, cfg, rank_base, wave):
+    """Politeness selection + deterministic global rank assignment.
+
+    Returns (ranked_factory, deferred_ds, n_admitted): ranked_factory()
+    yields a Dataset of admitted T1 rows + rank + fetch-wave stamp;
+    deferred_ds is the rest of the frontier. The admitted set per host
+    is the first ``budget`` rows by (priority, seq); global order is
+    (host_hash, host, priority, seq) truncated to max_urls - rank_base.
+    """
+    budget = cfg.budget
+    cand_cols = frontier.map_batches(
+        lambda t: st.topb_per_host(t, budget), batch_format="pyarrow"
+    ).select_columns(["host_hash", "host", "priority", "seq"])
+
+    # gather pruned candidate columns driver-side, bailing out if the
+    # wave is too large for the fast path
+    parts: list = []
+    n_cand, small = 0, True
+    for b in cand_cols.iter_batches(batch_format="pyarrow", batch_size=262144):
+        n_cand += b.num_rows
+        if n_cand > cfg.driver_select_max:
+            small = False
+            break
+        parts.append(b)
+    if not small:
+        return _select_distributed(frontier, cfg, rank_base, wave)
+
+    # finalize with pyarrow's multi-threaded C++ sort (object-array
+    # lexsorts were the driver bottleneck at 10^5-row waves)
+    if parts:
+        cand = pa.concat_tables(parts).combine_chunks()
+        idx = pc.sort_indices(
+            cand,
+            sort_keys=[  # the §3.2.4 total order
+                ("host_hash", "ascending"), ("host", "ascending"),
+                ("priority", "ascending"), ("seq", "ascending"),
+            ],
+        )
+        srt = cand.take(idx)
+        host_a = srt["host"].combine_chunks()
+        n = len(host_a)
+        neq = pc.not_equal(host_a.slice(1), host_a.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.r_[True, neq]
+        gid = np.cumsum(starts) - 1
+        pos = np.arange(n) - np.flatnonzero(starts)[gid]
+        keep = np.flatnonzero(pos < budget)[: cfg.max_urls - rank_base]
+        adm_seq = srt["seq"].to_numpy()[keep]  # in global rank order
+    else:
+        adm_seq = np.array([], np.int64)
+    n_admitted = len(adm_seq)
+    ranks = np.arange(rank_base, rank_base + n_admitted, dtype=np.int64)
+    by_seq = np.argsort(adm_seq)
+    ref = ray.put((adm_seq[by_seq], ranks[by_seq]))
+
+    def attach_rank(t: pa.Table) -> pa.Table:
+        aseq, arank = ray.get(ref)
+        s = t["seq"].to_numpy()
+        if len(aseq) == 0:
+            return t.slice(0, 0).append_column("rank", pa.array([], pa.int64()))
+        idx = np.clip(np.searchsorted(aseq, s), 0, len(aseq) - 1)
+        mask = aseq[idx] == s
+        t = t.filter(pa.array(mask))
+        rk = arank[np.searchsorted(aseq, t["seq"].to_numpy())]
+        t = t.set_column(
+            t.schema.get_field_index("wave"), "wave",
+            pa.array(np.full(t.num_rows, wave, np.int32)),
+        )
+        return t.append_column("rank", pa.array(rk, pa.int64()))
+
+    def drop_admitted(t: pa.Table) -> pa.Table:
+        aseq, _ = ray.get(ref)
+        s = t["seq"].to_numpy()
+        if len(aseq) == 0:
+            return t
+        idx = np.clip(np.searchsorted(aseq, s), 0, len(aseq) - 1)
+        return t.filter(pa.array(aseq[idx] != s))
+
+    ranked = lambda: frontier.map_batches(attach_rank, batch_format="pyarrow")
+    deferred = frontier.map_batches(drop_admitted, batch_format="pyarrow")
+    return ranked, deferred, n_admitted
+
+
+def _select_distributed(frontier, cfg, rank_base, wave):
+    """Fallback for waves whose candidate set exceeds the driver budget:
+    per-host top-B via groupby, global order via a range-partitioned
+    sort, ranks via the block-offset zipWithIndex."""
     budget = cfg.budget
     cand = frontier.map_batches(
         lambda t: st.topb_per_host(t, budget), batch_format="pyarrow"
-    )
+    ).repartition(cfg.num_partitions)
     admitted_ds = cand.groupby("host").map_groups(
         lambda g: st.topb_per_host(g, budget), batch_format="pyarrow"
     )
@@ -174,27 +258,13 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
         cfg.max_urls - rank_base
     )
     ranked_refs, n_admitted = _assign_ranks(admitted_ds, rank_base, wave)
-    if n_admitted == 0:
-        # politeness cannot defer forever (every host admits ≥min(B,pending))
-        # so an empty admission means an empty frontier — seal and stop.
-        _write_ckpt(out_dir, wave + 1, None, shards, metrics, rank_base=rank_base)
-        return rank_base
 
-    # T4 ledger for this wave (rank-contiguous, one dir per wave)
-    ranked = lambda: ray.data.from_arrow_refs(list(ranked_refs))
-    ranked().select_columns(["rank"] + _LEDGER_COLS).write_parquet(
-        _wave_dir(out_dir, "ledger", wave)
-    )
+    @ray.remote
+    def _keys(t: pa.Table) -> list[bytes]:
+        return t["url_sha1"].to_pylist()
 
-    # ── deferred = frontier minus admitted (broadcast anti-filter; the
-    # admitted side is politeness-bounded — BASELINE.json:6's budget is
-    # itself the bound that keeps this broadcast small)
     admitted_keys = ray.put(
-        set(
-            k
-            for b in ranked().iter_batches(batch_format="pyarrow", batch_size=65536)
-            for k in b["url_sha1"].to_pylist()
-        )
+        set(k for ks in ray.get([_keys.remote(r) for r in ranked_refs]) for k in ks)
     )
 
     def drop_admitted(t: pa.Table) -> pa.Table:
@@ -203,26 +273,79 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
         return t.filter(pa.array(mask))
 
     deferred = frontier.map_batches(drop_admitted, batch_format="pyarrow")
+    ranked = lambda: ray.data.from_arrow_refs(list(ranked_refs))
+    return ranked, deferred, n_admitted
 
-    # ── fetch -> parse (streamed; bodies never outlive the parse stage)
+
+def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
+    marks = [time.time()]
+
+    def _mark(label):
+        if _TRACE:
+            marks.append(time.time())
+            print(f"[wave {wave}] {label}: {marks[-1]-marks[-2]:.2f}s", flush=True)
+
+    fdir = os.path.join(_ckpt_dir(out_dir, wave), "frontier")
+    # block count == per-stage task parallelism: pin it to the session's
+    # CPU count so every stage can fill the machine regardless of how
+    # many files the previous wave happened to write
+    nblocks = max(cfg.num_partitions, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    frontier = ray.data.read_parquet(
+        fdir, partitioning=None, override_num_blocks=nblocks
+    )
+
+    # ── politeness selection (A2): per-batch top-B combiner first — the
+    # bulk of a skewed host's pending URLs never leaves its block
+    # (SURVEY.md §4.3). The candidate set is politeness-bounded
+    # (≤ B×hosts×blocks), so for typical waves the finalize (exact
+    # per-host top-B + global order + rank) runs driver-side over FOUR
+    # pruned numpy columns; waves whose candidate set exceeds
+    # cfg.driver_select_max fall back to the distributed
+    # groupby+sort+zipWithIndex path. Both paths compute the identical
+    # admitted set and ranks (SURVEY.md §3.2.4).
+    ranked, deferred, n_admitted = _select_and_rank(frontier, cfg, rank_base, wave)
+    _mark("select+sort+rank")
+    if n_admitted == 0:
+        # politeness cannot defer forever (every host admits ≥min(B,pending))
+        # so an empty admission means an empty frontier — seal and stop.
+        _write_ckpt(out_dir, wave + 1, None, shards, metrics, rank_base=rank_base)
+        return rank_base
+
+    # T4 ledger for this wave (rank-contiguous, one dir per wave) —
+    # written from a driver thread so it overlaps the fetch pipeline
+    ledger_t = _bg(
+        lambda: ranked()
+        .select_columns(["rank"] + _LEDGER_COLS)
+        .write_parquet(_wave_dir(out_dir, "ledger", wave))
+    )
+    _mark("ledger")
+
+    # ── fetch -> parse -> scope/robots (streamed; bodies never outlive
+    # the parse stage; out-of-scope/robots-blocked rows die before the
+    # materialize so they never cost object-store space)
     fetcher = st.PageFetcher(cfg)
     parser = st.PageParser(cfg)
+    scope_filter = st.RobotsScopeFilter(cfg, metrics)
     refs = (
         ranked()
         .map_batches(fetcher, batch_size=cfg.fetch_batch_size, batch_format="pyarrow")
         .map_batches(parser, batch_size=cfg.fetch_batch_size, batch_format="pyarrow")
-        .materialize()  # consumed twice (links + images); bodies already dropped
+        .map_batches(scope_filter, batch_format="pyarrow")
+        .materialize()  # consumed twice (links + images)
     )
+    _mark("fetch+parse")
 
-    scope_filter = st.RobotsScopeFilter(cfg, metrics)
+    # ── within-wave dedup (D1+D2 in ONE grouped aggregate): first-by-seq
+    # per (kind, url_sha1) — seq is globally unique across kinds, so one
+    # broadcast min-seq set serves both branches
+    deduped = st.dedup_first_by_seq(refs, ["kind", "url_sha1"], driver_max=cfg.driver_dedup_max)
+    _mark("wave_dedup")
 
-    # ── image branch: scope/robots -> wave-dedup (D2) -> global image-seen
-    # -> fetch/decode/phash -> T3 wave dir
-    images = refs.map_batches(
+    # ── image branch: global image-seen admit -> fetch/decode/phash ->
+    # T3 wave dir
+    images = deduped.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
     )
-    images = images.map_batches(scope_filter, batch_format="pyarrow")
-    images = st.dedup_first_by_seq(images, "url_sha1")
     images = images.map_batches(
         st.DedupClient(shards, cfg.num_shards, "img"),
         batch_size=cfg.dedup_batch_size,
@@ -233,28 +356,63 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
         batch_size=cfg.image_batch_size,
         batch_format="pyarrow",
     )
-    write_images(t3, _wave_dir(out_dir, "waves", wave))
+    # the image sink is the wave's heaviest execution; run it from a
+    # driver thread so it overlaps the link branch + frontier write
+    # (independent outputs — both must finish before the wave seals)
+    images_t = _bg(lambda: write_images(t3, _wave_dir(out_dir, "waves", wave)))
+    _mark("images")
 
-    # ── link branch: scope/robots -> D1 wave-dedup -> seen-set admit
-    links = refs.map_batches(
+    # ── link branch: seen-set admit -> next frontier
+    links = deduped.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "link")), batch_format="pyarrow"
     )
-    links = links.map_batches(scope_filter, batch_format="pyarrow")
-    links = st.dedup_first_by_seq(links, "url_sha1")
     links = links.map_batches(
         st.DedupClient(shards, cfg.num_shards, "url"),
         batch_size=cfg.dedup_batch_size,
         batch_format="pyarrow",
     )
     new_frontier = links.map_batches(st.refs_to_frontier, batch_format="pyarrow")
+    _mark("links_built")
 
-    # ── F_{w+1} = deferred ∪ new; checkpoint + seal
+    # ── F_{w+1} = deferred ∪ new; checkpoint + seal. The seal (shard
+    # delta dumps + manifest) must see the image branch's seen-set
+    # admits, so both background writes join before it.
     nxt = deferred.union(new_frontier)
-    _write_ckpt(out_dir, wave + 1, nxt, shards, metrics, rank_base=rank_base + n_admitted)
+    _write_ckpt(
+        out_dir, wave + 1, nxt, shards, metrics,
+        rank_base=rank_base + n_admitted,
+        pre_seal=lambda: (images_t(), ledger_t()),
+    )
+    _mark("frontier_ckpt")
     return rank_base + n_admitted
 
 
-def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base) -> None:
+def _bg(fn):
+    """Run fn on a driver thread (concurrent Dataset execution); the
+    returned joiner re-raises any exception at join time."""
+    import threading
+
+    box: dict = {}
+
+    def run():
+        try:
+            fn()
+        except BaseException as e:  # noqa: BLE001 — propagate at join
+            box["err"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def join():
+        t.join()
+        if "err" in box:
+            raise box["err"]
+
+    return join
+
+
+def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base, pre_seal=None) -> None:
+    _t0 = time.time()
     cdir = _ckpt_dir(out_dir, enter_wave)
     if os.path.exists(cdir):
         shutil.rmtree(cdir)
@@ -270,6 +428,14 @@ def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base) ->
         else:
             frontier.write_parquet(fdir)
             n_frontier = _frontier_count(fdir)
+    if _TRACE:
+        print(f"  [ckpt {enter_wave}] frontier write ({n_frontier} rows): {time.time()-_t0:.2f}s", flush=True)
+    _t1 = time.time()
+    if pre_seal is not None:
+        pre_seal()  # join concurrent wave outputs before sealing
+    if _TRACE:
+        print(f"  [ckpt {enter_wave}] pre-seal join: {time.time()-_t1:.2f}s", flush=True)
+        _t1 = time.time()
     sdir = os.path.join(cdir, "shards")
     os.makedirs(sdir, exist_ok=True)
     ray.get(
@@ -278,6 +444,8 @@ def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base) ->
             for k, s in enumerate(shards)
         ]
     )
+    if _TRACE:
+        print(f"  [ckpt {enter_wave}] shard dumps: {time.time()-_t1:.2f}s", flush=True)
     snap = ray.get(metrics.snapshot.remote())
     manifest = {
         "enter_wave": enter_wave,
@@ -307,10 +475,13 @@ def _restore(out_dir, shards, metrics) -> tuple[int, int]:
         raise FileNotFoundError(f"no sealed checkpoint under {ckroot}")
     m = sealed[-1]
     w = m["enter_wave"]
-    sdir = os.path.join(_ckpt_dir(out_dir, w), "shards")
+    # incremental shard checkpoints: replay the whole sealed delta chain
+    waves = [mm["enter_wave"] for mm in sealed]
     ray.get(
         [
-            s.restore.remote(os.path.join(sdir, f"shard-{k}.bin"))
+            s.restore.remote(
+                [os.path.join(_ckpt_dir(out_dir, ww), "shards", f"shard-{k}.bin") for ww in waves]
+            )
             for k, s in enumerate(shards)
         ]
     )

@@ -179,7 +179,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> CrawlResult:
             if iid in image_seen:
                 continue
             image_seen.add(iid)
-            w, h, fmt, data = pagegen.image_payload(cfg.seed, r.url)
+            w, h, fmt, data = pagegen.image_payload(cfg.seed, r.url, cfg.image_sizes)
             ph = phash64(decode(data, fmt))
             res.images.append(
                 dict(image_id=iid, bytes=data, w=w, h=h, fmt=fmt,

@@ -57,44 +57,92 @@ def topb_per_host(t: pa.Table, budget: int) -> pa.Table:
 
 
 # ------------------------------------------------------- first-by-seq (D1/D2)
-def combine_first_by_seq(t: pa.Table, key: str = "url_sha1") -> pa.Table:
-    """Within-batch combiner: keep the min-seq row per key. Because seq
-    values are globally unique (SURVEY.md §3.2.3), the global min-seq row
-    per key survives any composition of per-batch combining followed by
-    a grouped Min("seq") filter."""
+def combine_first_by_seq(t: pa.Table, keys: str | list[str] = "url_sha1") -> pa.Table:
+    """Within-batch combiner: keep the min-seq row per key (composite
+    keys supported). Because seq values are globally unique (SURVEY.md
+    §3.2.3), the global min-seq row per key survives any composition of
+    per-batch combining followed by a grouped Min("seq") filter."""
     if t.num_rows == 0:
         return t
-    t = _sorted_by(t, [(key, "ascending"), ("seq", "ascending")])
-    keys = np.asarray(t[key].to_pylist(), dtype=object)
-    return t.filter(pa.array(_run_starts(keys)))
+    if isinstance(keys, str):
+        keys = [keys]
+    t = _sorted_by(t, [(k, "ascending") for k in keys] + [("seq", "ascending")])
+    starts = np.zeros(t.num_rows, bool)
+    starts[0] = True
+    for k in keys:
+        starts |= _run_starts(np.asarray(t[k].to_pylist(), dtype=object))
+    return t.filter(pa.array(starts))
 
 
-def dedup_first_by_seq(ds, key: str = "url_sha1"):
+def dedup_first_by_seq(ds, keys: str | list[str] = "url_sha1", driver_max: int = 5_000_000):
     """D1/D2 — exact global first-by-seq dedup, fully vectorized:
-    per-batch combiner -> grouped Min(seq) (hash aggregate, the only
-    shuffle) -> broadcast min-seq set -> filter. seq uniqueness makes
-    the min-seq set identify winner rows exactly; the shuffle moves only
-    combined rows, and the broadcast is 8 bytes per distinct key
-    (SURVEY.md §2.7)."""
+    per-batch combiner -> min-seq-per-key -> broadcast min-seq set ->
+    filter. seq uniqueness makes the min-seq set identify winner rows
+    exactly; the broadcast is 8 bytes per distinct key (SURVEY.md §2.7).
+
+    The min-seq computation gathers only (keys, seq) columns; when the
+    combined set fits under ``driver_max`` rows it is finalized with one
+    numpy lexsort on the driver (no shuffle at all), otherwise with a
+    grouped Min(seq) hash aggregate over the combined rows."""
     import ray
     from ray.data.aggregate import Min
 
+    key_list = [keys] if isinstance(keys, str) else list(keys)
     combined = ds.map_batches(
-        lambda t: combine_first_by_seq(t, key), batch_format="pyarrow"
+        lambda t: combine_first_by_seq(t, key_list), batch_format="pyarrow"
     )
-    agg = combined.groupby(key).aggregate(Min("seq", alias_name="min_seq"))
-    min_seqs = np.sort(
-        np.concatenate(
-            [b["min_seq"].to_numpy() for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536)]
-            or [np.array([], np.int64)]
+
+    parts, n, small = [], 0, True
+    for b in combined.select_columns(key_list + ["seq"]).iter_batches(
+        batch_format="pyarrow", batch_size=262144
+    ):
+        n += b.num_rows
+        if n > driver_max:
+            small = False
+            break
+        parts.append(b)
+
+    if small:
+        if parts:
+            # pyarrow C++ sort — no Python-object lexsorts on the driver
+            comb = pa.concat_tables(parts).combine_chunks()
+            idx = pc.sort_indices(
+                comb,
+                sort_keys=[(k, "ascending") for k in key_list] + [("seq", "ascending")],
+            )
+            srt = comb.take(idx)
+            n = srt.num_rows
+            starts = np.zeros(n, bool)
+            starts[0] = True
+            for k in key_list:
+                a = srt[k].combine_chunks()
+                starts[1:] |= pc.not_equal(a.slice(1), a.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+            min_seqs = np.sort(srt["seq"].to_numpy()[starts])
+        else:
+            min_seqs = np.array([], np.int64)
+    else:
+        agg = (
+            combined.repartition(16)
+            .groupby(key_list[0] if len(key_list) == 1 else key_list)
+            .aggregate(Min("seq", alias_name="min_seq"))
         )
-    )
+        min_seqs = np.sort(
+            np.concatenate(
+                [b["min_seq"].to_numpy() for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536)]
+                or [np.array([], np.int64)]
+            )
+        )
     ref = ray.put(min_seqs)
 
     def keep_winners(t: pa.Table) -> pa.Table:
         wanted = ray.get(ref)
-        mask = np.isin(t["seq"].to_numpy(), wanted, assume_unique=False)
-        return t.filter(pa.array(mask))
+        s = t["seq"].to_numpy()
+        if len(wanted) == 0:
+            return t.slice(0, 0)
+        idx = np.clip(np.searchsorted(wanted, s), 0, len(wanted) - 1)
+        return t.filter(pa.array(wanted[idx] == s))
 
     return combined.map_batches(keep_winners, batch_format="pyarrow")
 
@@ -269,7 +317,9 @@ class ImageFetcher:
             t["url"].to_pylist(), t["url_sha1"].to_pylist(), t["caption"].to_pylist()
         ):
             try:
-                w, h, fmt, data = pagegen.image_payload(self.cfg.seed, url)
+                w, h, fmt, data = pagegen.image_payload(
+                    self.cfg.seed, url, self.cfg.image_sizes
+                )
                 img = decode(data, fmt)
                 if img.shape != (h, w, 3):
                     raise ValueError("shape mismatch")

@@ -39,6 +39,7 @@ class SeenShard:
         self.capacity = capacity
         self._filters: dict[str, CuckooFilter] = {}
         self._exact: dict[str, set[bytes]] = {}
+        self._delta: dict[str, list[bytes]] = {}  # keys since last checkpoint
 
     def _ns(self, ns: str) -> tuple[CuckooFilter, set]:
         if ns not in self._filters:
@@ -50,6 +51,7 @@ class SeenShard:
         """For each key: True (first sighting, now marked seen) or False
         (already seen). Exact — cuckoo screens, exact store confirms."""
         filt, exact = self._ns(ns)
+        delta = self._delta.setdefault(ns, [])
         out = []
         for k in keys:
             if k in filt and k in exact:  # cuckoo positive -> confirm exactly
@@ -57,6 +59,7 @@ class SeenShard:
             else:
                 filt.add(k)
                 exact.add(k)
+                delta.append(k)
                 out.append(True)
         return out
 
@@ -71,32 +74,40 @@ class SeenShard:
         """Sorted key dump — the auditable T5 form."""
         return sorted(self._exact.get(ns, ()))
 
-    # -- checkpoint (S5): the shard serializes itself to its own file ----
+    # -- checkpoint (S5): INCREMENTAL — each wave's file holds only the
+    # keys admitted since the previous checkpoint, so per-wave IO scales
+    # with new URLs, not total seen-set size; restore replays the delta
+    # chain and rebuilds the cuckoo filter from the exact keys.
     def checkpoint(self, path: str) -> int:
         tmp = path + ".tmp"
+        payload = {ns: (len(ks), b"".join(ks)) for ns, ks in self._delta.items()}
         with open(tmp, "wb") as f:
             pickle.dump(
-                {
-                    "shard_id": self.shard_id,
-                    "capacity": self.capacity,
-                    "filters": {ns: f_.dump() for ns, f_ in self._filters.items()},
-                    "exact": self._exact,
-                },
+                {"shard_id": self.shard_id, "capacity": self.capacity, "delta": payload},
                 f,
                 protocol=pickle.HIGHEST_PROTOCOL,
             )
         os.replace(tmp, path)
+        self._delta = {}
         return sum(len(s) for s in self._exact.values())
 
-    def restore(self, path: str) -> None:
-        with open(path, "rb") as f:
-            st = pickle.load(f)
-        self.shard_id = st["shard_id"]
-        self.capacity = st["capacity"]
-        self._filters = {
-            ns: CuckooFilter.load(b, seed=self.shard_id) for ns, b in st["filters"].items()
-        }
-        self._exact = st["exact"]
+    def restore(self, paths: list[str] | str) -> None:
+        """Replay the delta chain (all sealed checkpoints, in wave
+        order) into fresh state."""
+        if isinstance(paths, str):
+            paths = [paths]
+        self._filters, self._exact, self._delta = {}, {}, {}
+        for path in paths:
+            with open(path, "rb") as f:
+                st = pickle.load(f)
+            self.shard_id = st["shard_id"]
+            self.capacity = st["capacity"]
+            for ns, (n, blob) in st["delta"].items():
+                filt, exact = self._ns(ns)
+                for i in range(n):
+                    k = blob[i * 20 : (i + 1) * 20]
+                    filt.add(k)
+                    exact.add(k)
 
 
 def shard_of(host_hash: int, num_shards: int) -> int:
