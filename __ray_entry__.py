@@ -42,9 +42,20 @@ def _crawl_outputs(sf_dir: str, what: str):
     from lulu_crawler_ray.config import CrawlConfig, seed_urls
     from lulu_crawler_ray.pipelines.crawl import run_crawl
 
+    import os
+
     cfg = CrawlConfig(seed=42, budget=4, max_depth=3, max_urls=500, n_hosts=20, num_shards=4)
-    out = "/tmp/lulu_ray_queries/crawl"
-    run_crawl(seed_urls(cfg, 10), cfg, out)
+    out = "/tmp/lulu_ray_queries/crawl-b4d3"
+    if not os.path.exists(f"{out}/metrics.json"):  # all four crawl_* queries share one run
+        run_crawl(seed_urls(cfg, 10), cfg, out)
+    if what == "host_counts":
+        from lulu_crawler_ray.pipelines.crawl_queries import host_counts
+
+        return host_counts(out, top_k=25)
+    if what == "wave_histogram":
+        from lulu_crawler_ray.pipelines.crawl_queries import wave_histogram
+
+        return wave_histogram(out)
     if what == "ledger":
         t = pads.dataset(f"{out}/ledger", format="parquet").to_table()
         t = t.take(pc.sort_indices(t, sort_keys=[("rank", "ascending")]))
@@ -102,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship crawl outputs (oracle-crawler-verified in pytest)
         "crawl_ledger": lambda sf: _crawl_outputs(sf, "ledger"),
         "crawl_images": lambda sf: _crawl_outputs(sf, "images"),
+        "crawl_host_counts": lambda sf: _crawl_outputs(sf, "host_counts"),
+        "crawl_wave_histogram": lambda sf: _crawl_outputs(sf, "wave_histogram"),
     }
 
 

@@ -33,12 +33,12 @@ def _crawl_bench(out_root: str) -> dict:
     from lulu_crawler_ray.pipelines.crawl import run_crawl
 
     cfg = CrawlConfig(
-        seed=42, budget=32, max_depth=6, max_urls=60_000, n_hosts=2000,
+        seed=42, budget=16, max_depth=4, max_urls=500_000, n_hosts=30_000,
         num_shards=16, fetch_concurrency=8,
     )
     out = os.path.join(out_root, "crawl")
     t0 = time.time()
-    res = run_crawl(seed_urls(cfg, 2000), cfg, out)
+    res = run_crawl(seed_urls(cfg, 30_000), cfg, out)
     wall = time.time() - t0
     urls = res["metrics"]["ranks"]
     imgs = res["metrics"].get("images", 0)
@@ -132,16 +132,34 @@ def run_bench() -> dict:
     return result
 
 
+def _quiesce() -> None:
+    """Flush dirty pages + drop caches so each scaling rep starts from
+    the same IO state (writeback from a previous rep's multi-GB output
+    otherwise bleeds into the next measurement)."""
+    os.system("sync")
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+    except OSError:
+        pass
+
+
 def run_scaling() -> None:
     import subprocess
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(2):  # min-of-2: the right statistic on a noisy box
+            _quiesce()
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     lo, hi = 8, 32
     r_lo, r_hi = one(lo), one(hi)

@@ -82,24 +82,23 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
-# minhash: h_i(x) = (a_i * x + b_i) mod p, vectorized over shingles
-_P = (1 << 61) - 1
-
-
+# minhash: h_i(x) = mix64(x XOR seed_i) — a seeded splitmix64 hash
+# family, fully vectorized in uint64 (the classic (ax+b) mod p family
+# needs 128-bit modular math, which forces Python-object arithmetic)
 def minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _P, num_perm, dtype=np.int64).astype(object)
-    b = rng.integers(0, _P, num_perm, dtype=np.int64).astype(object)
-    return a, b
+    seeds = rng.integers(0, 1 << 63, num_perm).astype(np.uint64)
+    return seeds, seeds  # (kept as a pair for API stability)
 
 
 def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """uint64 signature of len(a); all-max for empty shingle sets."""
+    from .hll import _mix64
+
     if not sh:
         return np.full(len(a), np.iinfo(np.uint64).max, np.uint64)
-    x = np.array(sorted(sh), dtype=object)[:, None]
-    vals = (a[None, :] * x + b[None, :]) % _P
-    return vals.min(axis=0).astype(np.uint64)
+    x = np.fromiter(sh, np.uint64, count=len(sh))
+    return _mix64(x[:, None] ^ a[None, :]).min(axis=0)
 
 
 def simhash64(text: str) -> int:

@@ -245,14 +245,32 @@ def _select_and_rank(frontier, cfg, rank_base, wave):
 
 def _select_distributed(frontier, cfg, rank_base, wave):
     """Fallback for waves whose candidate set exceeds the driver budget:
-    per-host top-B via groupby, global order via a range-partitioned
-    sort, ranks via the block-offset zipWithIndex."""
+    per-host top-B via a SALTED two-stage groupby (M11 — a mega-host's
+    candidates first reduce under (host, salt) across many reducers,
+    then the per-host finalizer sees ≤ B×n_salts rows; exact because
+    top-B of per-salt top-Bs == top-B), global order via a
+    range-partitioned sort, ranks via the block-offset zipWithIndex."""
     budget = cfg.budget
-    cand = frontier.map_batches(
-        lambda t: st.topb_per_host(t, budget), batch_format="pyarrow"
-    ).repartition(cfg.num_partitions)
-    admitted_ds = cand.groupby("host").map_groups(
+    n_salts = cfg.num_partitions
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        salt = (t["seq"].to_numpy() % n_salts).astype(np.int32)
+        return t.append_column("salt", pa.array(salt))
+
+    cand = (
+        frontier.map_batches(
+            lambda t: st.topb_per_host(t, budget), batch_format="pyarrow"
+        )
+        .map_batches(add_salt, batch_format="pyarrow")
+        .repartition(cfg.num_partitions)
+    )
+    pre = cand.groupby(["host", "salt"]).map_groups(
         lambda g: st.topb_per_host(g, budget), batch_format="pyarrow"
+    )
+    admitted_ds = (
+        pre.drop_columns(["salt"])
+        .groupby("host")
+        .map_groups(lambda g: st.topb_per_host(g, budget), batch_format="pyarrow")
     )
     admitted_ds = admitted_ds.sort(["host_hash", "host", "priority", "seq"]).limit(
         cfg.max_urls - rank_base

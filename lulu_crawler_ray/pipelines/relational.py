@@ -127,33 +127,64 @@ def grouped_agg(
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def _min_set_filter(ds, key: str, ucol: str) -> ray.data.Dataset:
+def _min_set_filter(ds, key: str, ucol: str, driver_max: int = 5_000_000) -> ray.data.Dataset:
     """Keep the row with the minimum ``ucol`` per ``key`` group, where
-    ``ucol`` is a caller-built globally-unique integer that orders rows
-    within a group (e.g. orderkey*16+linenumber). Per-batch combiner ->
-    grouped Min (hash-agg; only combined rows shuffle) -> broadcast
-    min-set filter — no per-group Python calls (SURVEY.md §2.7 D1)."""
+    ``ucol`` is a caller-built integer that orders rows within a group
+    (e.g. packed orderkey/linenumber). Per-batch combiner -> min-per-key
+    over the pruned (key, ucol) columns (driver numpy when it fits, a
+    grouped Min shuffle otherwise) -> broadcast min-set filter — no
+    per-group Python calls (SURVEY.md §2.7 D1)."""
 
     def combine(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
         t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending"), (ucol, "ascending")]))
-        k = np.asarray(t[key].to_pylist(), dtype=object)
-        return t.filter(pa.array(np.r_[True, k[1:] != k[:-1]]))
+        k = t[key].combine_chunks()
+        neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.r_[True, neq]))
 
     combined = ds.map_batches(combine, batch_format="pyarrow")
-    agg = combined.groupby(key).aggregate(Min(ucol, alias_name="__min_u"))
-    mins = np.sort(
-        np.concatenate(
-            [b["__min_u"].to_numpy() for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536)]
-            or [np.array([], np.int64)]
+
+    parts, n, small = [], 0, True
+    for b in combined.select_columns([key, ucol]).iter_batches(
+        batch_format="pyarrow", batch_size=262144
+    ):
+        n += b.num_rows
+        if n > driver_max:
+            small = False
+            break
+        parts.append(b)
+    if small:
+        if parts:
+            comb = pa.concat_tables(parts).combine_chunks()
+            idx = pc.sort_indices(
+                comb, sort_keys=[(key, "ascending"), (ucol, "ascending")]
+            )
+            srt = comb.take(idx)
+            k = srt[key].combine_chunks()
+            neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            mins = np.sort(srt[ucol].to_numpy()[np.r_[True, neq]])
+        else:
+            mins = np.array([], np.int64)
+    else:
+        agg = combined.groupby(key).aggregate(Min(ucol, alias_name="__min_u"))
+        mins = np.sort(
+            np.concatenate(
+                [b["__min_u"].to_numpy() for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536)]
+                or [np.array([], np.int64)]
+            )
         )
-    )
     ref = ray.put(mins)
 
     def keep(t: pa.Table) -> pa.Table:
         wanted = ray.get(ref)
-        return t.filter(pa.array(np.isin(t[ucol].to_numpy(), wanted)))
+        u = t[ucol].to_numpy()
+        if len(wanted) == 0:
+            return t.slice(0, 0)
+        idx = np.clip(np.searchsorted(wanted, u), 0, len(wanted) - 1)
+        return t.filter(pa.array(wanted[idx] == u))
 
     return combined.map_batches(keep, batch_format="pyarrow")
 
@@ -320,10 +351,19 @@ def d1_first_by_key(sf: str):
 
     ds = ds.map_batches(pack, batch_format="pyarrow")
     kept = _min_set_filter(ds, "l_orderkey", "__u").drop_columns(["__u"])
-    out = kept.groupby(["l_orderkey", "l_linenumber", "l_partkey"]).aggregate(
-        Count(alias_name="__c")
+    # collapse exact-duplicate winners: the kept set is result-sized
+    # (one-ish row per group), so a driver-side sorted distinct beats a
+    # second cluster shuffle
+    t = pa.concat_tables(
+        list(kept.iter_batches(batch_format="pyarrow", batch_size=262144))
+    ).combine_chunks()
+    idx = pc.sort_indices(
+        t, sort_keys=[("l_orderkey", "ascending"), ("l_linenumber", "ascending"), ("l_partkey", "ascending")]
     )
-    return out.drop_columns(["__c"])
+    t = t.take(idx)
+    k = t["l_orderkey"].combine_chunks()
+    neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(zero_copy_only=False)
+    return t.filter(pa.array(np.r_[True, neq]))
 
 
 def d4_union(sf: str):

@@ -1,0 +1,102 @@
+"""Tests for the S1/S4 readers, the PipelineStep chain, crawl analytics,
+and the distributed (salted) selection / dedup fallback paths."""
+
+import pyarrow as pa
+import pytest
+
+from lulu_crawler_ray.config import CrawlConfig, seed_urls
+from lulu_crawler_ray.functions.robots import allowed
+from lulu_crawler_ray.pipelines.oracle import run_oracle
+from lulu_crawler_ray.sources import robots_table
+from lulu_crawler_ray.sources.seeds import read_seed_list
+
+
+def test_read_seed_list_text(tmp_path):
+    p = tmp_path / "seeds.txt"
+    p.write_text("# comment\nhttp://a.test/\n\nhttp://b.test/x\n")
+    assert read_seed_list(str(p)) == ["http://a.test/", "http://b.test/x"]
+
+
+def test_read_seed_list_parquet(tmp_path):
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "seeds.parquet"
+    pq.write_table(pa.table({"url": ["http://a.test/", "http://b.test/"]}), p)
+    assert read_seed_list(str(p)) == ["http://a.test/", "http://b.test/"]
+
+
+def test_robots_table_roundtrip(tmp_path):
+    t = robots_table.rules_from_bodies(
+        {"a.test": "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"}
+    )
+    path = str(tmp_path / "robots.parquet")
+    robots_table.write_rules(t, path)
+    rules = robots_table.load_rules(path)
+    assert not allowed("/private/x", rules["a.test"])
+    assert allowed("/private/ok/y", rules["a.test"])
+    assert allowed("/anything", rules.get("b.test", []))
+
+
+def test_pipeline_step_chain(ray_session):
+    import pyarrow.compute as pc
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.steps import MapBatchesStep, run_chain
+
+    ds = ray.data.from_arrow(pa.table({"x": list(range(10))}))
+    steps = [
+        MapBatchesStep("double", lambda t: t.set_column(0, "x", pc.multiply(t["x"], 2))),
+        MapBatchesStep("filter", lambda t: t.filter(pc.greater(t["x"], 8))),
+    ]
+    out = run_chain(ds, steps).to_pandas()
+    assert sorted(out["x"]) == [10, 12, 14, 16, 18]
+
+
+def test_pipeline_step_schema_check(ray_session):
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.steps import MapBatchesStep, run_chain
+
+    ds = ray.data.from_arrow(pa.table({"x": [1]}))
+    bad = MapBatchesStep("strict", lambda t: t, schema_in=pa.schema([("y", pa.int64())]))
+    with pytest.raises(Exception):
+        run_chain(ds, [bad]).to_pandas()
+
+
+def test_http_fetcher_is_stub():
+    from lulu_crawler_ray.pipelines.steps import HttpFetcher
+
+    with pytest.raises(NotImplementedError):
+        HttpFetcher()
+
+
+def test_crawl_analytics_and_distributed_fallback(tmp_path, ray_session):
+    """Force the distributed (salted groupby + sort + zipWithIndex)
+    selection and the grouped-Min dedup fallback with zero driver
+    budgets — output must still equal the oracle — then check the
+    G1/G2 analytics over the ledger."""
+    from lulu_crawler_ray.pipelines.crawl import run_crawl
+    from lulu_crawler_ray.pipelines.crawl_queries import host_counts, wave_histogram
+
+    cfg = CrawlConfig(
+        seed=5, budget=3, max_depth=3, max_urls=400, n_hosts=12, num_shards=4,
+        driver_select_max=0, driver_dedup_max=0,
+    )
+    out = str(tmp_path / "crawl")
+    run_crawl(seed_urls(cfg, 8), cfg, out)
+    oracle = run_oracle(seed_urls(cfg, 8), cfg)
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    led = pads.dataset(f"{out}/ledger", format="parquet").to_table()
+    led = led.take(pc.sort_indices(led, sort_keys=[("rank", "ascending")]))
+    assert led["url"].to_pylist() == [r["url"] for r in oracle.ledger]
+    seen = pads.dataset(f"{out}/seen.parquet", format="parquet").to_table()
+    assert seen["url_sha1"].to_pylist() == sorted(oracle.seen)
+
+    hc = host_counts(out)
+    assert hc["n"].to_pylist() == sorted(hc["n"].to_pylist(), reverse=True)
+    assert sum(hc["n"].to_pylist()) == len(oracle.ledger)
+    wh = wave_histogram(out)
+    assert sum(wh["n"].to_pylist()) == len(oracle.ledger)
