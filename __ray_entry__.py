@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m13_date_bucket": rl.m13_date_bucket,
         "w1_window_agg": rl.w1_window_agg,
         "w2_sessionize": rl.w2_sessionize,
+        "w3_asof_join": rl.w3_asof_join,
         # text / training-data ops (documents)
         "t_token_count": to.t_token_count,
         "t_quality": to.t_quality,
@@ -106,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn_bruteforce": an.e_knn_bruteforce,
         "e_lsh_ann": an.e_lsh_ann,
         "e_cosine_neardup": an.e_cosine_neardup,
+        "e_cosine_dedup": an.e_cosine_dedup,
         "e_label_centroids": an.e_label_centroids,
         # image ops (J4/D3, multimodal decode)
         "img_neardup_pairs": im.img_neardup_pairs_query,
@@ -197,6 +199,11 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
             "FROM events) SELECT user_id, CAST(SUM(brk)+1 AS BIGINT) AS n_sessions "
             "FROM g GROUP BY user_id"
+        ),
+        "w3_asof_join": (
+            "SELECT e.event_id, e.user_id, strftime(o.o_orderdate, '%Y-%m-%d') AS ts_order "
+            "FROM events e ASOF LEFT JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "t_token_count": (
             "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE "

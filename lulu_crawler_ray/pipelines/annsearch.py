@@ -198,6 +198,34 @@ def e_cosine_neardup(sf: str, threshold: float = 0.45):
     )
 
 
+def e_cosine_dedup(sf: str, threshold: float = 0.45):
+    """Embedding-cosine near-DEDUP: union-find over the near-dup pairs,
+    keep the min vec_id per cluster — the embedding analog of the
+    MinHash near-dedup (same blocking assumption as e_cosine_neardup)."""
+    pairs = e_cosine_neardup(sf, threshold)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = np.array(sorted(x for x in parent if find(x) != x), np.int64)
+    ref = ray.put(drop)
+    ds = read_table(sf, "embeddings", ["vec_id"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        return t.filter(pa.array(~np.isin(t["vec_id"].to_numpy(), d)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def e_label_centroids(sf: str):
     """Per-label centroid summary via mergeable partials (sum vector +
     count per batch), finalized on the driver: (label, n, centroid_norm)."""

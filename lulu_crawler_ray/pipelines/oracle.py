@@ -141,7 +141,8 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> CrawlResult:
         for idx, r in enumerate(admitted):
             rank = rank_base + idx
             res.ledger.append(
-                dict(rank=rank, url=r.url, url_sha1=r.sha1, wave=wave, host=r.host, seq=r.seq)
+                dict(rank=rank, url=r.url, url_sha1=r.sha1, wave=wave, host=r.host,
+                     seq=r.seq, parent_sha1=r.parent_sha1, depth=r.depth)
             )
             body = pagegen.page_bytes(
                 cfg.seed, r.url, n_hosts=cfg.n_hosts, alpha=cfg.zipf_alpha,

@@ -495,6 +495,48 @@ def w2_sessionize(sf: str):
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
 
 
+def w3_asof_join(sf: str):
+    """As-of join: for each event, the latest order of the same user
+    (user_id = o_custkey) with o_orderdate <= ts. Implemented as the
+    bucketed merge_asof pattern (ray_guide "As-of / range join"): hash
+    the small side into a broadcast per-key sorted index, probe per
+    batch with numpy searchsorted — no shuffle. Output ts_order is the
+    matched order DATE (keys can tie on date; the date itself is
+    deterministic where an arbitrary orderkey would not be)."""
+    orders = read_table(sf, "orders", ["o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders.sort_values(["o_custkey", "o_orderdate"])
+    idx = {
+        int(k): g["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        for k, g in orders.groupby("o_custkey")
+    }
+    ref = ray.put(idx)
+    events = read_table(sf, "events", ["event_id", "user_id", "ts"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        out_date: list = []
+        ts = t["ts"].to_numpy()
+        for uid, ev_ts in zip(t["user_id"].to_numpy(), ts):
+            dates = table.get(int(uid))
+            if dates is None:
+                out_date.append(None)
+                continue
+            i = int(np.searchsorted(dates, ev_ts, side="right")) - 1
+            out_date.append(None if i < 0 else dates[i])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_order": pa.array(
+                    [None if d is None else str(np.datetime_as_string(d, unit="D")) for d in out_date],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return events.map_batches(probe, batch_format="pyarrow")
+
+
 def g4_hll_distinct(sf: str):
     """G4 — HyperLogLog approximate distinct of l_partkey: one sketch
     per batch, merged on the driver (sketches are tiny + mergeable).

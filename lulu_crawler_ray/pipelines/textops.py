@@ -174,32 +174,66 @@ class MinHasher:
         )
 
 
-def minhash_candidate_pairs(docs: ray.data.Dataset, concurrency: int = 2):
+def minhash_candidate_pairs(
+    docs: ray.data.Dataset, concurrency: int = 2, driver_max: int = 5_000_000
+):
     """documents(doc_id, text) -> candidate near-dup pairs (a, b) via
-    MinHash LSH: shingle -> signature -> band rows -> bucket groupby ->
-    in-bucket pairs, deduplicated. The groupby key (band, band_hash) is
-    uniformly distributed — no skew salt needed; mega-buckets are capped
-    defensively (a bucket of n docs yields n-1 chained pairs, not n²,
-    which union-find closes transitively)."""
+    MinHash LSH: shingle -> signature -> band rows -> bucket-group ->
+    chain pairs (a bucket of n docs yields n-1 chained pairs, not n² —
+    union-find closes them transitively). Band rows are tiny (int32,
+    16-char hash, int64), so bucketing is a single vectorized sort:
+    driver-side under ``driver_max`` rows, a bucket groupby above it.
+    The bucket key is uniformly distributed — no skew salt needed."""
     bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=concurrency)
+
+    parts, n, small = [], 0, True
+    for b in bands.iter_batches(batch_format="pyarrow", batch_size=262144):
+        n += b.num_rows
+        if n > driver_max:
+            small = False
+            break
+        parts.append(b)
+    if small:
+        if not parts:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        t = pa.concat_tables(parts).combine_chunks()
+        idx = pc.sort_indices(
+            t, sort_keys=[("band", "ascending"), ("band_hash", "ascending"), ("doc_id", "ascending")]
+        )
+        srt = t.take(idx)
+        bh = srt["band_hash"].combine_chunks()
+        nn = len(bh)
+        new_bucket = np.r_[
+            True,
+            pc.not_equal(bh.slice(1), bh.slice(0, nn - 1)).to_numpy(zero_copy_only=False)
+            | (np.diff(srt["band"].to_numpy()) != 0),
+        ]
+        ids = srt["doc_id"].to_numpy()
+        # chain pair (ids[i-1], ids[i]) wherever row i continues a bucket
+        cont = ~new_bucket
+        return pd.DataFrame({"a": ids[np.flatnonzero(cont) - 1], "b": ids[cont]})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        # chain pairs: enough for connected components, linear not n²
         return pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
 
-    return bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    return (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 def t_minhash_pairs(sf: str):
     docs = read_table(sf, "documents", ["doc_id", "text"])
     cand = minhash_candidate_pairs(docs)
     # dedup identical pairs from different bands (tiny result)
-    t = pa.Table.from_pandas(cand.to_pandas().drop_duplicates().sort_values(["a", "b"]),
-                             preserve_index=False)
-    return t
+    return pa.Table.from_pandas(
+        cand.drop_duplicates().sort_values(["a", "b"]), preserve_index=False
+    )
 
 
 def near_dedup_minhash(docs: ray.data.Dataset, threshold: float = 0.7):
@@ -207,7 +241,7 @@ def near_dedup_minhash(docs: ray.data.Dataset, threshold: float = 0.7):
     connected components (union-find on the driver over the verified
     pair set, which is small relative to the corpus) -> keep min doc_id
     per cluster. Returns (kept_doc_ids table, clusters dict)."""
-    cand_pd = minhash_candidate_pairs(docs).to_pandas().drop_duplicates()
+    cand_pd = minhash_candidate_pairs(docs).drop_duplicates()
     ids = sorted(set(cand_pd["a"]) | set(cand_pd["b"])) if len(cand_pd) else []
     shingle_map = {}
     if ids:

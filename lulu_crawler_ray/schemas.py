@@ -65,7 +65,10 @@ IMAGE_TABLE = pa.schema(
     ]
 )
 
-# T4 — crawl-order ledger (compared byte-for-byte vs the oracle)
+# T4 — crawl-order ledger (compared byte-for-byte vs the oracle).
+# parent_sha1/depth are the durable per-rank fetch lineage
+# (BASELINE.json:6 "fetch lineage"): every fetched URL records which
+# page discovered it.
 LEDGER = pa.schema(
     [
         ("rank", pa.int64()),
@@ -74,6 +77,8 @@ LEDGER = pa.schema(
         ("wave", pa.int32()),
         ("host", pa.string()),
         ("seq", pa.int64()),
+        ("parent_sha1", pa.binary(20)),
+        ("depth", pa.int32()),
     ]
 )
 

@@ -41,7 +41,7 @@ def _assert_equal(ledger, seen, images, oracle, cfg):
     # T4: crawl order byte-equal
     o_ledger = oracle.ledger
     assert ledger.num_rows == len(o_ledger)
-    for col in ("rank", "url", "url_sha1", "wave", "host", "seq"):
+    for col in ("rank", "url", "url_sha1", "wave", "host", "seq", "parent_sha1", "depth"):
         got = ledger[col].to_pylist()
         want = [r[col] for r in o_ledger]
         assert got == want, f"ledger col {col} differs"
