@@ -123,22 +123,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "g1_groupby_count": (
-            "SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity),4) AS sum_qty "
+            "SELECT l_returnflag, COUNT(*) AS n, CAST(ROUND(SUM(l_quantity)*100,0) AS BIGINT) AS sum_qty "
             "FROM lineitem GROUP BY l_returnflag"
         ),
         "g3_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "g5_grouped_stats": (
-            "SELECT l_returnflag, ROUND(MIN(l_extendedprice),4) AS min_price, "
-            "ROUND(MAX(l_extendedprice),4) AS max_price, "
-            "ROUND(AVG(l_extendedprice),4) AS avg_price, "
-            "ROUND(STDDEV(l_extendedprice),4) AS std_price "
+            "SELECT l_returnflag, CAST(ROUND(MIN(l_extendedprice)*100,0) AS BIGINT) AS min_price, "
+            "CAST(ROUND(MAX(l_extendedprice)*100,0) AS BIGINT) AS max_price, "
+            "CAST(ROUND(AVG(l_extendedprice)*100,0) AS BIGINT) AS avg_price, "
+            "CAST(ROUND(STDDEV(l_extendedprice)*100,0) AS BIGINT) AS std_price "
             "FROM lineitem GROUP BY l_returnflag"
         ),
         "q1_pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),4) AS sum_qty, "
-            "ROUND(SUM(l_extendedprice),4) AS sum_base_price, "
-            "ROUND(SUM(l_extendedprice*(1-l_discount)),4) AS sum_revenue, "
-            "ROUND(AVG(l_quantity),4) AS avg_qty, ROUND(AVG(l_extendedprice),4) AS avg_price, "
+            "SELECT l_returnflag, l_linestatus, CAST(ROUND(SUM(l_quantity)*100,0) AS BIGINT) AS sum_qty, "
+            "CAST(ROUND(SUM(l_extendedprice)*100,0) AS BIGINT) AS sum_base_price, "
+            "CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*100,0) AS BIGINT) AS sum_revenue, "
+            "CAST(ROUND(AVG(l_quantity)*100,0) AS BIGINT) AS avg_qty, CAST(ROUND(AVG(l_extendedprice)*100,0) AS BIGINT) AS avg_price, "
             "COUNT(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
@@ -147,7 +147,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"
         ),
         "j2_inner_join": (
-            "SELECT o_orderkey, c_name, c_mktsegment, ROUND(o_totalprice,4) AS o_totalprice "
+            "SELECT o_orderkey, c_name, c_mktsegment, CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS totalprice_c "
             "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "j3_broadcast_lookup": (
@@ -155,11 +155,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1"
         ),
         "o2_topk": (
-            "SELECT c_custkey, c_name, ROUND(c_acctbal,4) AS c_acctbal FROM customer "
+            "SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS acctbal_c FROM customer "
             "ORDER BY c_acctbal DESC, c_custkey LIMIT 10"
         ),
         "o4_hash_sample": (
-            "SELECT l_orderkey, l_partkey, ROUND(l_quantity,4) AS l_quantity "
+            "SELECT l_orderkey, l_partkey, CAST(ROUND(l_quantity*100,0) AS BIGINT) AS quantity_c "
             "FROM lineitem WHERE l_orderkey % 100 = 0"
         ),
         "d1_first_by_key": (
@@ -177,7 +177,7 @@ def oracle_sql() -> dict[str, str]:
             "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O'"
         ),
         "m6_filter_project": (
-            "SELECT l_orderkey, ROUND(l_extendedprice*(1-l_discount),4) AS revenue "
+            "SELECT l_orderkey, CAST(ROUND(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT) AS revenue_e4 "
             "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1997-01-01'"
         ),
@@ -192,7 +192,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "w1_window_agg": (
             "SELECT user_id, strftime(ts, '%Y-%m-%d %H:00:00') AS hour, COUNT(*) AS n, "
-            "ROUND(SUM(value),4) AS sum_value FROM events GROUP BY 1,2"
+            "CAST(ROUND(SUM(value)*100,0) AS BIGINT) AS sum_value FROM events GROUP BY 1,2"
         ),
         "w2_sessionize": (
             "WITH g AS (SELECT user_id, CASE WHEN ts - LAG(ts) OVER "

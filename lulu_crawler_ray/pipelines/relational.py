@@ -5,9 +5,12 @@ column-pruned parquet reads, vectorized Arrow batch kernels, partial
 (combiner) aggregation before the grouped shuffle, broadcast small
 sides instead of shuffle joins.
 
-Float outputs are rounded to 4 decimals on BOTH sides (Ray and the
-oracle SQL) so order-of-summation last-bit drift can't fail the
-value-hash compare.
+Float outputs are emitted as INTEGER centi-units on BOTH sides (Ray:
+rint(x*100); SQL: CAST(ROUND(x*100,0) AS BIGINT)) — cross-engine float
+hashing is ill-defined at the last double ulp, and ROUND() modes differ
+between engines at exact decimal ties. Exactly-representable rationals
+(e.g. 4-decimal per-row revenue) scale by 10^4 instead, landing within
+1 ulp of an integer on both engines.
 """
 
 from __future__ import annotations
@@ -42,7 +45,8 @@ def grouped_agg(
 ) -> ray.data.Dataset:
     """specs: (out_name, kind, col) with kind in sum|count|min|max|mean|std.
     count ignores col (row count). std is sample std (ddof=1), matching
-    DuckDB's stddev."""
+    DuckDB's stddev. Float outputs are emitted as integer centi-units
+    (CAST(ROUND(x*100) AS BIGINT) on the SQL side) — see finalize."""
     for _, kind, _ in specs:
         if kind not in _KINDS:
             raise ValueError(kind)
@@ -120,7 +124,11 @@ def grouped_agg(
             if round_to is not None and pa.types.is_floating(
                 col.type if isinstance(col, pa.Array) else col.type
             ):
-                col = pc.round(col, ndigits=round_to)
+                # integer centi-units: ROUND(x, n) is engine-dependent at
+                # the last double ulp, so cross-engine float hashing is
+                # ill-defined; CAST(ROUND(x*100)) is stable on both sides
+                v = col.to_numpy(zero_copy_only=False) if not isinstance(col, np.ndarray) else col
+                col = pa.array(np.rint(np.asarray(v, np.float64) * 100).astype(np.int64))
             out[name] = col
         return pa.table(out)
 
@@ -189,12 +197,15 @@ def _min_set_filter(ds, key: str, ucol: str, driver_max: int = 5_000_000) -> ray
     return combined.map_batches(keep, batch_format="pyarrow")
 
 
-def _round_cols(ds, cols: dict[str, int]):
+def _cents_cols(ds, cols: dict[str, str]):
+    """Replace float columns with integer centi-unit columns (renamed);
+    cols maps old float column -> new integer column name."""
+
     def f(t: pa.Table) -> pa.Table:
-        for c, nd in cols.items():
-            t = t.set_column(
-                t.schema.get_field_index(c), c, pc.round(pc.cast(t[c], pa.float64()), ndigits=nd)
-            )
+        for old, new in cols.items():
+            v = np.rint(t[old].to_numpy(zero_copy_only=False).astype(np.float64) * 100)
+            i = t.schema.get_field_index(old)
+            t = t.remove_column(i).append_column(new, pa.array(v.astype(np.int64)))
         return t
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -269,7 +280,7 @@ def j2_inner_join(sf: str):
         cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
     )
     j = j.select_columns(["o_orderkey", "c_name", "c_mktsegment", "o_totalprice"])
-    return _round_cols(j, {"o_totalprice": 4})
+    return _cents_cols(j, {"o_totalprice": "totalprice_c"})
 
 
 def j1_anti_join(sf: str):
@@ -315,7 +326,7 @@ def j3_broadcast_lookup(sf: str):
 def o2_topk(sf: str):
     ds = read_table(sf, "customer", ["c_custkey", "c_name", "c_acctbal"])
     top = ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)
-    return _round_cols(top, {"c_acctbal": 4})
+    return _cents_cols(top, {"c_acctbal": "acctbal_c"})
 
 
 def o4_hash_sample(sf: str):
@@ -326,7 +337,7 @@ def o4_hash_sample(sf: str):
         lambda t: t.filter(pa.array(t["l_orderkey"].to_numpy() % 100 == 0)),
         batch_format="pyarrow",
     )
-    return _round_cols(out, {"l_quantity": 4})
+    return _cents_cols(out, {"l_quantity": "quantity_c"})
 
 
 def d1_first_by_key(sf: str):
@@ -412,11 +423,14 @@ def m6_filter_project(sf: str):
     def f(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
         t = t.filter(m)
-        rev = pc.round(
-            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
-            ndigits=4,
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # x10^4: the product of two 2-decimal values is a 4-decimal
+        # rational, so revenue*10^4 sits within 1 ulp of an integer on
+        # both engines (x100 would land exactly on .5 ties ~1% of rows)
+        rev_e4 = np.rint(rev.to_numpy(zero_copy_only=False).astype(np.float64) * 10000)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "revenue_e4": pa.array(rev_e4.astype(np.int64))}
         )
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
