@@ -122,9 +122,14 @@ def run_crawl(
             shutil.rmtree(out_dir)
         os.makedirs(out_dir)
         frontier0 = _admit_table(st.seeds_to_frontier(seeds, cfg), cfg, shards, metrics)
-        _write_ckpt(out_dir, 0, frontier0, shards, metrics, rank_base=0)
+        _write_ckpt(out_dir, 0, frontier0, shards, metrics, rank_base=0)()  # seal now
         wave, rank_base = 0, 0
 
+    # seals are ordered: manifest for enter_wave=w+1 is written only
+    # after wave w's (possibly still-running) image sink finishes, so a
+    # crash mid-overlap resumes at the unsealed wave and rewrites its
+    # outputs — while wave w+1's COMPUTE overlaps wave w's sink.
+    prev_seal = None
     while True:
         fdir = os.path.join(_ckpt_dir(out_dir, wave), "frontier")
         n_frontier = _frontier_count(fdir)
@@ -135,8 +140,13 @@ def run_crawl(
             d = _wave_dir(out_dir, kind, wave)
             if os.path.exists(d):
                 shutil.rmtree(d)
-        rank_base = _run_wave(out_dir, wave, rank_base, cfg, shards, metrics)
+        rank_base, seal = _run_wave(out_dir, wave, rank_base, cfg, shards, metrics)
+        if prev_seal is not None:
+            prev_seal()
+        prev_seal = seal
         wave += 1
+    if prev_seal is not None:
+        prev_seal()
 
     # finalize: T5 seen dump (sorted url_sha1 across shards — shard ranges
     # are ordered by host_hash, but T5 is sorted by sha1, so merge-sort)
@@ -159,6 +169,38 @@ def run_crawl(
 _TRACE = bool(os.environ.get("LULU_TRACE"))
 
 
+@ray.remote(num_cpus=2)
+def _finalize_selection(budget: int, max_take: int, rank_base: int, *blocks):
+    """Exact per-host top-B + §3.2.4 total order + rank assignment over
+    the politeness-bounded candidate columns. Returns (n_admitted,
+    (adm_seq_sorted, ranks_aligned)) — the second value stays in the
+    object store and is broadcast to the attach/drop filters."""
+    if not blocks:
+        return 0, (np.array([], np.int64), np.array([], np.int64))
+    cand = pa.concat_tables(blocks).combine_chunks()
+    idx = pc.sort_indices(
+        cand,
+        sort_keys=[
+            ("host_hash", "ascending"), ("host", "ascending"),
+            ("priority", "ascending"), ("seq", "ascending"),
+        ],
+    )
+    srt = cand.take(idx)
+    host_a = srt["host"].combine_chunks()
+    n = len(host_a)
+    neq = pc.not_equal(host_a.slice(1), host_a.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    starts = np.r_[True, neq]
+    gid = np.cumsum(starts) - 1
+    pos = np.arange(n) - np.flatnonzero(starts)[gid]
+    keep = np.flatnonzero(pos < budget)[:max_take]
+    adm_seq = srt["seq"].to_numpy()[keep]  # in global rank order
+    ranks = np.arange(rank_base, rank_base + len(adm_seq), dtype=np.int64)
+    by_seq = np.argsort(adm_seq)
+    return len(adm_seq), (adm_seq[by_seq], ranks[by_seq])
+
+
 def _select_and_rank(frontier, cfg, rank_base, wave):
     """Politeness selection + deterministic global rank assignment.
 
@@ -169,51 +211,25 @@ def _select_and_rank(frontier, cfg, rank_base, wave):
     (host_hash, host, priority, seq) truncated to max_urls - rank_base.
     """
     budget = cfg.budget
-    cand_cols = frontier.map_batches(
-        lambda t: st.topb_per_host(t, budget), batch_format="pyarrow"
-    ).select_columns(["host_hash", "host", "priority", "seq"])
-
-    # gather pruned candidate columns driver-side, bailing out if the
-    # wave is too large for the fast path
-    parts: list = []
-    n_cand, small = 0, True
-    for b in cand_cols.iter_batches(batch_format="pyarrow", batch_size=262144):
-        n_cand += b.num_rows
-        if n_cand > cfg.driver_select_max:
-            small = False
-            break
-        parts.append(b)
-    if not small:
+    cand_cols = (
+        frontier.map_batches(lambda t: st.topb_per_host(t, budget), batch_format="pyarrow")
+        .select_columns(["host_hash", "host", "priority", "seq"])
+        .materialize()
+    )
+    blocks = cand_cols.to_arrow_refs()
+    counts = ray.get([_count_rows.remote(r) for r in blocks])
+    blocks = [r for r, c in zip(blocks, counts) if c > 0]  # empty blocks lose schema
+    n_cand = sum(counts)
+    if n_cand > cfg.driver_select_max:
         return _select_distributed(frontier, cfg, rank_base, wave)
 
-    # finalize with pyarrow's multi-threaded C++ sort (object-array
-    # lexsorts were the driver bottleneck at 10^5-row waves)
-    if parts:
-        cand = pa.concat_tables(parts).combine_chunks()
-        idx = pc.sort_indices(
-            cand,
-            sort_keys=[  # the §3.2.4 total order
-                ("host_hash", "ascending"), ("host", "ascending"),
-                ("priority", "ascending"), ("seq", "ascending"),
-            ],
-        )
-        srt = cand.take(idx)
-        host_a = srt["host"].combine_chunks()
-        n = len(host_a)
-        neq = pc.not_equal(host_a.slice(1), host_a.slice(0, n - 1)).to_numpy(
-            zero_copy_only=False
-        )
-        starts = np.r_[True, neq]
-        gid = np.cumsum(starts) - 1
-        pos = np.arange(n) - np.flatnonzero(starts)[gid]
-        keep = np.flatnonzero(pos < budget)[: cfg.max_urls - rank_base]
-        adm_seq = srt["seq"].to_numpy()[keep]  # in global rank order
-    else:
-        adm_seq = np.array([], np.int64)
-    n_admitted = len(adm_seq)
-    ranks = np.arange(rank_base, rank_base + n_admitted, dtype=np.int64)
-    by_seq = np.argsort(adm_seq)
-    ref = ray.put((adm_seq[by_seq], ranks[by_seq]))
+    # finalize in ONE remote task (pyarrow C++ multi-threaded sort over
+    # the pruned candidate columns — rows never touch the driver; the
+    # broadcast stays in the object store end-to-end)
+    n_ref, ref = _finalize_selection.options(num_returns=2).remote(
+        budget, cfg.max_urls - rank_base, rank_base, *blocks
+    )
+    n_admitted = ray.get(n_ref)
 
     def attach_rank(t: pa.Table) -> pa.Table:
         aseq, arank = ray.get(ref)
@@ -326,8 +342,8 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
     if n_admitted == 0:
         # politeness cannot defer forever (every host admits ≥min(B,pending))
         # so an empty admission means an empty frontier — seal and stop.
-        _write_ckpt(out_dir, wave + 1, None, shards, metrics, rank_base=rank_base)
-        return rank_base
+        seal = _write_ckpt(out_dir, wave + 1, None, shards, metrics, rank_base=rank_base)
+        return rank_base, seal
 
     # T4 ledger for this wave (rank-contiguous, one dir per wave) —
     # written from a driver thread so it overlaps the fetch pipeline
@@ -359,24 +375,25 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
     deduped = st.dedup_first_by_seq(refs, ["kind", "url_sha1"], driver_max=cfg.driver_dedup_max)
     _mark("wave_dedup")
 
-    # ── image branch: global image-seen admit -> fetch/decode/phash ->
-    # T3 wave dir
+    # ── image branch: global image-seen admit MATERIALIZES first (the
+    # admitted refs are small, and the seen-set mutation must complete
+    # before this wave's shard-delta checkpoint); the heavy sink
+    # (payload fetch/decode/phash + parquet write) then runs from a
+    # driver thread and is allowed to overlap the NEXT wave's compute —
+    # its join gates only the wave's manifest seal.
     images = deduped.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
     )
-    images = images.map_batches(
+    admitted_imgs = images.map_batches(
         st.DedupClient(shards, cfg.num_shards, "img"),
         batch_size=cfg.dedup_batch_size,
         batch_format="pyarrow",
-    )
-    t3 = images.map_batches(
+    ).materialize()
+    t3 = admitted_imgs.map_batches(
         st.ImageFetcher(cfg, metrics),
         batch_size=cfg.image_batch_size,
         batch_format="pyarrow",
     )
-    # the image sink is the wave's heaviest execution; run it from a
-    # driver thread so it overlaps the link branch + frontier write
-    # (independent outputs — both must finish before the wave seals)
     images_t = _bg(lambda: write_images(t3, _wave_dir(out_dir, "waves", wave)))
     _mark("images")
 
@@ -392,17 +409,19 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
     new_frontier = links.map_batches(st.refs_to_frontier, batch_format="pyarrow")
     _mark("links_built")
 
-    # ── F_{w+1} = deferred ∪ new; checkpoint + seal. The seal (shard
-    # delta dumps + manifest) must see the image branch's seen-set
-    # admits, so both background writes join before it.
+    # ── F_{w+1} = deferred ∪ new; write checkpoint DATA (frontier +
+    # shard deltas — all seen-set admits for this wave are complete by
+    # now). The returned seal joins the background image/ledger writes
+    # and only then writes the manifest; the caller invokes it after
+    # the next wave's compute, giving cross-wave sink overlap.
     nxt = deferred.union(new_frontier)
-    _write_ckpt(
+    seal = _write_ckpt(
         out_dir, wave + 1, nxt, shards, metrics,
         rank_base=rank_base + n_admitted,
         pre_seal=lambda: (images_t(), ledger_t()),
     )
     _mark("frontier_ckpt")
-    return rank_base + n_admitted
+    return rank_base + n_admitted, seal
 
 
 def _bg(fn):
@@ -429,7 +448,9 @@ def _bg(fn):
     return join
 
 
-def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base, pre_seal=None) -> None:
+def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base, pre_seal=None):
+    """Write checkpoint DATA (frontier + shard deltas) and return the
+    seal closure (join background sinks, then write manifest)."""
     _t0 = time.time()
     cdir = _ckpt_dir(out_dir, enter_wave)
     if os.path.exists(cdir):
@@ -449,11 +470,10 @@ def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base, pr
     if _TRACE:
         print(f"  [ckpt {enter_wave}] frontier write ({n_frontier} rows): {time.time()-_t0:.2f}s", flush=True)
     _t1 = time.time()
-    if pre_seal is not None:
-        pre_seal()  # join concurrent wave outputs before sealing
-    if _TRACE:
-        print(f"  [ckpt {enter_wave}] pre-seal join: {time.time()-_t1:.2f}s", flush=True)
-        _t1 = time.time()
+    # shard deltas: every seen-set admit of the finished wave is done by
+    # now (link admits run inside the frontier write above, image admits
+    # in the pre-write materialize); the still-running image SINK does
+    # no admits, so it only gates the manifest, not the data.
     sdir = os.path.join(cdir, "shards")
     os.makedirs(sdir, exist_ok=True)
     ray.get(
@@ -471,10 +491,19 @@ def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base, pr
         "n_frontier": n_frontier,
         "metrics": snap,
     }
-    tmp = os.path.join(cdir, "manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(cdir, "manifest.json"))  # seal
+
+    def seal():
+        _ts = time.time()
+        if pre_seal is not None:
+            pre_seal()  # join the wave's background sinks
+        tmp = os.path.join(cdir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(cdir, "manifest.json"))
+        if _TRACE:
+            print(f"  [ckpt {enter_wave}] seal (join+manifest): {time.time()-_ts:.2f}s", flush=True)
+
+    return seal
 
 
 def _restore(out_dir, shards, metrics) -> tuple[int, int]:

@@ -74,6 +74,28 @@ def combine_first_by_seq(t: pa.Table, keys: str | list[str] = "url_sha1") -> pa.
     return t.filter(pa.array(starts))
 
 
+_REMOTE_FNS = None  # lazy ray.remote registration (module stays Ray-import-free at import time for kernels reuse)
+
+
+def _minseq_finalize_impl(key_list, *blocks):
+    if not blocks:
+        return np.array([], np.int64)
+    comb = pa.concat_tables(blocks).combine_chunks()
+    idx = pc.sort_indices(
+        comb, sort_keys=[(k, "ascending") for k in key_list] + [("seq", "ascending")]
+    )
+    srt = comb.take(idx)
+    n = srt.num_rows
+    starts = np.zeros(n, bool)
+    starts[0] = True
+    for k in key_list:
+        a = srt[k].combine_chunks()
+        starts[1:] |= pc.not_equal(a.slice(1), a.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    return np.sort(srt["seq"].to_numpy()[starts])
+
+
 def dedup_first_by_seq(ds, keys: str | list[str] = "url_sha1", driver_max: int = 5_000_000):
     """D1/D2 — exact global first-by-seq dedup, fully vectorized:
     per-batch combiner -> min-seq-per-key -> broadcast min-seq set ->
@@ -92,36 +114,23 @@ def dedup_first_by_seq(ds, keys: str | list[str] = "url_sha1", driver_max: int =
         lambda t: combine_first_by_seq(t, key_list), batch_format="pyarrow"
     )
 
-    parts, n, small = [], 0, True
-    for b in combined.select_columns(key_list + ["seq"]).iter_batches(
-        batch_format="pyarrow", batch_size=262144
-    ):
-        n += b.num_rows
-        if n > driver_max:
-            small = False
-            break
-        parts.append(b)
+    blocks = combined.select_columns(key_list + ["seq"]).materialize().to_arrow_refs()
 
-    if small:
-        if parts:
-            # pyarrow C++ sort — no Python-object lexsorts on the driver
-            comb = pa.concat_tables(parts).combine_chunks()
-            idx = pc.sort_indices(
-                comb,
-                sort_keys=[(k, "ascending") for k in key_list] + [("seq", "ascending")],
-            )
-            srt = comb.take(idx)
-            n = srt.num_rows
-            starts = np.zeros(n, bool)
-            starts[0] = True
-            for k in key_list:
-                a = srt[k].combine_chunks()
-                starts[1:] |= pc.not_equal(a.slice(1), a.slice(0, n - 1)).to_numpy(
-                    zero_copy_only=False
-                )
-            min_seqs = np.sort(srt["seq"].to_numpy()[starts])
-        else:
-            min_seqs = np.array([], np.int64)
+    global _REMOTE_FNS
+    if _REMOTE_FNS is None:
+        _REMOTE_FNS = (
+            ray.remote(lambda t: t.num_rows),
+            ray.remote(num_cpus=2)(_minseq_finalize_impl),
+        )
+    _nrows, _minseq_finalize = _REMOTE_FNS
+
+    counts = ray.get([_nrows.remote(r) for r in blocks])
+    blocks = [r for r, c in zip(blocks, counts) if c > 0]  # empty blocks lose schema
+    n = sum(counts)
+    if n <= driver_max:
+        # finalize in one remote task: pyarrow C++ sort over the pruned
+        # (keys, seq) columns; the min-seq set never touches the driver
+        ref = _minseq_finalize.remote(key_list, *blocks)
     else:
         agg = (
             combined.repartition(16)
@@ -134,7 +143,7 @@ def dedup_first_by_seq(ds, keys: str | list[str] = "url_sha1", driver_max: int =
                 or [np.array([], np.int64)]
             )
         )
-    ref = ray.put(min_seqs)
+        ref = ray.put(min_seqs)
 
     def keep_winners(t: pa.Table) -> pa.Table:
         wanted = ray.get(ref)
