@@ -169,7 +169,7 @@ def run_crawl(
 _TRACE = bool(os.environ.get("LULU_TRACE"))
 
 
-@ray.remote(num_cpus=2)
+@ray.remote(num_cpus=1)  # 1 CPU: must be schedulable even on tiny clusters (shards reserve 0.25 each)
 def _finalize_selection(budget: int, max_take: int, rank_base: int, *blocks):
     """Exact per-host top-B + §3.2.4 total order + rank assignment over
     the politeness-bounded candidate columns. Returns (n_admitted,

@@ -120,7 +120,7 @@ def dedup_first_by_seq(ds, keys: str | list[str] = "url_sha1", driver_max: int =
     if _REMOTE_FNS is None:
         _REMOTE_FNS = (
             ray.remote(lambda t: t.num_rows),
-            ray.remote(num_cpus=2)(_minseq_finalize_impl),
+            ray.remote(num_cpus=1)(_minseq_finalize_impl),
         )
     _nrows, _minseq_finalize = _REMOTE_FNS
 

@@ -1,0 +1,45 @@
+"""SURVEY.md §5.2.5 — the same crawl at num_cpus=2 and num_cpus=8 in
+FRESH processes must produce identical T4/T5 hashes (the determinism
+leg of the N-vs-4N scaling evidence; BASELINE.json:6)."""
+
+import hashlib
+import subprocess
+import sys
+import textwrap
+
+
+def _run(ncpu: int, out: str) -> str:
+    code = textwrap.dedent(f"""
+        import hashlib, ray
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        ray.init(address="local", num_cpus={ncpu}, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from lulu_crawler_ray.config import CrawlConfig, seed_urls
+        from lulu_crawler_ray.pipelines.crawl import run_crawl
+        cfg = CrawlConfig(seed=21, budget=4, max_depth=3, max_urls=800,
+                          n_hosts=15, num_shards=4)
+        run_crawl(seed_urls(cfg, 8), cfg, {out!r})
+        led = pads.dataset({out!r} + "/ledger", format="parquet").to_table()
+        led = led.take(pc.sort_indices(led, sort_keys=[("rank", "ascending")]))
+        seen = pads.dataset({out!r} + "/seen.parquet", format="parquet").to_table()
+        h = hashlib.sha256()
+        h.update("".join(led["url"].to_pylist()).encode())
+        for k in seen["url_sha1"].to_pylist():
+            h.update(k)
+        print("HASH", h.hexdigest())
+        ray.shutdown()
+    """)
+    out_text = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True,
+        timeout=300,
+    ).stdout
+    return [l for l in out_text.splitlines() if l.startswith("HASH")][0]
+
+
+def test_identical_output_across_parallelism(tmp_path):
+    h2 = _run(2, str(tmp_path / "c2"))
+    h8 = _run(8, str(tmp_path / "c8"))
+    assert h2 == h8
