@@ -22,6 +22,22 @@ import numpy as np
 
 _MAX_KICKS = 500
 
+_FP_HASH_TABLE: np.ndarray | None = None
+
+
+def _fp_hash_table() -> np.ndarray:
+    """uint64 sha1-prefix for every 16-bit fingerprint — precomputed
+    once per process so the alt-index computation vectorizes."""
+    global _FP_HASH_TABLE
+    if _FP_HASH_TABLE is None:
+        t = np.empty(1 << 16, np.uint64)
+        for fp in range(1 << 16):
+            t[fp] = int.from_bytes(
+                hashlib.sha1(fp.to_bytes(2, "big")).digest()[:8], "big"
+            )
+        _FP_HASH_TABLE = t
+    return _FP_HASH_TABLE
+
 
 class CuckooFilter:
     """4-way, 16-bit-fingerprint cuckoo filter over 20-byte keys."""
@@ -79,6 +95,32 @@ class CuckooFilter:
 
     def contains_many(self, keys: list[bytes]) -> np.ndarray:
         return np.fromiter((k in self for k in keys), bool, count=len(keys))
+
+    # -- vectorized lookup (the A1 admit hot path at 10^10 scale) --------
+    def _fp_i1_many(self, keys: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized (fingerprint, primary index) — bit-identical to
+        _fp_and_index for 20-byte keys."""
+        arr = np.frombuffer(b"".join(keys), np.uint8).reshape(-1, 20)
+        fp = (arr[:, 0].astype(np.uint16) << np.uint16(8)) | arr[:, 1]
+        fp[fp == 0] = 1
+        i1 = np.zeros(len(keys), np.uint64)
+        for b in range(2, 10):
+            i1 = (i1 << np.uint64(8)) | arr[:, b].astype(np.uint64)
+        return fp, (i1 % np.uint64(self.nbuckets)).astype(np.int64)
+
+    def contains_many_np(self, keys: list[bytes]) -> np.ndarray:
+        """Vectorized membership over 20-byte keys: two fancy-indexed
+        bucket gathers instead of per-key sha1 calls."""
+        if not keys:
+            return np.zeros(0, bool)
+        fp, i1 = self._fp_i1_many(keys)
+        i2 = (
+            (i1.astype(np.uint64) ^ _fp_hash_table()[fp.astype(np.intp)])
+            % np.uint64(self.nbuckets)
+        ).astype(np.int64)
+        m1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        m2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return m1 | m2
 
     # -- checkpoint ------------------------------------------------------
     def dump(self) -> bytes:

@@ -49,12 +49,15 @@ class SeenShard:
 
     def admit(self, ns: str, keys: list[bytes]) -> list[bool]:
         """For each key: True (first sighting, now marked seen) or False
-        (already seen). Exact — cuckoo screens, exact store confirms."""
+        (already seen). Exact — a VECTORIZED cuckoo screen resolves the
+        (typical) definitely-new majority in one pass; only
+        filter-positive keys touch the exact store."""
         filt, exact = self._ns(ns)
         delta = self._delta.setdefault(ns, [])
+        maybe = filt.contains_many_np(keys)
         out = []
-        for k in keys:
-            if k in filt and k in exact:  # cuckoo positive -> confirm exactly
+        for k, m in zip(keys, maybe):
+            if m and k in exact:  # cuckoo positive -> confirm exactly
                 out.append(False)
             else:
                 filt.add(k)

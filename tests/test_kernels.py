@@ -158,3 +158,13 @@ def test_zipf_skew():
     # host 0 must receive noticeably more link mass than host 25
     hits = [pagegen.zipf_host(50, 1.1, v) for v in range(0, 65536, 13)]
     assert hits.count(0) > hits.count(25) > 0 or hits.count(0) > 50
+
+
+def test_cuckoo_vectorized_lookup_matches_scalar():
+    f = CuckooFilter(5000, seed=3)
+    keys = [hashlib.sha1(str(i).encode()).digest() for i in range(3000)]
+    for k in keys[:1500]:
+        f.add(k)
+    vec = f.contains_many_np(keys)
+    assert (vec == np.array([k in f for k in keys])).all()
+    assert f.contains_many_np([]).shape == (0,)
