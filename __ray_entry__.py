@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w1_window_agg": rl.w1_window_agg,
         "w2_sessionize": rl.w2_sessionize,
         "w3_asof_join": rl.w3_asof_join,
+        "w4_running_sum": rl.w4_running_sum,
         # text / training-data ops (documents)
         "t_token_count": to.t_token_count,
         "t_quality": to.t_quality,
@@ -199,6 +200,12 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
             "FROM events) SELECT user_id, CAST(SUM(brk)+1 AS BIGINT) AS n_sessions "
             "FROM g GROUP BY user_id"
+        ),
+        "w4_running_sum": (
+            "SELECT event_id, CAST(ROUND(SUM(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*100,0) AS BIGINT) "
+            "AS run_sum_c FROM events"
         ),
         "w3_asof_join": (
             "SELECT e.event_id, e.user_id, strftime(o.o_orderdate, '%Y-%m-%d') AS ts_order "

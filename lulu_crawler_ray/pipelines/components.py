@@ -1,0 +1,110 @@
+"""Distributed connected components over an edge list — the scale path
+for near-dup clustering (MinHash / phash / cosine pairs -> clusters).
+
+Driver union-find is right when the pair set is provably small
+(ray_guide near-dup note); when it isn't, this module's iterative
+min-label propagation runs entirely as Dataset ops:
+
+    labels <- each node starts as its own label (its min neighbor incl.
+              itself); each round, every node takes the min label in its
+              neighborhood (groupby-min over the undirected edge list +
+              label join); stop when no label changed.
+
+Rounds needed = graph diameter in the worst case; near-dup graphs are
+unions of small cliques/chains, so a handful of rounds closes them.
+`connected_components` picks driver union-find below a pair threshold
+and label propagation above it — both return the identical
+(node, component_min_label) mapping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _union_find(pairs: pd.DataFrame) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _label_propagation(pairs: ray.data.Dataset, max_rounds: int = 50) -> pd.DataFrame:
+    """pairs(a,b) -> DataFrame(node, label) via distributed min-label
+    propagation (groupby-min per round; edges stay distributed)."""
+    from ray.data.aggregate import Min
+
+    # undirected edge list, both directions: (node, neighbor)
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # label(node) = min(node, min neighbor) initially
+    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
+    labels = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "lbl": pa.array(
+                    np.minimum(t["node"].to_numpy(), t["lbl"].to_numpy()), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # propagate: each node takes min(own label, labels of neighbors)
+        renamed = labels.map_batches(
+            lambda t: t.rename_columns(["lnode", "lbl"]), batch_format="pyarrow"
+        )
+        nbr_lbl = edges.join(
+            renamed, join_type="inner", num_partitions=8, on=("nbr",), right_on=("lnode",)
+        )
+        prop = (
+            nbr_lbl.select_columns(["node", "lbl"])
+            .union(labels)
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        # converged when nothing changed
+        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
+        new = prop.to_pandas().sort_values("node").reset_index(drop=True)
+        labels = prop
+        if old.equals(new):
+            break
+    return labels.to_pandas()
+
+
+def connected_components(
+    pairs_pd: pd.DataFrame, driver_max_pairs: int = 1_000_000
+) -> dict[int, int]:
+    """(a, b) int pairs -> {node: component_root(min label)}. Driver
+    union-find below ``driver_max_pairs``; distributed label
+    propagation above it (pairs are shipped back through ray.data)."""
+    if len(pairs_pd) <= driver_max_pairs:
+        return _union_find(pairs_pd)
+    ds = ray.data.from_pandas(pairs_pd)
+    lbl = _label_propagation(ds)
+    return dict(zip(lbl["node"].astype(int), lbl["lbl"].astype(int)))

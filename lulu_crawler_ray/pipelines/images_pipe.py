@@ -94,19 +94,15 @@ def near_dedup_images(images: ray.data.Dataset, max_hamming: int = 8) -> ray.dat
     """D3 — drop near-duplicate images: J4 pairs -> union-find on the
     driver (pair count << corpus) -> keep min image_id per cluster."""
     pr = phash_near_pairs(images, max_hamming)
-    parent: dict[str, str] = {}
+    # image_ids are hex strings; components run on stable int surrogates
+    ids = sorted(set(pr["a"]) | set(pr["b"]))
+    idx = {s: i for i, s in enumerate(ids)}
+    from .components import connected_components
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pr["a"], pr["b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    drop = {x for x in parent if find(x) != x}
+    comp = connected_components(
+        pd.DataFrame({"a": [idx[x] for x in pr["a"]], "b": [idx[x] for x in pr["b"]]})
+    )
+    drop = {ids[x] for x, root in comp.items() if root != x}
     ref = ray.put(drop)
 
     def keep(t: pa.Table) -> pa.Table:

@@ -509,6 +509,22 @@ def w2_sessionize(sf: str):
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
 
 
+def w4_running_sum(sf: str):
+    """Window function: per-user running SUM(value) ordered by (ts,
+    event_id) — groupby(user).map_groups over ts-sorted groups (the
+    per-key-ordered-log pattern); output in integer centi-units."""
+    import pandas as pd
+
+    ds = read_table(sf, "events", ["event_id", "user_id", "ts", "value"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        rs = np.rint(g["value"].cumsum().to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "run_sum_c": rs})
+
+    return ds.groupby("user_id").map_groups(run, batch_format="pandas")
+
+
 def w3_asof_join(sf: str):
     """As-of join: for each event, the latest order of the same user
     (user_id = o_custkey) with o_orderdate <= ts. Implemented as the

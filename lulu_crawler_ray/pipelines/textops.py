@@ -266,21 +266,15 @@ def near_dedup_minhash(docs: ray.data.Dataset, threshold: float = 0.7):
             for d, s in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
                 shingle_map[d] = set(s)
 
-    parent: dict[int, int] = {}
+    verified = [
+        (int(a), int(b))
+        for a, b in zip(cand_pd.get("a", []), cand_pd.get("b", []))
+        if tx.jaccard(shingle_map[int(a)], shingle_map[int(b)]) >= threshold
+    ]
+    from .components import connected_components
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(cand_pd.get("a", []), cand_pd.get("b", [])):
-        a, b = int(a), int(b)
-        if tx.jaccard(shingle_map[a], shingle_map[b]) >= threshold:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    drop = {x for x in parent if find(x) != x}
+    comp = connected_components(pd.DataFrame(verified, columns=["a", "b"]))
+    drop = {x for x, root in comp.items() if root != x}
     ref = ray.put(np.array(sorted(drop), np.int64))
 
     def keep(t: pa.Table) -> pa.Table:

@@ -282,3 +282,34 @@ def test_grouped_agg_batch_independence(ray_session):
         check_exact=False,
         atol=1e-9,
     )
+
+
+def test_connected_components_label_prop_vs_union_find(ray_session):
+    import pandas as pd
+
+    from lulu_crawler_ray.pipelines.components import (
+        _label_propagation,
+        _union_find,
+        connected_components,
+    )
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    # several chains + cliques + isolated pairs
+    pairs = []
+    base = 0
+    for size in (2, 3, 5, 8, 4):
+        nodes = list(range(base, base + size))
+        pairs += [(nodes[i], nodes[i + 1]) for i in range(size - 1)]
+        base += size + 3
+    extra = rng.integers(1000, 1100, (30, 2))
+    pairs += [(int(a), int(b)) for a, b in extra if a != b]
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+
+    uf = _union_find(df)
+    lp = _label_propagation(ray.data.from_pandas(df).repartition(3))
+    lp_map = dict(zip(lp["node"].astype(int), lp["lbl"].astype(int)))
+    assert set(uf) == set(lp_map)
+    for n in uf:
+        assert uf[n] == lp_map[n], f"node {n}: {uf[n]} != {lp_map[n]}"
+    assert connected_components(df) == uf
