@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image ops (J4/D3, multimodal decode)
         "img_neardup_pairs": im.img_neardup_pairs_query,
         "img_stats": im.img_stats_query,
+        "img_resize": im.img_resize_query,
         # flagship crawl outputs (oracle-crawler-verified in pytest)
         "crawl_ledger": lambda sf: _crawl_outputs(sf, "ledger"),
         "crawl_images": lambda sf: _crawl_outputs(sf, "images"),

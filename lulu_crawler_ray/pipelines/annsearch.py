@@ -88,48 +88,54 @@ def e_knn_bruteforce(sf: str, k: int = 10, n_queries: int = 3):
 
 
 class HyperplaneHasher:
-    """Actor-pool stage: seeded random hyperplanes drawn once per actor
-    (identical across actors); emits (bucket, vec_id) rows."""
+    """Multi-table random-hyperplane LSH (the production shape: L
+    independent tables of k planes each — union of per-table bucket
+    matches trades scan fraction for recall). Seeded => identical
+    across actors. ``buckets_of`` returns an (n, L) bucket matrix with
+    table index baked into the bucket id."""
 
-    def __init__(self, dim: int, n_planes: int = 4, seed: int = 5):
-        self.planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    def __init__(self, dim: int, n_planes: int = 4, n_tables: int = 8, seed: int = 5):
+        rng = np.random.default_rng(seed)
+        self.n_planes, self.n_tables = n_planes, n_tables
+        self.planes = rng.standard_normal((n_tables, n_planes, dim))
 
-    def bucket_of(self, m: np.ndarray) -> np.ndarray:
-        bits = (m @ self.planes.T) > 0
-        return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+    def buckets_of(self, m: np.ndarray) -> np.ndarray:
+        out = np.empty((m.shape[0], self.n_tables), np.int64)
+        weights = 1 << np.arange(self.n_planes)
+        for t in range(self.n_tables):
+            bits = (m @ self.planes[t].T) > 0
+            out[:, t] = (bits @ weights) + (t << 32)
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, m = _emb_matrix(t)
+        bk = self.buckets_of(_normalize(m))
+        n, L = bk.shape
         return pa.table(
             {
-                "bucket": pa.array(self.bucket_of(m), pa.int64()),
-                "vec_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(bk.ravel(), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, L), pa.int64()),
             }
         )
 
 
 def e_lsh_ann(sf: str, k: int = 10, n_queries: int = 3, dim: int = 64):
-    """Approximate top-k: scan restricted to vectors sharing the
-    query's hyperplane bucket or differing in one bit (multiprobe=1).
-    Same output shape as brute force; recall measured in pytest."""
+    """Approximate top-k: scan restricted to vectors sharing ANY of the
+    query's per-table hyperplane buckets. Same output shape as brute
+    force; recall vs brute force measured in pytest."""
     qids, qm = load_queries(sf, n_queries)
     hasher = HyperplaneHasher(dim)
-    qb = hasher.bucket_of(qm)
-    probe: set[int] = set()
-    for b in qb:
-        probe.add(int(b))
-        for bit in range(hasher.planes.shape[0]):
-            probe.add(int(b) ^ (1 << bit))
-    probe_ref = ray.put(np.array(sorted(probe), np.int64))
-    qref = ray.put((qids, qm, qb))
+    qb = hasher.buckets_of(qm)
+    probe_ref = ray.put(np.unique(qb.ravel()))
+    qref = ray.put((qids, qm))
     ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
 
     def probe_topk(t: pa.Table) -> pa.Table:
         buckets = ray.get(probe_ref)
-        qids_, qm_, _ = ray.get(qref)
+        qids_, qm_ = ray.get(qref)
         ids, m = _emb_matrix(t)
-        bk = hasher.bucket_of(_normalize(m))
-        mask = np.isin(bk, buckets)
+        bk = hasher.buckets_of(_normalize(m))
+        mask = np.isin(bk, buckets).any(axis=1)
         ids, m = ids[mask], m[mask]
         if len(ids) == 0:
             return pa.table(

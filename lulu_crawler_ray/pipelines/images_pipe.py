@@ -152,6 +152,21 @@ def img_neardup_pairs_query(sf: str):
     )
 
 
+def img_resize_query(sf: str):
+    """queries() entry: the decode->resize->re-encode transform stage
+    (multimodal actor-pool shape) over the fixture table; returns the
+    transformed metadata (bytes verified by decode in the stage)."""
+    n = 600 if "0.1" in sf else 300
+    ds = fixture_dataset(n)
+    out = ds.map_batches(
+        ImageTransform, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return out.map_batches(
+        lambda t: t.select(["image_id", "w", "h", "fmt", "phash"]),
+        batch_format="pyarrow",
+    )
+
+
 def img_stats_query(sf: str):
     """queries() entry: decode-validate + grouped stats by fmt over the
     fixture table (real decode per row — M8/M10 exercised end-to-end)."""

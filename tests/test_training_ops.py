@@ -139,7 +139,7 @@ def test_lsh_ann_recall(ray_session):
         e = set(exact[exact.query_id == q]["neighbor_id"])
         a = set(approx[approx.query_id == q]["neighbor_id"])
         recalls.append(len(e & a) / len(e))
-    assert np.mean(recalls) >= 0.2, f"LSH recall too low: {recalls}"
+    assert np.mean(recalls) >= 0.6, f"LSH recall too low: {recalls}"
 
 
 # ---------------------------------------------------------------- images
