@@ -111,12 +111,13 @@ def run_bench() -> dict:
 
     times: dict[str, float] = {}
     t_all = time.time()
-    crawl = _crawl_bench(out_root)
-    times["crawl"] = crawl["sec"]
+    # queries first (clean object store), then the crawl
     for name in bench_queries:
         t0 = time.time()
         _consume(qfns[name](sf))
         times[name] = round(time.time() - t0, 3)
+    crawl = _crawl_bench(out_root)
+    times["crawl"] = crawl["sec"]
     total = round(time.time() - t_all, 3)
 
     result = {
