@@ -44,9 +44,13 @@ def _crawl_outputs(sf_dir: str, what: str):
 
     import os
 
+    import lulu_crawler_ray
+
     cfg = CrawlConfig(seed=42, budget=4, max_depth=3, max_urls=500, n_hosts=20, num_shards=4)
-    out = "/tmp/lulu_ray_queries/crawl-b4d3"
-    if not os.path.exists(f"{out}/metrics.json"):  # all four crawl_* queries share one run
+    # version-keyed cache: all crawl_* queries share one run, and a code
+    # change (version bump) invalidates any stale /tmp output
+    out = f"/tmp/lulu_ray_queries/crawl-b4d3-v{lulu_crawler_ray.__version__}"
+    if not os.path.exists(f"{out}/metrics.json"):
         run_crawl(seed_urls(cfg, 10), cfg, out)
     if what == "host_counts":
         from lulu_crawler_ray.pipelines.crawl_queries import host_counts
