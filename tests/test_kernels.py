@@ -168,3 +168,29 @@ def test_cuckoo_vectorized_lookup_matches_scalar():
     vec = f.contains_many_np(keys)
     assert (vec == np.array([k in f for k in keys])).all()
     assert f.contains_many_np([]).shape == (0,)
+
+
+def test_cuckoo_capacity_math_for_1e10():
+    """The BASELINE.json:6 capacity claim: 10^10 entries across K=64
+    shards at 4-way/16-bit — verify the arithmetic the design rests on
+    (SURVEY.md §5.3) without allocating it."""
+    target, shards, load = 10**10, 64, 0.95
+    per_shard = target / shards
+    nb = 1
+    while nb * 4 < per_shard / load:
+        nb *= 2
+    table_bytes = nb * 4 * 2  # uint16 slots
+    assert table_bytes <= 600 * 2**20  # each shard's filter under 600 MB
+    assert shards * table_bytes <= 40 * 2**30  # fleet-wide under 40 GB
+    # and the constructor actually sizes that way
+    f = CuckooFilter(1000)
+    assert f.nbuckets * 4 >= 1000 / 0.95
+    assert f.table.nbytes == f.nbuckets * 4 * 2
+
+
+def test_image_table_io_fallback():
+    """No lance wheel in this sandbox -> the IO seam must select the
+    Parquet fallback (same schema, same call sites)."""
+    from lulu_crawler_ray.sources import image_table
+
+    assert image_table.LANCE_AVAILABLE is False
