@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g4_hll_distinct": rl.g4_hll_distinct,
         "g5_grouped_stats": rl.g5_grouped_stats,
         "q1_pricing_summary": rl.q1_pricing_summary,
+        "q3_shipping_priority": rl.q3_shipping_priority,
         "j1_anti_join": rl.j1_anti_join,
         "j2_inner_join": rl.j2_inner_join,
         "j3_broadcast_lookup": rl.j3_broadcast_lookup,
@@ -147,6 +148,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(AVG(l_quantity)*100,0) AS BIGINT) AS avg_qty, CAST(ROUND(AVG(l_extendedprice)*100,0) AS BIGINT) AS avg_price, "
             "COUNT(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, orderdate, revenue_e4 FROM ("
+            "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
+            "CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*10000,0) AS BIGINT) AS revenue_e4 "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1996-01-01' "
+            "GROUP BY l_orderkey, o_orderdate) t "
+            "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
         ),
         "j1_anti_join": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "

@@ -266,6 +266,68 @@ def q1_pricing_summary(sf: str):
     )
 
 
+def q3_shipping_priority(sf: str):
+    """TPC-H Q3 shape — the composite multi-join: broadcast-filtered
+    customer side -> orders filter -> hash join to lineitem -> grouped
+    revenue -> top-10. The small side (BUILDING custkeys) broadcasts;
+    only orders⋈lineitem shuffles. Revenue in 1e-4 units (sums of few
+    4-decimal rationals stay within 1 ulp of an integer at x10^4)."""
+    cust = (
+        read_table(sf, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+        .unique("c_custkey")
+    )
+    cref = ray.put(np.sort(np.asarray(cust, np.int64)))
+    cutoff_o = pa.scalar(np.datetime64("1998-01-01", "us"))
+    cutoff_l = pa.scalar(np.datetime64("1996-01-01", "us"))
+
+    orders = read_table(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(cref)
+        t = t.filter(pc.less(t["o_orderdate"], cutoff_o))
+        m = np.isin(t["o_custkey"].to_numpy(), keys)
+        t = t.filter(pa.array(m))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "orderdate": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+            }
+        )
+
+    orders = orders.map_batches(o_filter, batch_format="pyarrow")
+
+    li = read_table(sf, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def l_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff_l))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(l_filter, batch_format="pyarrow")
+
+    j = li.join(orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = grouped_agg(
+        j, ["l_orderkey", "orderdate"], [("revenue_e4", "sum", "rev")], round_to=None
+    )
+
+    def to_e4(t: pa.Table) -> pa.Table:
+        v = np.rint(t["revenue_e4"].to_numpy(zero_copy_only=False).astype(np.float64) * 10000)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "orderdate": t["orderdate"],
+                "revenue_e4": pa.array(v.astype(np.int64)),
+            }
+        )
+
+    agg = agg.map_batches(to_e4, batch_format="pyarrow")
+    return agg.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(10)
+
+
 def g3_distinct(sf: str):
     ds = read_table(sf, "customer", ["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
