@@ -14,6 +14,7 @@ crawler, so "canonicalization equality" is structural.
 from __future__ import annotations
 
 import hashlib
+import re
 from urllib.parse import urlsplit, urljoin
 
 _UNRESERVED = set(
@@ -76,8 +77,30 @@ def _remove_dot_segments(path: str) -> str:
     return "".join(out)
 
 
+# fast path: URLs that PROVABLY equal their canonical form — lowercase
+# http scheme+host, no port/userinfo/query/fragment/percent-escapes,
+# non-empty path with no empty or dot segments. The crawl's synthetic
+# URLs are almost all of this shape; correctness is guarded by the
+# hypothesis test asserting fast == full on generated inputs.
+_FAST_CANON = re.compile(
+    r"^http://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?"
+    r"/(?:[A-Za-z0-9_~.-]+(?:/[A-Za-z0-9_~.-]+)*/?)?$"
+)
+
+
+def _fast_canonical(u: str) -> bool:
+    return (
+        _FAST_CANON.match(u) is not None
+        and "/../" not in u
+        and "/./" not in u
+        and not u.endswith(("/..", "/."))
+    )
+
+
 def canonicalize(url: str) -> str:
     """c(u) — see module docstring. Raises ValueError on unparseable URLs."""
+    if _fast_canonical(url):
+        return url
     parts = urlsplit(url.strip())
     scheme = parts.scheme.lower()
     host = parts.hostname or ""
@@ -105,6 +128,12 @@ def canonicalize(url: str) -> str:
 
 def resolve(base: str, href: str) -> str:
     """M4 — relative->absolute join against a (canonical) base, then c()."""
+    if _fast_canonical(href):
+        return href
+    if href.startswith("/") and not href.startswith("//") and _fast_canonical(base):
+        cand = "http://" + base[7:].split("/", 1)[0] + href
+        if _fast_canonical(cand):
+            return cand
     return canonicalize(urljoin(base, href))
 
 

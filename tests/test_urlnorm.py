@@ -98,3 +98,46 @@ def test_sha1_known_vector():
 def test_host_hash_range():
     hh = urlnorm.host_hash("h0.test")
     assert 0 <= hh < 2**64
+
+
+# -- fast-path equivalence: the provably-canonical shortcut must agree
+# with the full RFC pipeline on every input it might see ---------------
+_seg = st.text(alphabet=string.ascii_letters + string.digits + "_~.-", min_size=1, max_size=8)
+
+
+@given(
+    host=st.from_regex(r"[a-z0-9]([a-z0-9.-]{0,12}[a-z0-9])?", fullmatch=True),
+    segs=st.lists(_seg, max_size=4),
+    trail=st.booleans(),
+)
+def test_fast_path_matches_full(host, segs, trail):
+    url = f"http://{host}/" + "/".join(segs) + ("/" if trail and segs else "")
+    from lulu_crawler_ray.functions.urlnorm import _fast_canonical, _remove_dot_segments, _norm_pct
+    import urllib.parse as up
+
+    if _fast_canonical(url):
+        # full pipeline must be the identity exactly when the fast path fires
+        parts = up.urlsplit(url)
+        full = f"http://{parts.hostname.lower().rstrip('.')}" + (
+            _remove_dot_segments(_norm_pct(parts.path)) or "/"
+        )
+        assert full == url
+
+
+@given(
+    base=st.from_regex(r"http://[a-z0-9]{1,8}\.test/[a-z0-9/]{0,12}", fullmatch=True),
+    href=st.one_of(
+        st.from_regex(r"/p/[a-f0-9]{1,8}", fullmatch=True),
+        st.from_regex(r"http://h[0-9]{1,3}\.test/p/[a-f0-9]{1,8}", fullmatch=True),
+        st.from_regex(r"[a-z0-9./%?#]{0,12}", fullmatch=True),
+    ),
+)
+def test_resolve_fast_matches_urljoin(base, href):
+    from urllib.parse import urljoin
+
+    try:
+        got = urlnorm.resolve(base, href)
+    except ValueError:
+        return
+    want = urlnorm.canonicalize(urljoin(base, href))
+    assert got == want
