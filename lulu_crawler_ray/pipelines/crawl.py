@@ -112,6 +112,13 @@ def run_crawl(
 ) -> dict:
     """Run (or resume) the flagship crawl. Returns summary dict with
     paths and final metrics. Ray must already be initialised."""
+    # seq-uniqueness invariant: seed seqs are 0..n-1, ref seqs are
+    # >= link_bound — more seeds than link_bound would collide silently
+    if len(seeds) > cfg.link_bound:
+        raise ValueError(
+            f"{len(seeds)} seeds > link_bound={cfg.link_bound}: seed seqs would "
+            "collide with ref seqs; raise cfg.link_bound"
+        )
     shards = make_shards(cfg.num_shards)
     metrics = MetricsActor.remote()
 
@@ -293,18 +300,24 @@ def _select_distributed(frontier, cfg, rank_base, wave):
     )
     ranked_refs, n_admitted = _assign_ranks(admitted_ds, rank_base, wave)
 
+    # seq values are globally unique, so the admitted set broadcasts as
+    # ONE sorted int64 array (8 B/row) and the drop filter is a
+    # vectorized searchsorted — same mechanism as the driver fast path
     @ray.remote
-    def _keys(t: pa.Table) -> list[bytes]:
-        return t["url_sha1"].to_pylist()
+    def _seqs(t: pa.Table) -> np.ndarray:
+        return t["seq"].to_numpy()
 
-    admitted_keys = ray.put(
-        set(k for ks in ray.get([_keys.remote(r) for r in ranked_refs]) for k in ks)
+    admitted_seq = ray.put(
+        np.sort(np.concatenate(ray.get([_seqs.remote(r) for r in ranked_refs]) or [np.array([], np.int64)]))
     )
 
     def drop_admitted(t: pa.Table) -> pa.Table:
-        keys = ray.get(admitted_keys)
-        mask = [k not in keys for k in t["url_sha1"].to_pylist()]
-        return t.filter(pa.array(mask))
+        aseq = ray.get(admitted_seq)
+        s = t["seq"].to_numpy()
+        if len(aseq) == 0:
+            return t
+        idx = np.clip(np.searchsorted(aseq, s), 0, len(aseq) - 1)
+        return t.filter(pa.array(aseq[idx] != s))
 
     deferred = frontier.map_batches(drop_admitted, batch_format="pyarrow")
     ranked = lambda: ray.data.from_arrow_refs(list(ranked_refs))
@@ -359,7 +372,7 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
     # materialize so they never cost object-store space)
     fetcher = st.PageFetcher(cfg)
     parser = st.PageParser(cfg)
-    scope_filter = st.RobotsScopeFilter(cfg, metrics)
+    scope_filter = st.RobotsScopeFilter(cfg, metrics, wave=wave)
     refs = (
         ranked()
         .map_batches(fetcher, batch_size=cfg.fetch_batch_size, batch_format="pyarrow")
@@ -390,7 +403,7 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
         batch_format="pyarrow",
     ).materialize()
     t3 = admitted_imgs.map_batches(
-        st.ImageFetcher(cfg, metrics),
+        st.ImageFetcher(cfg, metrics, wave=wave),
         batch_size=cfg.image_batch_size,
         batch_format="pyarrow",
     )
@@ -484,18 +497,22 @@ def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base, pr
     )
     if _TRACE:
         print(f"  [ckpt {enter_wave}] shard dumps: {time.time()-_t1:.2f}s", flush=True)
-    snap = ray.get(metrics.snapshot.remote())
-    manifest = {
-        "enter_wave": enter_wave,
-        "rank_base": rank_base,
-        "n_frontier": n_frontier,
-        "metrics": snap,
-    }
-
     def seal():
         _ts = time.time()
         if pre_seal is not None:
             pre_seal()  # join the wave's background sinks
+        # metrics snapshot AFTER the sinks join — increments emitted by a
+        # still-running image sink (e.g. image_dropped) land in the
+        # manifest a resumed run restores from
+        manifest = {
+            "enter_wave": enter_wave,
+            "rank_base": rank_base,
+            "n_frontier": n_frontier,
+            # increments are wave-tagged: < enter_wave covers every
+            # finished wave (incl. its just-joined background sink) and
+            # excludes the already-overlapping next wave's compute
+            "metrics": ray.get(metrics.snapshot.remote(enter_wave)),
+        }
         tmp = os.path.join(cdir, "manifest.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)

@@ -102,6 +102,8 @@ def _admit_new(
 
 
 def run_oracle(seeds: list[str], cfg: CrawlConfig) -> CrawlResult:
+    if len(seeds) > cfg.link_bound:  # same invariant as run_crawl
+        raise ValueError(f"{len(seeds)} seeds > link_bound={cfg.link_bound}")
     res = CrawlResult()
     seen, frontier = res.seen, []
     image_seen: set[str] = set()

@@ -37,6 +37,12 @@ from ..sources.testdata import read_table
 _KINDS = ("sum", "count", "min", "max", "mean", "std")
 
 
+def _npart() -> int:
+    """Join/shuffle partition count scaled to the session's CPUs (a
+    fixed constant under-parallelizes larger clusters)."""
+    return max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+
 def grouped_agg(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -137,11 +143,14 @@ def grouped_agg(
 
 def _min_set_filter(ds, key: str, ucol: str, driver_max: int = 5_000_000) -> ray.data.Dataset:
     """Keep the row with the minimum ``ucol`` per ``key`` group, where
-    ``ucol`` is a caller-built integer that orders rows within a group
-    (e.g. packed orderkey/linenumber). Per-batch combiner -> min-per-key
-    over the pruned (key, ucol) columns (driver numpy when it fits, a
-    grouped Min shuffle otherwise) -> broadcast min-set filter — no
-    per-group Python calls (SURVEY.md §2.7 D1)."""
+    ``ucol`` is a caller-built integer that orders rows WITHIN a group
+    (it need not be globally unique — the broadcast carries aligned
+    (key, min_u) arrays and the filter matches on the pair, so there is
+    no cross-group collision and no need to pack the group key into
+    ``ucol``). Per-batch combiner -> min-per-key over the pruned
+    (key, ucol) columns (one remote numpy task when it fits under
+    ``driver_max`` rows, a grouped Min shuffle otherwise) -> broadcast
+    pair filter — no per-group Python calls (SURVEY.md §2.7 D1)."""
 
     def combine(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -173,26 +182,31 @@ def _min_set_filter(ds, key: str, ucol: str, driver_max: int = 5_000_000) -> ray
             neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(
                 zero_copy_only=False
             )
-            mins = np.sort(srt[ucol].to_numpy()[np.r_[True, neq]])
+            starts = np.r_[True, neq]
+            keys_s = srt[key].to_numpy()[starts]  # sorted ascending
+            minu = srt[ucol].to_numpy()[starts]
         else:
-            mins = np.array([], np.int64)
+            keys_s = minu = np.array([], np.int64)
     else:
         agg = combined.groupby(key).aggregate(Min(ucol, alias_name="__min_u"))
-        mins = np.sort(
-            np.concatenate(
-                [b["__min_u"].to_numpy() for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536)]
-                or [np.array([], np.int64)]
-            )
-        )
-    ref = ray.put(mins)
+        ks, us = [], []
+        for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
+            ks.append(b[key].to_numpy())
+            us.append(b["__min_u"].to_numpy())
+        keys_s = np.concatenate(ks) if ks else np.array([], np.int64)
+        minu = np.concatenate(us) if us else np.array([], np.int64)
+        order = np.argsort(keys_s, kind="stable")
+        keys_s, minu = keys_s[order], minu[order]
+    ref = ray.put((keys_s, minu))
 
     def keep(t: pa.Table) -> pa.Table:
-        wanted = ray.get(ref)
-        u = t[ucol].to_numpy()
-        if len(wanted) == 0:
+        ks, mu = ray.get(ref)
+        if len(ks) == 0:
             return t.slice(0, 0)
-        idx = np.clip(np.searchsorted(wanted, u), 0, len(wanted) - 1)
-        return t.filter(pa.array(wanted[idx] == u))
+        k = t[key].to_numpy()
+        u = t[ucol].to_numpy()
+        idx = np.clip(np.searchsorted(ks, k), 0, len(ks) - 1)
+        return t.filter(pa.array((ks[idx] == k) & (mu[idx] == u)))
 
     return combined.map_batches(keep, batch_format="pyarrow")
 
@@ -309,7 +323,7 @@ def q3_shipping_priority(sf: str):
 
     li = li.map_batches(l_filter, batch_format="pyarrow")
 
-    j = li.join(orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+    j = li.join(orders, join_type="inner", num_partitions=_npart(), on=("l_orderkey",), right_on=("o_orderkey",))
     agg = grouped_agg(
         j, ["l_orderkey", "orderdate"], [("revenue_e4", "sum", "rev")], round_to=None
     )
@@ -339,7 +353,7 @@ def j2_inner_join(sf: str):
     orders = read_table(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = read_table(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     j = orders.join(
-        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+        cust, join_type="inner", num_partitions=_npart(), on=("o_custkey",), right_on=("c_custkey",)
     )
     j = j.select_columns(["o_orderkey", "c_name", "c_mktsegment", "o_totalprice"])
     return _cents_cols(j, {"o_totalprice": "totalprice_c"})
@@ -372,13 +386,19 @@ def j3_broadcast_lookup(sf: str):
     """Small-side broadcast lookup join: lineitem -> supplier nation,
     then grouped count (dimension table via ray.put, read per batch)."""
     supp = read_table(sf, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    ref = ray.put(dict(zip(supp["s_suppkey"].astype(np.int64), supp["s_nationkey"].astype(np.int32))))
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    nv = supp["s_nationkey"].to_numpy(np.int32)
+    order = np.argsort(sk, kind="stable")
+    # broadcast two sorted parallel arrays; probe with searchsorted —
+    # no per-row dict lookups in the hot path of the biggest table
+    ref = ray.put((sk[order], nv[order]))
     li = read_table(sf, "lineitem", ["l_suppkey"])
 
     def lookup(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        ks, vs = ray.get(ref)
         keys = t["l_suppkey"].to_numpy()
-        nk = np.array([m.get(int(k), -1) for k in keys], np.int32)
+        idx = np.clip(np.searchsorted(ks, keys), 0, len(ks) - 1)
+        nk = np.where(ks[idx] == keys, vs[idx], np.int32(-1)).astype(np.int32)
         return pa.table({"nationkey": pa.array(nk, pa.int32())})
 
     ds = li.map_batches(lookup, batch_format="pyarrow")
@@ -402,41 +422,58 @@ def o4_hash_sample(sf: str):
     return _cents_cols(out, {"l_quantity": "quantity_c"})
 
 
-def d1_first_by_key(sf: str):
-    """First lineitem row per order by (linenumber, partkey) — D1
-    first-by-key. The packed order column gkey = okey*2^28 + ln*2^24 +
-    pk is group-unique up to exact-duplicate rows, so the broadcast
-    min-set filter can keep several *identical* winners per group; a
-    final grouped distinct (over result-sized data) collapses them.
-    Ties below the full projection are harmless by construction: the
-    tied rows are equal in every output column."""
-    from ray.data.aggregate import Count
+def _collapse_dup_winners(kept, key: str, cols: list[str], driver_max: int = 5_000_000):
+    """Collapse exact-duplicate winner rows after a min-set filter:
+    driver-side sorted distinct while the kept set fits (result-sized —
+    one-ish row per group), else a grouped Min over the non-key columns
+    (valid because surviving rows within a group are identical)."""
+    parts, n, small = [], 0, True
+    for b in kept.iter_batches(batch_format="pyarrow", batch_size=262144):
+        n += b.num_rows
+        if n > driver_max:
+            small = False
+            break
+        parts.append(b)
+    if small:
+        if not parts:
+            return kept.materialize()
+        t = pa.concat_tables(parts).combine_chunks()
+        t = t.take(pc.sort_indices(t, sort_keys=[(c, "ascending") for c in cols]))
+        k = t[key].combine_chunks()
+        neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.r_[True, neq]))
+    aggs = [Min(c, alias_name=c) for c in cols if c != key]
+    out = kept.groupby(key).aggregate(*aggs).select_columns(cols)
+    # grouped Min widens int32 -> int64; cast back to the input schema
+    in_schema = kept.schema().base_schema
+    target = pa.schema([in_schema.field(c) for c in cols])
+    return out.map_batches(
+        lambda t: t.select(cols).cast(target), batch_format="pyarrow"
+    )
 
+
+def d1_first_by_key(sf: str, driver_max: int = 5_000_000):
+    """First lineitem row per order by (linenumber, partkey) — D1
+    first-by-key. The within-group order column u = ln*2^32 + pk never
+    packs the group key (the min-set filter matches on (key, u) pairs),
+    so there is no okey-width overflow at any scale factor; bounds on
+    ln/pk themselves are asserted. The broadcast filter can keep several
+    *identical* winners per group (exact-duplicate rows); the collapse
+    is size-guarded (driver distinct -> grouped-Min fallback)."""
     ds = read_table(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
 
     def pack(t: pa.Table) -> pa.Table:
-        g = (
-            t["l_orderkey"].to_numpy() * (1 << 28)
-            + t["l_linenumber"].to_numpy().astype(np.int64) * (1 << 24)
-            + t["l_partkey"].to_numpy()
-        )
-        return t.append_column("__u", pa.array(g, pa.int64()))
+        ln = t["l_linenumber"].to_numpy().astype(np.int64)
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        if len(ln) and (ln.max() >= (1 << 31) or pk.max() >= (1 << 32)):
+            raise ValueError("d1 pack bounds exceeded: ln >= 2^31 or pk >= 2^32")
+        return t.append_column("__u", pa.array(ln * (1 << 32) + pk, pa.int64()))
 
     ds = ds.map_batches(pack, batch_format="pyarrow")
-    kept = _min_set_filter(ds, "l_orderkey", "__u").drop_columns(["__u"])
-    # collapse exact-duplicate winners: the kept set is result-sized
-    # (one-ish row per group), so a driver-side sorted distinct beats a
-    # second cluster shuffle
-    t = pa.concat_tables(
-        list(kept.iter_batches(batch_format="pyarrow", batch_size=262144))
-    ).combine_chunks()
-    idx = pc.sort_indices(
-        t, sort_keys=[("l_orderkey", "ascending"), ("l_linenumber", "ascending"), ("l_partkey", "ascending")]
+    kept = _min_set_filter(ds, "l_orderkey", "__u", driver_max=driver_max).drop_columns(["__u"])
+    return _collapse_dup_winners(
+        kept, "l_orderkey", ["l_orderkey", "l_linenumber", "l_partkey"], driver_max=driver_max
     )
-    t = t.take(idx)
-    k = t["l_orderkey"].combine_chunks()
-    neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(zero_copy_only=False)
-    return t.filter(pa.array(np.r_[True, neq]))
 
 
 def d4_union(sf: str):
@@ -553,77 +590,137 @@ def w1_window_agg(sf: str):
     )
 
 
+def _hash_partitioned(ds, key: str, n_parts: int):
+    """Attach a hash-partition column so a downstream groupby("__part")
+    makes ONE vectorized Python call per partition instead of one per
+    key value — the per-group overhead at billions of keys is the scale
+    killer, not the arithmetic (a skewed key still lands whole in one
+    partition, where the work stays vectorized)."""
+
+    def addpart(t: pa.Table) -> pa.Table:
+        # Fibonacci multiplicative hash: adjacent user_ids spread
+        p = ((t[key].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)) % np.uint64(n_parts)
+        return t.append_column("__part", pa.array(p.astype(np.int32)))
+
+    return ds.map_batches(addpart, batch_format="pyarrow").groupby("__part")
+
+
 def w2_sessionize(sf: str):
-    """Sessionization (30-min inactivity gap) — groupby(user).map_groups
-    over ts-sorted groups; the ordering assumption is per-user ts order
-    established inside each group (ray_guide streaming-shaped loads)."""
-    import pandas as pd
-
+    """Sessionization (30-min inactivity gap): hash-partition by user,
+    then per PARTITION (not per user) one vectorized pass — sort by
+    (user, ts), diff, mask gaps at user boundaries, bincount breaks per
+    user segment. No per-group pandas calls (SURVEY.md §2.8)."""
     ds = read_table(sf, "events", ["user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        brk = (ts.diff() > pd.Timedelta(minutes=30)).sum()
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(brk) + 1]}
+    def sess_part(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]))
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        starts = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(starts) - 1
+        brk = np.r_[False, np.diff(ts) > gap_us] & ~starts
+        n_users = int(seg[-1]) + 1 if len(seg) else 0
+        n_sessions = 1 + np.bincount(seg[brk], minlength=n_users)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_sessions": pa.array(n_sessions.astype(np.int64)),
+            }
         )
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return _hash_partitioned(ds, "user_id", _npart()).map_groups(
+        sess_part, batch_format="pyarrow"
+    )
 
 
 def w4_running_sum(sf: str):
     """Window function: per-user running SUM(value) ordered by (ts,
-    event_id) — groupby(user).map_groups over ts-sorted groups (the
-    per-key-ordered-log pattern); output in integer centi-units."""
-    import pandas as pd
-
+    event_id) — hash-partition by user, one vectorized segment-cumsum
+    per partition (global cumsum minus per-segment base); output in
+    integer centi-units (value is 2-decimal, so the sum sits within
+    1 ulp of integer cents under any summation order)."""
     ds = read_table(sf, "events", ["event_id", "user_id", "ts", "value"])
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        rs = np.rint(g["value"].cumsum().to_numpy() * 100).astype(np.int64)
-        return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "run_sum_c": rs})
+    def run_part(t: pa.Table) -> pa.Table:
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+            )
+        )
+        uid = t["user_id"].to_numpy()
+        v = t["value"].to_numpy().astype(np.float64)
+        starts = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(starts) - 1
+        cs = np.cumsum(v)
+        sp = np.flatnonzero(starts)
+        base = cs[sp] - v[sp]
+        run = cs - base[seg]
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "run_sum_c": pa.array(np.rint(run * 100).astype(np.int64)),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(run, batch_format="pandas")
+    return _hash_partitioned(ds, "user_id", _npart()).map_groups(
+        run_part, batch_format="pyarrow"
+    )
+
+
+@ray.remote(num_cpus=1)
+def _build_asof_index(*blocks):
+    """Flattened as-of index over (o_custkey, o_orderdate): sorted
+    unique uids + per-uid segment offsets + a COMPOSITE sorted array
+    uid_rank*2^21 + day that makes the whole probe one searchsorted.
+    Built in a remote task — the small side never touches the driver."""
+    t = pa.concat_tables(blocks).combine_chunks()
+    uid = t["o_custkey"].to_numpy().astype(np.int64)
+    day = t["o_orderdate"].to_numpy().astype("datetime64[D]").view(np.int64)
+    if len(day) and (day.min() < 0 or day.max() >= (1 << 21)):
+        raise ValueError("asof index: day out of composite range [0, 2^21)")
+    order = np.lexsort((day, uid))
+    uid, day = uid[order], day[order]
+    uids, starts = np.unique(uid, return_index=True)
+    offsets = np.r_[starts, len(uid)].astype(np.int64)
+    r_flat = np.repeat(np.arange(len(uids), dtype=np.int64), np.diff(offsets))
+    comp = r_flat * (1 << 21) + day
+    return uids, offsets, comp, day
 
 
 def w3_asof_join(sf: str):
     """As-of join: for each event, the latest order of the same user
-    (user_id = o_custkey) with o_orderdate <= ts. Implemented as the
-    bucketed merge_asof pattern (ray_guide "As-of / range join"): hash
-    the small side into a broadcast per-key sorted index, probe per
-    batch with numpy searchsorted — no shuffle. Output ts_order is the
+    (user_id = o_custkey) with o_orderdate <= ts. Broadcast flattened
+    index (built in a remote task) + one vectorized composite
+    searchsorted per batch — no shuffle, no per-row Python. The
+    day-granularity compare is exact: o_orderdate is a midnight date,
+    so date <= ts  ⟺  day(date) <= day(ts). Output ts_order is the
     matched order DATE (keys can tie on date; the date itself is
     deterministic where an arbitrary orderkey would not be)."""
-    orders = read_table(sf, "orders", ["o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders.sort_values(["o_custkey", "o_orderdate"])
-    idx = {
-        int(k): g["o_orderdate"].to_numpy(dtype="datetime64[us]")
-        for k, g in orders.groupby("o_custkey")
-    }
-    ref = ray.put(idx)
+    blocks = (
+        read_table(sf, "orders", ["o_custkey", "o_orderdate"]).materialize().to_arrow_refs()
+    )
+    ref = _build_asof_index.remote(*blocks)
     events = read_table(sf, "events", ["event_id", "user_id", "ts"])
 
     def probe(t: pa.Table) -> pa.Table:
-        table = ray.get(ref)
-        out_date: list = []
-        ts = t["ts"].to_numpy()
-        for uid, ev_ts in zip(t["user_id"].to_numpy(), ts):
-            dates = table.get(int(uid))
-            if dates is None:
-                out_date.append(None)
-                continue
-            i = int(np.searchsorted(dates, ev_ts, side="right")) - 1
-            out_date.append(None if i < 0 else dates[i])
+        uids, offsets, comp, day = ray.get(ref)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ts_day = (
+            t["ts"].to_numpy().astype("datetime64[us]").astype("datetime64[D]").view(np.int64)
+        )
+        pos = np.searchsorted(uids, u)
+        posc = np.clip(pos, 0, max(len(uids) - 1, 0))
+        has = (pos < len(uids)) & (uids[posc] == u) if len(uids) else np.zeros(len(u), bool)
+        i = np.searchsorted(comp, posc * (1 << 21) + ts_day, side="right") - 1
+        valid = has & (i >= offsets[posc])
+        iv = np.clip(i, 0, max(len(day) - 1, 0))
+        dates = np.datetime_as_string(day[iv].astype("datetime64[D]"), unit="D") if len(day) else np.array([], str)
+        sarr = pa.array(dates.tolist() if len(day) else [""] * len(u), pa.string())
+        out = pc.if_else(pa.array(valid), sarr, pa.scalar(None, pa.string()))
         return pa.table(
-            {
-                "event_id": t["event_id"],
-                "user_id": t["user_id"],
-                "ts_order": pa.array(
-                    [None if d is None else str(np.datetime_as_string(d, unit="D")) for d in out_date],
-                    pa.string(),
-                ),
-            }
+            {"event_id": t["event_id"], "user_id": t["user_id"], "ts_order": out}
         )
 
     return events.map_batches(probe, batch_format="pyarrow")

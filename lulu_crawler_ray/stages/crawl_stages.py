@@ -162,10 +162,11 @@ class RobotsScopeFilter:
     rules, robots rules cached per host per actor (A4). Metrics are
     batched fire-and-forget increments to the named metrics actor."""
 
-    def __init__(self, cfg: CrawlConfig, metrics=None):
+    def __init__(self, cfg: CrawlConfig, metrics=None, wave: int = -1):
         self.cfg = cfg
         self.cache: dict[str, list] = {}
         self.metrics = metrics
+        self.wave = wave
 
     def _rules(self, host: str):
         r = self.cache.get(host)
@@ -203,7 +204,8 @@ class RobotsScopeFilter:
                 {
                     "out_of_scope": int((~scope).sum()),
                     "robots_blocked": int((scope & ~rob).sum()),
-                }
+                },
+                self.wave,
             )
         return t.filter(pa.array(mask))
 
@@ -218,7 +220,10 @@ class DedupClient:
     def __init__(self, shards: list, num_shards: int, ns: str):
         assert num_shards & (num_shards - 1) == 0, "num_shards must be a power of 2"
         self.shards = shards
-        self.shift = np.uint64(64 - (num_shards.bit_length() - 1))
+        self.num_shards = num_shards
+        # num_shards == 1 would need shift 64 — C-level UB on uint64 —
+        # so single-shard routing is special-cased to sid = 0
+        self.shift = np.uint64(64 - (num_shards.bit_length() - 1)) if num_shards > 1 else None
         self.ns = ns
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -226,8 +231,11 @@ class DedupClient:
 
         if t.num_rows == 0:
             return t
-        hh = t["host_hash"].to_numpy().astype(np.uint64)
-        sid = (hh >> self.shift).astype(np.int64)
+        if self.shift is None:
+            sid = np.zeros(t.num_rows, np.int64)
+        else:
+            hh = t["host_hash"].to_numpy().astype(np.uint64)
+            sid = (hh >> self.shift).astype(np.int64)
         keys = t["url_sha1"].to_pylist()
         mask = np.zeros(t.num_rows, bool)
         futs, idxs = [], []
@@ -315,9 +323,10 @@ class ImageFetcher:
     (image_id, bytes, w, h, fmt, caption, phash). Decode failures are
     dropped and counted (M10)."""
 
-    def __init__(self, cfg: CrawlConfig, metrics=None):
+    def __init__(self, cfg: CrawlConfig, metrics=None, wave: int = -1):
         self.cfg = cfg
         self.metrics = metrics
+        self.wave = wave
 
     def __call__(self, t: pa.Table) -> pa.Table:
         cols: dict[str, list] = {f.name: [] for f in schemas.IMAGE_TABLE}
@@ -344,7 +353,7 @@ class ImageFetcher:
             cols["caption"].append(caption)
             cols["phash"].append(ph)
         if dropped and self.metrics is not None:
-            self.metrics.incr.remote({"image_dropped": dropped})
+            self.metrics.incr.remote({"image_dropped": dropped}, self.wave)
         return pa.Table.from_pydict(
             {f.name: pa.array(cols[f.name], f.type) for f in schemas.IMAGE_TABLE},
             schema=schemas.IMAGE_TABLE,

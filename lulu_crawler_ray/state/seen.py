@@ -51,18 +51,22 @@ class SeenShard:
         """For each key: True (first sighting, now marked seen) or False
         (already seen). Exact — a VECTORIZED cuckoo screen resolves the
         (typical) definitely-new majority in one pass; only
-        filter-positive keys touch the exact store."""
+        filter-positive keys touch the exact store. Duplicate keys
+        WITHIN one call are handled exactly too (the screen is computed
+        before any insert, so a per-call set tracks same-batch admits)."""
         filt, exact = self._ns(ns)
         delta = self._delta.setdefault(ns, [])
         maybe = filt.contains_many_np(keys)
         out = []
+        batch_new: set[bytes] = set()
         for k, m in zip(keys, maybe):
-            if m and k in exact:  # cuckoo positive -> confirm exactly
+            if (m and k in exact) or k in batch_new:
                 out.append(False)
             else:
                 filt.add(k)
                 exact.add(k)
                 delta.append(k)
+                batch_new.add(k)
                 out.append(True)
         return out
 
