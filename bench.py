@@ -23,6 +23,7 @@ import os
 import shutil
 import sys
 import time
+from lulu_crawler_ray.state.seen import load_seen
 
 
 def _crawl_bench(out_root: str) -> dict:
@@ -44,7 +45,7 @@ def _crawl_bench(out_root: str) -> dict:
     imgs = res["metrics"].get("images", 0)
     led = pads.dataset(f"{out}/ledger", format="parquet").to_table()
     led = led.take(pc.sort_indices(led, sort_keys=[("rank", "ascending")]))
-    seen = pads.dataset(f"{out}/seen.parquet", format="parquet").to_table()
+    seen = load_seen(out)
     imgs_n = pads.dataset(f"{out}/waves", format="parquet").count_rows()
     h = hashlib.sha256()
     h.update("".join(led["url"].to_pylist()).encode())

@@ -66,6 +66,9 @@ class CuckooFilter:
     # -- ops -------------------------------------------------------------
     def add(self, key: bytes) -> bool:
         fp, i1 = self._fp_and_index(key)
+        return self._add_fp(fp, i1)
+
+    def _add_fp(self, fp: int, i1: int) -> bool:
         i2 = self._alt_index(i1, fp)
         for i in (i1, i2):
             row = self.table[i]
@@ -87,6 +90,29 @@ class CuckooFilter:
                 self.size += 1
                 return True
         return False  # table effectively full
+
+    def add_many(self, keys: list[bytes]) -> None:
+        """Bulk insert of 20-byte keys — the checkpoint-restore fast
+        path. Bucket rows are dense-prefix by construction (add fills
+        the first empty slot, eviction swaps in place, no deletes), so
+        keys whose primary bucket has room scatter in ONE vectorized
+        pass (slot = occupancy + within-bucket position); only bucket-
+        overflow keys fall back to the per-key cuckoo walk."""
+        if not keys:
+            return
+        fp, i1 = self._fp_i1_many(keys)
+        order = np.argsort(i1, kind="stable")
+        fi, ii = fp[order].astype(np.uint16), i1[order]
+        starts = np.r_[True, ii[1:] != ii[:-1]]
+        gid = np.cumsum(starts) - 1
+        pos = np.arange(len(ii)) - np.flatnonzero(starts)[gid]
+        occ = (self.table[ii] != 0).sum(axis=1)
+        slot = occ + pos
+        ok = slot < 4
+        self.table[ii[ok], slot[ok]] = fi[ok]
+        self.size += int(ok.sum())
+        for j in np.flatnonzero(~ok):
+            self._add_fp(int(fi[j]), int(ii[j]))
 
     def __contains__(self, key: bytes) -> bool:
         fp, i1 = self._fp_and_index(key)

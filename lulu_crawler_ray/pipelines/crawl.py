@@ -155,13 +155,18 @@ def run_crawl(
     if prev_seal is not None:
         prev_seal()
 
-    # finalize: T5 seen dump (sorted url_sha1 across shards — shard ranges
-    # are ordered by host_hash, but T5 is sorted by sha1, so merge-sort)
-    seen = sorted(
-        k for ks in ray.get([s.dump_keys.remote("url") for s in shards]) for k in ks
+    # finalize: T5 seen dump — each shard spills its OWN sorted run in
+    # parallel; the keys never pass through the driver (the audit-time
+    # global sha1 sort lives in state.seen.load_seen, over result-sized
+    # data only). Shard layout: out/seen/shard-K.parquet.
+    t5dir = os.path.join(out_dir, "seen")
+    os.makedirs(t5dir, exist_ok=True)
+    ray.get(
+        [
+            s.dump_parquet.remote("url", os.path.join(t5dir, f"shard-{k}.parquet"))
+            for k, s in enumerate(shards)
+        ]
     )
-    t5 = pa.table({"url_sha1": pa.array(seen, pa.binary(20))}, schema=schemas.SEEN_DUMP)
-    pq.write_table(t5, os.path.join(out_dir, "seen.parquet"))
 
     snap = ray.get(metrics.snapshot.remote())
     snap.update(ranks=rank_base, waves=wave)

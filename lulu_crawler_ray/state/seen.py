@@ -78,8 +78,24 @@ class SeenShard:
         return len(self._exact.get(ns, ()))
 
     def dump_keys(self, ns: str) -> list[bytes]:
-        """Sorted key dump — the auditable T5 form."""
+        """Sorted key dump — small-scale/debug form (whole shard through
+        one RPC). The T5 finalize uses dump_parquet instead."""
         return sorted(self._exact.get(ns, ()))
+
+    def dump_parquet(self, ns: str, path: str) -> int:
+        """T5 spill: write this shard's keys, sorted by sha1, to its own
+        parquet file — the keys never pass through the driver (at 10^10
+        URLs the union is ~200 GB; per-shard spill keeps finalize
+        parallel and driver-memory-flat). Atomic via tmp+rename."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        keys = sorted(self._exact.get(ns, ()))
+        t = pa.table({"url_sha1": pa.array(keys, pa.binary(20))})
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return len(keys)
 
     # -- checkpoint (S5): INCREMENTAL — each wave's file holds only the
     # keys admitted since the previous checkpoint, so per-wave IO scales
@@ -111,10 +127,23 @@ class SeenShard:
             self.capacity = st["capacity"]
             for ns, (n, blob) in st["delta"].items():
                 filt, exact = self._ns(ns)
-                for i in range(n):
-                    k = blob[i * 20 : (i + 1) * 20]
-                    filt.add(k)
-                    exact.add(k)
+                keys = [blob[i * 20 : (i + 1) * 20] for i in range(n)]
+                exact.update(keys)
+                filt.add_many(keys)  # vectorized bulk insert
+
+
+def load_seen(out_dir: str):
+    """Audit reader for the T5 spill: the sha1-sorted union of the
+    per-shard files under ``out_dir``/seen/. Shards partition by
+    host_hash (NOT sha1), so the global sha1 order needs a merge — done
+    eagerly here because audits run at result scale; a 10^10-key audit
+    would instead compare per-shard files pairwise (the shard layout is
+    a pure function of (key, num_shards)) or run a distributed sort."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(out_dir, "seen"), format="parquet").to_table()
+    return t.take(pc.sort_indices(t, sort_keys=[("url_sha1", "ascending")]))
 
 
 def shard_of(host_hash: int, num_shards: int) -> int:

@@ -11,6 +11,7 @@ import pytest
 from lulu_crawler_ray.config import CrawlConfig, seed_urls
 from lulu_crawler_ray.functions.imagecodec import decode
 from lulu_crawler_ray.pipelines.oracle import run_oracle
+from lulu_crawler_ray.state.seen import load_seen
 
 CFGS = [
     CrawlConfig(seed=42, budget=4, max_depth=3, max_urls=1000, n_hosts=20, num_shards=4),
@@ -32,7 +33,7 @@ def _engine_outputs(tmp_path, cfg, n_seeds, ray_session, resume=False, out=None)
     out = out or str(tmp_path / "crawl")
     run_crawl(seed_urls(cfg, n_seeds), cfg, out, resume=resume)
     ledger = _read_sorted(f"{out}/ledger", ["rank"])
-    seen = pads.dataset(f"{out}/seen.parquet", format="parquet").to_table()
+    seen = load_seen(out)
     images = _read_sorted(f"{out}/waves", ["image_id"])
     return ledger, seen, images
 

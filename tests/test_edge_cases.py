@@ -6,6 +6,7 @@ import pytest
 
 from lulu_crawler_ray.config import CrawlConfig, seed_urls
 from lulu_crawler_ray.pipelines.oracle import run_oracle
+from lulu_crawler_ray.state.seen import load_seen
 
 
 def _run_both(tmp_path, cfg, seeds, ray_session):
@@ -21,7 +22,7 @@ def test_no_seeds(tmp_path, ray_session):
     cfg = CrawlConfig(seed=1, budget=2, max_depth=3, max_urls=100, n_hosts=5, num_shards=2)
     oracle, res, out = _run_both(tmp_path, cfg, [], ray_session)
     assert res["metrics"]["ranks"] == 0 == len(oracle.ledger)
-    seen = pads.dataset(f"{out}/seen.parquet", format="parquet").to_table()
+    seen = load_seen(out)
     assert seen.num_rows == 0
 
 
@@ -37,7 +38,7 @@ def test_single_seed_zero_depth(tmp_path, ray_session):
     oracle, res, out = _run_both(tmp_path, cfg, seed_urls(cfg, 1), ray_session)
     # wave == max_depth == 0 → nothing fetched, but the seed IS seen
     assert res["metrics"]["ranks"] == 0 == len(oracle.ledger)
-    seen = pads.dataset(f"{out}/seen.parquet", format="parquet").to_table()
+    seen = load_seen(out)
     assert seen["url_sha1"].to_pylist() == sorted(oracle.seen)
     assert seen.num_rows == 1
 

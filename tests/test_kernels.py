@@ -194,3 +194,38 @@ def test_image_table_io_fallback():
     from lulu_crawler_ray.sources import image_table
 
     assert image_table.LANCE_AVAILABLE is False
+
+
+def test_cuckoo_add_many_equals_add():
+    """Bulk insert (restore fast path) must preserve the zero-false-
+    negative contract and agree with per-key add on membership."""
+    import hashlib as _h
+
+    keys = [_h.sha1(str(i).encode()).digest() for i in range(5000)]
+    a = CuckooFilter(8192, seed=3)
+    for k in keys:
+        a.add(k)
+    b = CuckooFilter(8192, seed=3)
+    b.add_many(keys)
+    assert b.size == len(keys)
+    m = b.contains_many_np(keys)
+    assert m.all()  # no false negatives
+    # dense-prefix invariant survives bulk insert
+    import numpy as np
+
+    occ = b.table != 0
+    assert (np.diff(occ.astype(int), axis=1) <= 0).all()
+
+
+def test_cuckoo_add_many_into_loaded_filter():
+    """Bulk insert on top of an already-populated filter (delta-chain
+    replay shape) keeps earlier and later keys both present."""
+    import hashlib as _h
+
+    first = [_h.sha1(f"a{i}".encode()).digest() for i in range(2000)]
+    second = [_h.sha1(f"b{i}".encode()).digest() for i in range(2000)]
+    f = CuckooFilter(8192, seed=4)
+    f.add_many(first)
+    f.add_many(second)
+    assert f.contains_many_np(first).all()
+    assert f.contains_many_np(second).all()

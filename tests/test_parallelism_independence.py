@@ -19,12 +19,13 @@ def _run(ncpu: int, out: str) -> str:
         DataContext.get_current().enable_progress_bars = False
         from lulu_crawler_ray.config import CrawlConfig, seed_urls
         from lulu_crawler_ray.pipelines.crawl import run_crawl
+        from lulu_crawler_ray.state.seen import load_seen
         cfg = CrawlConfig(seed=21, budget=4, max_depth=3, max_urls=800,
                           n_hosts=15, num_shards=4)
         run_crawl(seed_urls(cfg, 8), cfg, {out!r})
         led = pads.dataset({out!r} + "/ledger", format="parquet").to_table()
         led = led.take(pc.sort_indices(led, sort_keys=[("rank", "ascending")]))
-        seen = pads.dataset({out!r} + "/seen.parquet", format="parquet").to_table()
+        seen = load_seen({out!r})
         h = hashlib.sha256()
         h.update("".join(led["url"].to_pylist()).encode())
         for k in seen["url_sha1"].to_pylist():

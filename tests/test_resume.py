@@ -13,6 +13,7 @@ import pyarrow.compute as pc
 
 from lulu_crawler_ray.config import CrawlConfig, seed_urls
 from lulu_crawler_ray.pipelines.oracle import run_oracle
+from lulu_crawler_ray.state.seen import load_seen
 
 CFG = CrawlConfig(seed=11, budget=3, max_depth=4, max_urls=500, n_hosts=12, num_shards=4)
 N_SEEDS = 8
@@ -21,7 +22,7 @@ N_SEEDS = 8
 def _collect(out):
     led = pads.dataset(f"{out}/ledger", format="parquet").to_table()
     led = led.take(pc.sort_indices(led, sort_keys=[("rank", "ascending")]))
-    seen = pads.dataset(f"{out}/seen.parquet", format="parquet").to_table()
+    seen = load_seen(out)
     imgs = pads.dataset(f"{out}/waves", format="parquet").to_table()
     imgs = imgs.take(pc.sort_indices(imgs, sort_keys=[("image_id", "ascending")]))
     return led, seen, imgs
@@ -39,7 +40,7 @@ def test_kill_and_resume(tmp_path, ray_session):
     # clone the straight run, then "kill" it after wave k=1 sealed:
     kill = str(tmp_path / "killed")
     shutil.copytree(straight, kill)
-    os.remove(f"{kill}/seen.parquet")
+    shutil.rmtree(f"{kill}/seen")
     os.remove(f"{kill}/metrics.json")
     for d in sorted(os.listdir(f"{kill}/ckpt")):
         w = int(d.split("=")[1])

@@ -9,6 +9,7 @@ from lulu_crawler_ray.functions.robots import allowed
 from lulu_crawler_ray.pipelines.oracle import run_oracle
 from lulu_crawler_ray.sources import robots_table
 from lulu_crawler_ray.sources.seeds import read_seed_list
+from lulu_crawler_ray.state.seen import load_seen
 
 
 def test_read_seed_list_text(tmp_path):
@@ -92,7 +93,7 @@ def test_crawl_analytics_and_distributed_fallback(tmp_path, ray_session):
     led = pads.dataset(f"{out}/ledger", format="parquet").to_table()
     led = led.take(pc.sort_indices(led, sort_keys=[("rank", "ascending")]))
     assert led["url"].to_pylist() == [r["url"] for r in oracle.ledger]
-    seen = pads.dataset(f"{out}/seen.parquet", format="parquet").to_table()
+    seen = load_seen(out)
     assert seen["url_sha1"].to_pylist() == sorted(oracle.seen)
 
     hc = host_counts(out)
