@@ -59,6 +59,12 @@ class CrawlConfig:
     dedup_batch_size: int = 4096
     fetch_concurrency: int = 4
     num_partitions: int = 16
+    # hot-domain splitting (SURVEY.md §4.3.2): a host whose per-wave
+    # candidate count exceeds this gets its top-B selection split
+    # round-robin across num_partitions sub-groups (distributed
+    # selection path only — the driver fast path is already one task).
+    # Order-neutral: the split is a pure function of (count, seq).
+    hot_host_threshold: int = 10_000
 
     def priority(self, depth: int) -> int:
         """Pluggable priority function (SURVEY.md §2 op U2); default 0:

@@ -62,28 +62,19 @@ def _count_rows(t: pa.Table) -> int:
     return t.num_rows
 
 
-@ray.remote
-def _add_rank(t: pa.Table, base: int, wave: int) -> pa.Table:
-    """Adds the contiguous rank and stamps the FETCH wave (a deferred
-    row's `wave` column still holds its admission wave)."""
-    t = t.set_column(
-        t.schema.get_field_index("wave"), "wave", pa.array([wave] * t.num_rows, pa.int32())
-    )
-    return t.append_column("rank", pa.array(np.arange(base, base + t.num_rows), pa.int64()))
-
-
-def _assign_ranks(admitted: ray.data.Dataset, base: int, wave: int) -> tuple[list, int]:
-    """Global contiguous rank over a sorted Dataset — the one operation
-    the Dataset API can't express (zipWithIndex): block refs in sorted
-    order + per-block offsets computed from row counts; rows never touch
-    the driver (SURVEY.md §3.1)."""
-    refs = admitted.to_arrow_refs()
-    counts = ray.get([_count_rows.remote(r) for r in refs])
-    refs = [r for r, c in zip(refs, counts) if c > 0]  # empty sort blocks have no schema
-    counts = [c for c in counts if c > 0]
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1] if counts else []]) + base
-    ranked = [_add_rank.remote(r, int(off), wave) for r, off in zip(refs, offsets)]
-    return ranked, int(sum(counts))
+@ray.remote(num_cpus=1)
+def _gather_seq_rank(rank_base: int, *blocks):
+    """(admitted seq sorted, aligned ranks) from the blocks of the
+    globally-sorted admitted dataset — the zipWithIndex the Dataset API
+    can't express, reduced to seq/rank int64 arrays (16 B per admitted
+    row, bounded per wave by budget x hosts) living in the object
+    store; rows never touch the driver (SURVEY.md §3.1)."""
+    if not blocks:
+        return np.array([], np.int64), np.array([], np.int64)
+    seqs = np.concatenate([b["seq"].to_numpy() for b in blocks])
+    ranks = np.arange(rank_base, rank_base + len(seqs), dtype=np.int64)
+    by = np.argsort(seqs)
+    return seqs[by], ranks[by]
 
 
 def _frontier_count(path: str) -> int:
@@ -233,7 +224,7 @@ def _select_and_rank(frontier, cfg, rank_base, wave):
     blocks = [r for r, c in zip(blocks, counts) if c > 0]  # empty blocks lose schema
     n_cand = sum(counts)
     if n_cand > cfg.driver_select_max:
-        return _select_distributed(frontier, cfg, rank_base, wave)
+        return _select_distributed(frontier, cfg, rank_base, wave, cand_cols)
 
     # finalize in ONE remote task (pyarrow C++ multi-threaded sort over
     # the pruned candidate columns — rows never touch the driver; the
@@ -242,6 +233,14 @@ def _select_and_rank(frontier, cfg, rank_base, wave):
         budget, cfg.max_urls - rank_base, rank_base, *blocks
     )
     n_admitted = ray.get(n_ref)
+    return _selection_outputs(frontier, ref, wave) + (n_admitted,)
+
+
+def _selection_outputs(frontier, ref, wave):
+    """(ranked_factory, deferred) from a broadcast (adm_seq_sorted,
+    ranks_aligned) ref — shared by both selection paths. seq values are
+    globally unique, so admitted membership and rank attach are both
+    one vectorized searchsorted per batch."""
 
     def attach_rank(t: pa.Table) -> pa.Table:
         aseq, arank = ray.get(ref)
@@ -268,32 +267,77 @@ def _select_and_rank(frontier, cfg, rank_base, wave):
 
     ranked = lambda: frontier.map_batches(attach_rank, batch_format="pyarrow")
     deferred = frontier.map_batches(drop_admitted, batch_format="pyarrow")
-    return ranked, deferred, n_admitted
+    return ranked, deferred
 
 
-def _select_distributed(frontier, cfg, rank_base, wave):
-    """Fallback for waves whose candidate set exceeds the driver budget:
-    per-host top-B via a SALTED two-stage groupby (M11 — a mega-host's
-    candidates first reduce under (host, salt) across many reducers,
-    then the per-host finalizer sees ≤ B×n_salts rows; exact because
-    top-B of per-salt top-Bs == top-B), global order via a
-    range-partitioned sort, ranks via the block-offset zipWithIndex."""
+def _hot_hosts(cand_cols, threshold: int) -> list[str]:
+    """Per-host candidate counts (per-batch pyarrow group_by partials ->
+    tiny grouped Sum) -> hosts above ``threshold`` — the G1-driven hot
+    set of SURVEY.md §4.3.2. The driver holds only the hot NAMES
+    (≤ n_candidates/threshold entries), never the counts table."""
+    if threshold <= 0:
+        return []
+    from ray.data.aggregate import Sum
+
+    def cnt(t: pa.Table) -> pa.Table:
+        out = pa.table({"host": t["host"]}).group_by(["host"]).aggregate([("host", "count")])
+        return out.rename_columns(["host", "n"])
+
+    agg = cand_cols.map_batches(cnt, batch_format="pyarrow").groupby("host").aggregate(
+        Sum("n", alias_name="n")
+    )
+    hot: list[str] = []
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for i in np.flatnonzero(b["n"].to_numpy() > threshold):
+            hot.append(b["host"][int(i)].as_py())
+    return sorted(hot)
+
+
+def _salt_candidates(t: pa.Table, hot_arr, n_salts: int) -> pa.Table:
+    """Attach the hot-domain split key: salt = hash(seq) % n_salts for
+    rows of a hot host — a Fibonacci multiplicative hash, not seq %
+    n_salts, because real seqs are structured ((rank+1)*link_bound + j)
+    and a plain modulus aliases onto few groups. Cold hosts keep salt 0
+    (single group, no extra pass). Pure function of (hot set, seq) —
+    order-neutral (§3.2.4)."""
+    if hot_arr is None or len(hot_arr) == 0:
+        salt = np.zeros(t.num_rows, np.int32)
+    else:
+        hosts = np.asarray(t["host"].to_pylist(), dtype=object)
+        ishot = np.isin(hosts, hot_arr)
+        h = (t["seq"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)
+        salt = np.where(ishot, h % np.uint64(n_salts), 0).astype(np.int32)
+    return t.append_column("salt", pa.array(salt))
+
+
+def _select_distributed(frontier, cfg, rank_base, wave, cand_cols):
+    """Fallback for waves whose candidate set exceeds the driver budget,
+    with explicit HOT-DOMAIN SPLITTING (BASELINE.json:6 "explicit skew
+    mitigation (hot-domain splitting, salted shuffle)"; SURVEY.md
+    §4.3.2): hosts whose candidate count exceeds cfg.hot_host_threshold
+    get their per-host top-B split round-robin (salt = seq % n_salts)
+    across n_salts groups, each reduced in its own task, then finalized
+    per host over ≤ B×n_salts rows — exact because top-B of per-salt
+    top-Bs == top-B, and order-preserving because the split is a pure
+    function of (count, seq), never of placement (§3.2.4). Cold hosts
+    skip the split (salt=0, single group). Global order via a
+    range-partitioned sort over the PRUNED candidate columns; ranks
+    and the deferred filter via the shared seq broadcast."""
     budget = cfg.budget
     n_salts = cfg.num_partitions
+    hot = _hot_hosts(cand_cols, cfg.hot_host_threshold)
+    hot_ref = ray.put(np.array(hot, dtype=object)) if hot else None
 
     def add_salt(t: pa.Table) -> pa.Table:
-        salt = (t["seq"].to_numpy() % n_salts).astype(np.int32)
-        return t.append_column("salt", pa.array(salt))
-
-    cand = (
-        frontier.map_batches(
-            lambda t: st.topb_per_host(t, budget), batch_format="pyarrow"
+        return _salt_candidates(
+            t, None if hot_ref is None else ray.get(hot_ref), n_salts
         )
-        .map_batches(add_salt, batch_format="pyarrow")
+
+    pre = (
+        cand_cols.map_batches(add_salt, batch_format="pyarrow")
         .repartition(cfg.num_partitions)
-    )
-    pre = cand.groupby(["host", "salt"]).map_groups(
-        lambda g: st.topb_per_host(g, budget), batch_format="pyarrow"
+        .groupby(["host", "salt"])
+        .map_groups(lambda g: st.topb_per_host(g, budget), batch_format="pyarrow")
     )
     admitted_ds = (
         pre.drop_columns(["salt"])
@@ -303,30 +347,12 @@ def _select_distributed(frontier, cfg, rank_base, wave):
     admitted_ds = admitted_ds.sort(["host_hash", "host", "priority", "seq"]).limit(
         cfg.max_urls - rank_base
     )
-    ranked_refs, n_admitted = _assign_ranks(admitted_ds, rank_base, wave)
-
-    # seq values are globally unique, so the admitted set broadcasts as
-    # ONE sorted int64 array (8 B/row) and the drop filter is a
-    # vectorized searchsorted — same mechanism as the driver fast path
-    @ray.remote
-    def _seqs(t: pa.Table) -> np.ndarray:
-        return t["seq"].to_numpy()
-
-    admitted_seq = ray.put(
-        np.sort(np.concatenate(ray.get([_seqs.remote(r) for r in ranked_refs]) or [np.array([], np.int64)]))
-    )
-
-    def drop_admitted(t: pa.Table) -> pa.Table:
-        aseq = ray.get(admitted_seq)
-        s = t["seq"].to_numpy()
-        if len(aseq) == 0:
-            return t
-        idx = np.clip(np.searchsorted(aseq, s), 0, len(aseq) - 1)
-        return t.filter(pa.array(aseq[idx] != s))
-
-    deferred = frontier.map_batches(drop_admitted, batch_format="pyarrow")
-    ranked = lambda: ray.data.from_arrow_refs(list(ranked_refs))
-    return ranked, deferred, n_admitted
+    refs = admitted_ds.to_arrow_refs()
+    counts = ray.get([_count_rows.remote(r) for r in refs])
+    refs = [r for r, c in zip(refs, counts) if c > 0]  # empty sort blocks lose schema
+    n_admitted = int(sum(counts))
+    ref = _gather_seq_rank.remote(rank_base, *refs)
+    return _selection_outputs(frontier, ref, wave) + (n_admitted,)
 
 
 def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:

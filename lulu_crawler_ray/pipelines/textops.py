@@ -174,45 +174,54 @@ class MinHasher:
         )
 
 
+@ray.remote(num_cpus=1)
+def _band_pairs_task(*blocks):
+    """Finalize LSH bucketing in ONE remote task (band rows fit the
+    task budget): sort by (band, band_hash, doc_id), chain in-bucket
+    pairs, distinct across bands — rows never touch the driver."""
+    if not blocks:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    t = pa.concat_tables(blocks).combine_chunks()
+    idx = pc.sort_indices(
+        t, sort_keys=[("band", "ascending"), ("band_hash", "ascending"), ("doc_id", "ascending")]
+    )
+    srt = t.take(idx)
+    bh = srt["band_hash"].combine_chunks()
+    nn = len(bh)
+    new_bucket = np.r_[
+        True,
+        pc.not_equal(bh.slice(1), bh.slice(0, nn - 1)).to_numpy(zero_copy_only=False)
+        | (np.diff(srt["band"].to_numpy()) != 0),
+    ]
+    ids = srt["doc_id"].to_numpy()
+    cont = ~new_bucket  # chain pair (ids[i-1], ids[i]) continues a bucket
+    pairs = pa.table({"a": pa.array(ids[np.flatnonzero(cont) - 1]), "b": pa.array(ids[cont])})
+    return pairs.group_by(["a", "b"]).aggregate([])  # distinct across bands
+
+
 def minhash_candidate_pairs(
     docs: ray.data.Dataset, concurrency: int = 2, driver_max: int = 5_000_000
-):
-    """documents(doc_id, text) -> candidate near-dup pairs (a, b) via
-    MinHash LSH: shingle -> signature -> band rows -> bucket-group ->
+) -> ray.data.Dataset:
+    """documents(doc_id, text) -> candidate near-dup pair DATASET (a, b)
+    via MinHash LSH: shingle -> signature -> band rows -> bucket-group ->
     chain pairs (a bucket of n docs yields n-1 chained pairs, not n² —
     union-find closes them transitively). Band rows are tiny (int32,
-    16-char hash, int64), so bucketing is a single vectorized sort:
-    driver-side under ``driver_max`` rows, a bucket groupby above it.
-    The bucket key is uniformly distributed — no skew salt needed."""
+    16-char hash, int64), so bucketing is a single vectorized sort in
+    one remote task under ``driver_max`` rows, a bucket groupby above
+    it; in both paths the pair set stays in the object store (the
+    round-1 driver .to_pandas() is gone). Pairs are distinct."""
     bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=concurrency)
 
-    parts, n, small = [], 0, True
-    for b in bands.iter_batches(batch_format="pyarrow", batch_size=262144):
-        n += b.num_rows
-        if n > driver_max:
-            small = False
-            break
-        parts.append(b)
-    if small:
-        if not parts:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
-        t = pa.concat_tables(parts).combine_chunks()
-        idx = pc.sort_indices(
-            t, sort_keys=[("band", "ascending"), ("band_hash", "ascending"), ("doc_id", "ascending")]
-        )
-        srt = t.take(idx)
-        bh = srt["band_hash"].combine_chunks()
-        nn = len(bh)
-        new_bucket = np.r_[
-            True,
-            pc.not_equal(bh.slice(1), bh.slice(0, nn - 1)).to_numpy(zero_copy_only=False)
-            | (np.diff(srt["band"].to_numpy()) != 0),
-        ]
-        ids = srt["doc_id"].to_numpy()
-        # chain pair (ids[i-1], ids[i]) wherever row i continues a bucket
-        cont = ~new_bucket
-        return pd.DataFrame({"a": ids[np.flatnonzero(cont) - 1], "b": ids[cont]})
+    blocks = bands.materialize().to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in blocks])
+    blocks = [r for r, c in zip(blocks, counts) if c > 0]
+    if sum(counts) <= driver_max:
+        return ray.data.from_arrow_refs([_band_pairs_task.remote(*blocks)])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
@@ -220,60 +229,93 @@ def minhash_candidate_pairs(
             return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
         return pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
 
-    return (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
+    raw = bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # distinct across bands (pair rows are tiny)
+    return raw.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
 
 
 def t_minhash_pairs(sf: str):
     docs = read_table(sf, "documents", ["doc_id", "text"])
-    cand = minhash_candidate_pairs(docs)
-    # dedup identical pairs from different bands (tiny result)
-    return pa.Table.from_pandas(
-        cand.drop_duplicates().sort_values(["a", "b"]), preserve_index=False
+    return minhash_candidate_pairs(docs).sort(["a", "b"])
+
+
+def near_dedup_minhash(
+    docs: ray.data.Dataset, threshold: float = 0.7, num_partitions: int = 16
+):
+    """Full near-dedup: LSH candidates -> DISTRIBUTED exact Jaccard
+    verify -> connected components -> keep min doc_id per cluster.
+
+    The verify stage is Dataset-native (round-1 built a driver-side
+    shingle dict over every candidate doc): broadcast the pair-touched
+    id set (8 B/id), compute sorted-unique shingle arrays for exactly
+    those docs in map_batches, hash-join them onto the pair list (two
+    small shuffles over candidate-sized data), and evaluate Jaccard
+    per pair inside map_batches. Only the VERIFIED pairs (small) reach
+    connected_components, which itself falls back to distributed label
+    propagation above its pair threshold."""
+    pairs = minhash_candidate_pairs(docs).materialize()
+
+    ids: list[np.ndarray] = []
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=262144):
+        ids.append(b["a"].to_numpy())
+        ids.append(b["b"].to_numpy())
+    idarr = np.unique(np.concatenate(ids)) if ids else np.array([], np.int64)
+    if len(idarr) == 0:
+        return docs.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    idref = ray.put(idarr)
+
+    def sh(t: pa.Table) -> pa.Table:
+        m = np.isin(t["doc_id"].to_numpy(), ray.get(idref))
+        t = t.filter(pa.array(m))
+        # sorted-unique shingles packed as a binary blob per doc (acero
+        # hash joins carry binary payloads but not list columns)
+        arrs = [
+            np.unique(np.fromiter(tx.shingles(s), np.uint64))
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sh": pa.array([a.tobytes() for a in arrs], pa.binary()),
+            }
+        )
+
+    shingles = docs.map_batches(sh, batch_format="pyarrow").materialize()
+    sh_a = shingles.map_batches(
+        lambda t: t.rename_columns(["__a", "sh_a"]), batch_format="pyarrow"
     )
+    sh_b = shingles.map_batches(
+        lambda t: t.rename_columns(["__b", "sh_b"]), batch_format="pyarrow"
+    )
+    # chained hash joins deadlock when both aggregator pools outsize the
+    # cluster: cap partitions at the CPU count and MATERIALIZE between
+    # the two joins so the first pool releases before the second spawns
+    nparts = max(2, min(num_partitions, int(ray.cluster_resources().get("CPU", 8))))
+    j = pairs.join(
+        sh_a, join_type="inner", num_partitions=nparts, on=("a",), right_on=("__a",)
+    ).materialize()
+    j = j.join(sh_b, join_type="inner", num_partitions=nparts, on=("b",), right_on=("__b",))
 
-
-def near_dedup_minhash(docs: ray.data.Dataset, threshold: float = 0.7):
-    """Full near-dedup: LSH candidates -> exact Jaccard verify ->
-    connected components (union-find on the driver over the verified
-    pair set, which is small relative to the corpus) -> keep min doc_id
-    per cluster. Returns (kept_doc_ids table, clusters dict)."""
-    cand_pd = minhash_candidate_pairs(docs).drop_duplicates()
-    ids = sorted(set(cand_pd["a"]) | set(cand_pd["b"])) if len(cand_pd) else []
-    shingle_map = {}
-    if ids:
-        idset = set(ids)
-
-        def sh(t: pa.Table) -> pa.Table:
-            rows = [
-                (d, list(tx.shingles(s)))
-                for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
-                if d in idset
-            ]
-            return pa.table(
-                {
-                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-                    "sh": pa.array([r[1] for r in rows], pa.list_(pa.uint64())),
-                }
-            )
-
-        for b in docs.map_batches(sh, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=4096
+    def verify(t: pa.Table) -> pa.Table:
+        ka, kb = [], []
+        for a, b, sa, sb in zip(
+            t["a"].to_pylist(), t["b"].to_pylist(), t["sh_a"].to_pylist(), t["sh_b"].to_pylist()
         ):
-            for d, s in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
-                shingle_map[d] = set(s)
+            sa = np.frombuffer(sa, np.uint64)
+            sb = np.frombuffer(sb, np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            uni = sa.size + sb.size - inter
+            if uni and inter / uni >= threshold:
+                ka.append(a)
+                kb.append(b)
+        return pa.table({"a": pa.array(ka, pa.int64()), "b": pa.array(kb, pa.int64())})
 
-    verified = [
-        (int(a), int(b))
-        for a, b in zip(cand_pd.get("a", []), cand_pd.get("b", []))
-        if tx.jaccard(shingle_map[int(a)], shingle_map[int(b)]) >= threshold
-    ]
+    verified = j.map_batches(verify, batch_format="pyarrow").to_pandas()
     from .components import connected_components
 
-    comp = connected_components(pd.DataFrame(verified, columns=["a", "b"]))
+    comp = connected_components(verified)
     drop = {x for x, root in comp.items() if root != x}
     ref = ray.put(np.array(sorted(drop), np.int64))
 
