@@ -178,11 +178,52 @@ def e_lsh_ann(sf: str, k: int = 10, n_queries: int = 3, dim: int = 64):
     )
 
 
-def e_cosine_neardup(sf: str, threshold: float = 0.45):
+def _cosine_group_pairs(
+    ids: np.ndarray, m: np.ndarray, threshold: float, hot_threshold: int
+):
+    """All (a, b) with cosine > threshold inside one label group. Small
+    groups: dense matmul. HOT groups (> hot_threshold rows) switch to
+    hyperplane-LSH blocking inside the group (L tables x k planes;
+    dense pairwise only within (table, bucket), every emitted pair
+    cosine-VERIFIED): no false positives; recall < 1 is the documented
+    trade above the guard — one hot label no longer costs O(n²)."""
+    import pandas as pd
+
+    n = len(ids)
+    if n <= hot_threshold:
+        s = m @ m.T
+        iu = np.triu_indices(n, 1)
+        hit = s[iu] > threshold
+        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+    hasher = HyperplaneHasher(m.shape[1], n_planes=8, n_tables=6, seed=17)
+    bk = hasher.buckets_of(m)  # (n, L)
+    out = []
+    for tcol in range(bk.shape[1]):
+        col = bk[:, tcol]
+        order = np.argsort(col, kind="stable")
+        ss = col[order]
+        starts = np.r_[0, np.flatnonzero(ss[1:] != ss[:-1]) + 1, n]
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            if hi - lo >= 2:
+                sel = order[lo:hi]
+                s = m[sel] @ m[sel].T
+                iu = np.triu_indices(len(sel), 1)
+                hit = s[iu] > threshold
+                a, b = ids[sel][iu[0][hit]], ids[sel][iu[1][hit]]
+                out.append(pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)}))
+    if not out:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
+    return pd.concat(out).drop_duplicates()
+
+
+def e_cosine_neardup(sf: str, threshold: float = 0.45, hot_group_threshold: int = 4096):
     """Embedding-cosine near-dup pairs above threshold, restricted to
     same-label blocks (blocking keeps the pairwise work per group
     tractable; cross-label near-dups are out of contract by design).
-    Output (a, b) with a < b."""
+    Hot label groups are contained by in-group hyperplane blocking
+    (_cosine_group_pairs). Output (a, b) with a < b."""
     import pandas as pd
 
     ds = read_table(sf, "embeddings", ["vec_id", "embedding", "label"])
@@ -190,12 +231,7 @@ def e_cosine_neardup(sf: str, threshold: float = 0.45):
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy().astype(np.int64)
         m = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
-        s = m @ m.T
-        iu = np.triu_indices(len(ids), 1)
-        hit = s[iu] > threshold
-        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo, "b": hi})
+        return _cosine_group_pairs(ids, m, threshold, hot_group_threshold)
 
     out = ds.groupby("label").map_groups(pairs, batch_format="pandas").to_pandas()
     out = out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -45,15 +45,65 @@ def fixture_dataset(n_rows: int, seed: int = 42, parallelism: int = 8) -> ray.da
     return ray.data.from_arrow(build_image_fixture(n_rows, seed)).repartition(parallelism)
 
 
-def phash_near_pairs(images: ray.data.Dataset, max_hamming: int = 8) -> pd.DataFrame:
+def _bucket_pairs(
+    ids: np.ndarray, ph: np.ndarray, max_hamming: int, hot_threshold: int
+) -> pd.DataFrame:
+    """All pairs with hamming(phash) <= max_hamming within one band
+    bucket. Small buckets: dense pairwise (vectorized popcount). HOT
+    buckets (> hot_threshold rows — e.g. the flat-image phash) switch
+    to SECOND-LEVEL banding: split the 64-bit hash into k = max_hamming
+    + 1 sub-bands; by pigeonhole a pair with <= max_hamming flips
+    agrees on >= 1 sub-band, so pairwise within sub-buckets + dedup
+    finds EXACTLY the dense result while bounding per-group work to the
+    sub-bucket sizes. (A fully degenerate bucket of identical hashes
+    stays quadratic — but there the OUTPUT itself is quadratic.)"""
+    n = len(ids)
+    empty = pd.DataFrame({"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str)})
+    if n < 2:
+        return empty
+    if n <= hot_threshold:
+        iu = np.triu_indices(n, 1)
+        d = hamming64_vec(ph[iu[0]], ph[iu[1]])
+        hit = d <= max_hamming
+        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+    k = max_hamming + 1
+    width = 64 // k
+    u = ph.view(np.uint64)
+    out = []
+    for s in range(k):
+        w = width if s < k - 1 else 64 - width * (k - 1)
+        sub = (u >> np.uint64(s * width)) & np.uint64((1 << w) - 1)
+        order = np.argsort(sub, kind="stable")
+        ss = sub[order]
+        starts = np.r_[0, np.flatnonzero(ss[1:] != ss[:-1]) + 1, n]
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            if hi - lo >= 2:
+                sel = order[lo:hi]
+                iu = np.triu_indices(len(sel), 1)
+                d = hamming64_vec(ph[sel][iu[0]], ph[sel][iu[1]])
+                hit = d <= max_hamming
+                a, b = ids[sel][iu[0][hit]], ids[sel][iu[1][hit]]
+                out.append(pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)}))
+    if not out:
+        return empty
+    return pd.concat(out).drop_duplicates()
+
+
+def phash_near_pairs(
+    images: ray.data.Dataset, max_hamming: int = 8, hot_bucket_threshold: int = 1024
+) -> pd.DataFrame:
     """J4 — near-dup image pairs with hamming(phash) <= t via the LSH
     band join: each 64-bit phash explodes into 4 x 16-bit bands; a pair
     within hamming 8 of uniformly-spread error agrees on >=1 band with
     high probability (exact for <=3 bit flips by pigeonhole over 4
     bands... exact guarantee holds for <=3 flips; wider radii trade
     recall, as in production near-dup systems). Bands groupby ->
-    in-bucket pairwise hamming (vectorized popcount). Bytes never enter
-    the shuffle — only (band_key, phash, image_id)."""
+    in-bucket pairwise hamming (vectorized popcount), with hot buckets
+    (> hot_bucket_threshold rows) contained by exact second-level
+    banding (_bucket_pairs). Bytes never enter the shuffle — only
+    (band_key, phash, image_id)."""
 
     def explode(t: pa.Table) -> pa.Table:
         ph = t["phash"].to_numpy().astype(np.int64).view(np.uint64)
@@ -77,14 +127,12 @@ def phash_near_pairs(images: ray.data.Dataset, max_hamming: int = 8) -> pd.DataF
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("image_id")
-        ids = g["image_id"].to_numpy()
-        ph = g["phash"].to_numpy().astype(np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str)})
-        iu = np.triu_indices(len(ids), 1)
-        d = hamming64_vec(ph[iu[0]], ph[iu[1]])
-        hit = d <= max_hamming
-        return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]]})
+        return _bucket_pairs(
+            g["image_id"].to_numpy(),
+            g["phash"].to_numpy().astype(np.int64),
+            max_hamming,
+            hot_bucket_threshold,
+        )
 
     out = bands.groupby("band_key").map_groups(pairs, batch_format="pandas").to_pandas()
     return out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)

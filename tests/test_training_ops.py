@@ -354,3 +354,55 @@ def test_connected_components_label_prop_vs_union_find(ray_session):
     for n in uf:
         assert uf[n] == lp_map[n], f"node {n}: {uf[n]} != {lp_map[n]}"
     assert connected_components(df) == uf
+
+
+def test_phash_hot_bucket_second_level_banding_exact():
+    """A planted hot band bucket: second-level banding must return
+    EXACTLY the dense pairwise result (pigeonhole over max_hamming+1
+    sub-bands is lossless)."""
+    from lulu_crawler_ray.pipelines.images_pipe import _bucket_pairs
+
+    rng = np.random.default_rng(9)
+    n = 600
+    base = np.int64(0x1234_5678_9ABC_DEF0)
+    ph = []
+    for i in range(n):
+        v = np.uint64(base)
+        # flip 0..12 random bits: some pairs within hamming 10, some not
+        for b in rng.integers(0, 64, rng.integers(0, 13)):
+            v ^= np.uint64(1) << np.uint64(b)
+        ph.append(np.int64(v))
+    ph = np.array(ph, np.int64)
+    ids = np.array([f"img{i:05d}" for i in range(n)], dtype=object)
+
+    dense = _bucket_pairs(ids, ph, max_hamming=10, hot_threshold=10_000)
+    banded = _bucket_pairs(ids, ph, max_hamming=10, hot_threshold=100)  # forces hot path
+    d = set(map(tuple, dense[["a", "b"]].itertuples(index=False)))
+    s = set(map(tuple, banded[["a", "b"]].itertuples(index=False)))
+    assert len(d) > 0
+    assert d == s
+
+
+def test_cosine_hot_group_blocking_recall():
+    """A planted hot label group: hyperplane blocking must keep every
+    emitted pair verified (no false positives) and find the planted
+    near-identical pairs (high-cosine pairs share buckets whp)."""
+    from lulu_crawler_ray.pipelines.annsearch import _cosine_group_pairs, _normalize
+
+    rng = np.random.default_rng(4)
+    n, dim = 800, 32
+    m = rng.standard_normal((n, dim))
+    # plant 20 near-dup pairs: rows 2i+1 = tiny perturbation of 2i
+    for i in range(20):
+        m[2 * i + 1] = m[2 * i] + 0.01 * rng.standard_normal(dim)
+    m = _normalize(m)
+    ids = np.arange(n, dtype=np.int64)
+
+    dense = _cosine_group_pairs(ids, m, threshold=0.9, hot_threshold=10_000)
+    blocked = _cosine_group_pairs(ids, m, threshold=0.9, hot_threshold=100)
+    d = set(map(tuple, dense[["a", "b"]].itertuples(index=False)))
+    s = set(map(tuple, blocked[["a", "b"]].itertuples(index=False)))
+    assert s <= d  # every blocked pair is cosine-verified
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= d
+    assert len(s & planted) >= 18  # recall >= 0.9 on planted near-identicals
