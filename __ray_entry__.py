@@ -259,8 +259,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45 "
             "ORDER BY a, b"
         ),
+        "e_cosine_dedup": (
+            "WITH RECURSIVE pairs AS ("
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b "
+            "ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45"
+            "), edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+            "reach(node, root) AS ("
+            "SELECT vec_id, vec_id FROM embeddings "
+            "UNION SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node "
+            "WHERE r.root < e.b"
+            "), comp AS (SELECT node, MIN(root) AS root FROM reach GROUP BY node) "
+            "SELECT node AS vec_id FROM comp WHERE root = node"
+        ),
+        "e_label_centroids": (
+            "WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS i, "
+            "UNNEST(embedding) AS v FROM embeddings), "
+            "c AS (SELECT label, i, AVG(v) AS cv FROM u GROUP BY label, i), "
+            "nn AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label) "
+            "SELECT c.label AS label, nn.n AS n, "
+            "CAST(ROUND(SQRT(SUM(cv*cv))*10000,0) AS BIGINT) AS centroid_norm_e4 "
+            "FROM c JOIN nn USING(label) GROUP BY c.label, nn.n"
+        ),
         # g4_hll_distinct, t_langid, t_simhash, t_fingerprint,
-        # t_minhash_pairs, t_near_dedup, e_lsh_ann, e_label_centroids,
+        # t_minhash_pairs, t_near_dedup, e_lsh_ann,
         # img_neardup_pairs, img_stats, crawl_ledger, crawl_images:
         # approximate / heuristic / non-SQL-expressible -> rows-only
         # check; correctness covered by pytest oracles (brute-force,

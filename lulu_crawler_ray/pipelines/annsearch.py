@@ -119,63 +119,112 @@ class HyperplaneHasher:
         )
 
 
-def e_lsh_ann(sf: str, k: int = 10, n_queries: int = 3, dim: int = 64):
-    """Approximate top-k: scan restricted to vectors sharing ANY of the
-    query's per-table hyperplane buckets. Same output shape as brute
-    force; recall vs brute force measured in pytest."""
-    qids, qm = load_queries(sf, n_queries)
-    hasher = HyperplaneHasher(dim)
-    qb = hasher.buckets_of(qm)
-    probe_ref = ray.put(np.unique(qb.ravel()))
-    qref = ray.put((qids, qm))
-    ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
+class LshIndex:
+    """MATERIALIZED multi-table hyperplane LSH index over the embeddings
+    table (the IVF-style scale path): (bucket, vec_id, normalized-emb
+    blob) rows, one row per (vector, table). Built ONCE per (sf, dim)
+    and Ray session — a query probes its L buckets against the cached
+    index instead of re-hashing the corpus per call (the round-1 shape).
+    At 100 TB the emb payload would be float16/float32 and the index a
+    partitioned parquet/Lance artifact keyed by bucket range; here it
+    lives in the object store."""
 
-    def probe_topk(t: pa.Table) -> pa.Table:
-        buckets = ray.get(probe_ref)
-        qids_, qm_ = ray.get(qref)
-        ids, m = _emb_matrix(t)
-        bk = hasher.buckets_of(_normalize(m))
-        mask = np.isin(bk, buckets).any(axis=1)
-        ids, m = ids[mask], m[mask]
-        if len(ids) == 0:
+    builds = 0  # test hook: counts corpus-hash materializations
+
+    def __init__(self, sf: str, dim: int = 64, n_planes: int = 4, n_tables: int = 8, seed: int = 5):
+        self.hasher = HyperplaneHasher(dim, n_planes, n_tables, seed)
+        hasher = self.hasher
+        ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+        def explode(t: pa.Table) -> pa.Table:
+            ids, m = _emb_matrix(t)
+            mn = _normalize(m)
+            bk = hasher.buckets_of(mn)
+            n, L = bk.shape
+            rep = np.repeat(mn, L, axis=0)  # row-major matches bk.ravel()
             return pa.table(
                 {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
+                    "bucket": pa.array(bk.ravel(), pa.int64()),
+                    "vec_id": pa.array(np.repeat(ids, L), pa.int64()),
+                    "emb": pa.array([r.tobytes() for r in rep], pa.binary()),
                 }
             )
-        sims = _normalize(m) @ qm_.T
-        out_q, out_n, out_s = [], [], []
-        for j, qid in enumerate(qids_):
-            col = sims[:, j]
-            keep = np.flatnonzero(ids != qid)
-            order = keep[np.lexsort((ids[keep], -col[keep]))][:k]
-            out_q.extend([qid] * len(order))
-            out_n.extend(ids[order])
-            out_s.extend(col[order])
+
+        self.index = ds.map_batches(explode, batch_format="pyarrow").materialize()
+        LshIndex.builds += 1
+
+    def query(self, qids: np.ndarray, qm: np.ndarray, k: int = 10) -> pa.Table:
+        qb = self.hasher.buckets_of(qm)
+        probe_ref = ray.put(np.unique(qb.ravel()))
+        qref = ray.put((qids, qm))
+
+        def probe_topk(t: pa.Table) -> pa.Table:
+            buckets = ray.get(probe_ref)
+            qids_, qm_ = ray.get(qref)
+            mask = np.isin(t["bucket"].to_numpy(), buckets)
+            if not mask.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            sub = t.filter(pa.array(mask))
+            ids = sub["vec_id"].to_numpy()
+            m = np.frombuffer(b"".join(sub["emb"].to_pylist()), np.float64).reshape(len(ids), -1)
+            sims = m @ qm_.T
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids_):
+                col = sims[:, j]
+                keep = np.flatnonzero(ids != qid)
+                order = keep[np.lexsort((ids[keep], -col[keep]))][:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(col[order])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+        parts = self.index.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
+        # a vector matched in several tables appears once per table
+        parts = parts.drop_duplicates(["query_id", "neighbor_id"])
+        out = {"query_id": [], "neighbor_id": [], "rnk": []}
+        for qid, g in parts.groupby("query_id"):
+            g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+            out["query_id"].extend([qid] * len(g))
+            out["neighbor_id"].extend(g["neighbor_id"])
+            out["rnk"].extend(range(1, len(g) + 1))
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "rnk": pa.array(out["rnk"], pa.int64()),
             }
         )
 
-    parts = ds.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
-    out = {"query_id": [], "neighbor_id": [], "rnk": []}
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        out["query_id"].extend([qid] * len(g))
-        out["neighbor_id"].extend(g["neighbor_id"])
-        out["rnk"].extend(range(1, len(g) + 1))
-    return pa.table(
-        {
-            "query_id": pa.array(out["query_id"], pa.int64()),
-            "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-            "rnk": pa.array(out["rnk"], pa.int64()),
-        }
-    )
+
+_LSH_CACHE: dict = {}
+
+
+def lsh_index(sf: str, dim: int = 64) -> LshIndex:
+    """Session-scoped index cache (a materialized Dataset dies with its
+    Ray session, so the key includes the current job id)."""
+    key = (sf, dim, ray.get_runtime_context().get_job_id() if ray.is_initialized() else None)
+    if key not in _LSH_CACHE:
+        _LSH_CACHE[key] = LshIndex(sf, dim)
+    return _LSH_CACHE[key]
+
+
+def e_lsh_ann(sf: str, k: int = 10, n_queries: int = 3, dim: int = 64):
+    """Approximate top-k via the materialized bucket index. Same output
+    shape as brute force; recall vs brute force measured in pytest."""
+    qids, qm = load_queries(sf, n_queries)
+    return lsh_index(sf, dim).query(qids, qm, k)
 
 
 def _cosine_group_pairs(
@@ -270,7 +319,9 @@ def e_cosine_dedup(sf: str, threshold: float = 0.45):
 
 def e_label_centroids(sf: str):
     """Per-label centroid summary via mergeable partials (sum vector +
-    count per batch), finalized on the driver: (label, n, centroid_norm)."""
+    count per batch), finalized on the driver: (label, n,
+    centroid_norm_e4). Hash-checked vs a DuckDB unnest+avg oracle
+    (integer e4 units — cross-engine float hashing is ill-defined)."""
     ds = read_table(sf, "embeddings", ["embedding", "label"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -305,9 +356,9 @@ def e_label_centroids(sf: str):
         {
             "label": pa.array(labels, pa.int32()),
             "n": pa.array([acc[l][1] for l in labels], pa.int64()),
-            "centroid_norm": pa.array(
-                [round(float(np.linalg.norm(acc[l][0] / acc[l][1])), 4) for l in labels],
-                pa.float64(),
+            "centroid_norm_e4": pa.array(
+                [int(np.rint(float(np.linalg.norm(acc[l][0] / acc[l][1])) * 10000)) for l in labels],
+                pa.int64(),
             ),
         }
     )

@@ -406,3 +406,14 @@ def test_cosine_hot_group_blocking_recall():
     planted = {(2 * i, 2 * i + 1) for i in range(20)}
     assert planted <= d
     assert len(s & planted) >= 18  # recall >= 0.9 on planted near-identicals
+
+
+def test_lsh_index_built_once_for_two_query_calls(ray_session):
+    from lulu_crawler_ray.pipelines import annsearch as an
+
+    an._LSH_CACHE.clear()
+    before = an.LshIndex.builds
+    r1 = an.e_lsh_ann(SF).to_pandas()
+    r2 = an.e_lsh_ann(SF, n_queries=2).to_pandas()
+    assert an.LshIndex.builds == before + 1  # corpus hashed once
+    assert len(r1) > 0 and len(r2) > 0
