@@ -71,13 +71,72 @@ class Fetcher(Protocol):
 
 
 class HttpFetcher:
-    """Live-web fetcher stub — this sandbox has no network, so the
-    constructor raises; the class documents the exact seam (same
-    __call__ contract as PageFetcher, held in an actor pool with a
-    connection pool in __init__)."""
+    """Live-web fetcher over stdlib urllib — the real implementation of
+    the Fetcher seam (same __call__ contract as the synthetic
+    PageFetcher: T1-ranked batch in, T2 batch out). Held in an actor
+    pool: the opener is built once per actor in __init__.
 
-    def __init__(self, *, timeout_s: float = 10.0, max_connections: int = 64):
-        raise NotImplementedError(
-            "no network in this sandbox — implement with aiohttp/httpx; "
-            "__call__(T1 batch + rank) -> T2 batch (status, content_type, body)"
+    Semantics (tested against an in-process localhost server — the
+    sandbox has no external network, but loopback sockets work):
+      - per-request ``timeout_s``;
+      - bounded retries (``max_retries``) with linear backoff on
+        connection errors, timeouts, and ``retry_statuses`` (5xx);
+      - redirects followed by the opener (urllib default);
+      - a non-retryable HTTP error (e.g. 404) is recorded once, its
+        status and body kept;
+      - a request that exhausts retries records status 0, empty body.
+    Exactly one output row per input row in input order — retries are
+    WITHIN-stage, so crawl ordering (a pure function of the parsed
+    bodies) is unaffected by flaky transports; a permanently failing
+    URL yields a 0/None row rather than stalling the wave."""
+
+    def __init__(
+        self,
+        *,
+        timeout_s: float = 10.0,
+        max_retries: int = 2,
+        backoff_s: float = 0.05,
+        retry_statuses: tuple[int, ...] = (500, 502, 503, 504),
+        user_agent: str = "lulu-crawler-ray/0.2",
+    ):
+        import urllib.request
+
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.retry_statuses = set(retry_statuses)
+        self.opener = urllib.request.build_opener()
+        self.opener.addheaders = [("User-Agent", user_agent)]
+
+    def _fetch(self, url: str) -> tuple[int, str, bytes]:
+        import time
+        import urllib.error
+
+        last: tuple[int, str, bytes] = (0, "", b"")
+        for attempt in range(self.max_retries + 1):
+            try:
+                with self.opener.open(url, timeout=self.timeout_s) as r:
+                    return int(r.status), r.headers.get("Content-Type", ""), r.read()
+            except urllib.error.HTTPError as e:
+                body = e.read() if e.fp is not None else b""
+                last = (int(e.code), e.headers.get("Content-Type", "") if e.headers else "", body)
+                if e.code not in self.retry_statuses:
+                    return last  # non-retryable (4xx): record once
+            except (urllib.error.URLError, TimeoutError, OSError):
+                last = (0, "", b"")
+            if attempt < self.max_retries:
+                time.sleep(self.backoff_s * (attempt + 1))
+        return last
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        statuses, ctypes, bodies = [], [], []
+        for url in t["url"].to_pylist():
+            s, ct, body = self._fetch(url)
+            statuses.append(s)
+            ctypes.append(ct)
+            bodies.append(body)
+        return (
+            t.append_column("status", pa.array(statuses, pa.int32()))
+            .append_column("content_type", pa.array(ctypes, pa.string()))
+            .append_column("body", pa.array(bodies, pa.binary()))
         )

@@ -64,11 +64,13 @@ def test_pipeline_step_schema_check(ray_session):
         run_chain(ds, [bad]).to_pandas()
 
 
-def test_http_fetcher_is_stub():
-    from lulu_crawler_ray.pipelines.steps import HttpFetcher
+def test_http_fetcher_constructs():
+    from lulu_crawler_ray.pipelines.steps import Fetcher, HttpFetcher
 
-    with pytest.raises(NotImplementedError):
-        HttpFetcher()
+    f = HttpFetcher(timeout_s=1.0)
+    assert isinstance(f, Fetcher)  # satisfies the seam protocol
+    # retry/timeout/redirect semantics are exercised against a live
+    # localhost server in tests/test_http_fetcher.py
 
 
 def test_crawl_analytics_and_distributed_fallback(tmp_path, ray_session):
