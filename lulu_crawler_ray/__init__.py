@@ -19,4 +19,4 @@ Layout:
                 the relational/text/ANN query surface for the harness
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -65,6 +65,11 @@ class CrawlConfig:
     # selection path only — the driver fast path is already one task).
     # Order-neutral: the split is a pure function of (count, seq).
     hot_host_threshold: int = 10_000
+    # wall-clock politeness pacing (SURVEY.md §2.8): min seconds between
+    # fetch STARTS per host, enforced globally by a reservation actor.
+    # 0 = off. Order-neutral by construction: the admitted set and rank
+    # order are fixed before the fetch stage runs.
+    politeness_delay_s: float = 0.0
 
     def priority(self, depth: int) -> int:
         """Pluggable priority function (SURVEY.md §2 op U2); default 0:

@@ -355,6 +355,20 @@ def _select_distributed(frontier, cfg, rank_base, wave, cand_cols):
     return _selection_outputs(frontier, ref, wave) + (n_admitted,)
 
 
+_LIMITERS: dict[float, object] = {}
+
+
+def _get_limiter(cfg: CrawlConfig):
+    """One HostRateLimiter actor per (process, delay) — shared by every
+    wave of a crawl so per-host windows never overlap across waves."""
+    lim = _LIMITERS.get(cfg.politeness_delay_s)
+    if lim is None:
+        from .steps import make_rate_limiter
+
+        lim = _LIMITERS[cfg.politeness_delay_s] = make_rate_limiter(cfg.politeness_delay_s)
+    return lim
+
+
 def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
     marks = [time.time()]
 
@@ -402,6 +416,12 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
     # the parse stage; out-of-scope/robots-blocked rows die before the
     # materialize so they never cost object-store space)
     fetcher = st.PageFetcher(cfg)
+    if cfg.politeness_delay_s > 0:
+        # pacing wraps the fetcher; order stays untouched (selection
+        # and rank assignment precede the fetch stage)
+        from .steps import PacedFetcher
+
+        fetcher = PacedFetcher(fetcher, _get_limiter(cfg), cfg.politeness_delay_s)
     parser = st.PageParser(cfg)
     scope_filter = st.RobotsScopeFilter(cfg, metrics, wave=wave)
     refs = (

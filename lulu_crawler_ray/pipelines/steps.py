@@ -70,6 +70,79 @@ class Fetcher(Protocol):
     def __call__(self, t: pa.Table) -> pa.Table: ...
 
 
+def make_rate_limiter(delay_s: float):
+    """Create the global HostRateLimiter actor (token-reservation per
+    host). Defined as a factory so the module stays importable without
+    an active Ray session."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class HostRateLimiter:
+        """Global per-host fetch pacing: reserve(host, n) hands out a
+        contiguous window of n fetch slots spaced ``delay_s`` apart and
+        returns the window's start (unix time). Single actor => one
+        clock; per-host windows never overlap across fetch actors."""
+
+        def __init__(self, delay: float):
+            self.delay = delay
+            self.next_free: dict[str, float] = {}
+
+        def reserve(self, host: str, n: int) -> float:
+            import time
+
+            start = max(time.time(), self.next_free.get(host, 0.0))
+            self.next_free[host] = start + n * self.delay
+            return start
+
+    return HostRateLimiter.remote(delay_s)
+
+
+class PacedFetcher:
+    """Wall-clock politeness pacing layered on any Fetcher (SURVEY.md
+    §2.8 "real-time pacing can be layered on A2 later without changing
+    order"): the admitted set and its rank order are fixed BEFORE the
+    fetch stage runs, so pacing delays wall time but cannot change
+    crawl order or the seen set. Per batch: group rows by host, reserve
+    a slot window from the global HostRateLimiter, fetch each row at
+    its slot (>= delay_s apart per host, across ALL fetch actors)."""
+
+    def __init__(self, inner: "Fetcher", limiter, delay_s: float):
+        self.inner = inner
+        self.limiter = limiter
+        self.delay = delay_s
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import time
+
+        import numpy as np
+        import ray
+
+        if self.delay <= 0 or self.limiter is None or t.num_rows == 0:
+            return self.inner(t)
+        hosts = np.asarray(t["host"].to_pylist(), dtype=object)
+        order = np.argsort(hosts, kind="stable")
+        outs: list[pa.Table] = []
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and hosts[order[j]] == hosts[order[i]]:
+                j += 1
+            idx = order[i:j]
+            start = ray.get(self.limiter.reserve.remote(str(hosts[idx[0]]), len(idx)))
+            for k, row in enumerate(idx):
+                wait = start + k * self.delay - time.time()
+                if wait > 0:
+                    time.sleep(wait)
+                outs.append(self.inner(t.slice(int(row), 1)))
+            i = j
+        out = pa.concat_tables(outs)
+        # rows were emitted in `order`; invert the permutation to keep
+        # the contract: one row per input row, input order
+        inv = np.empty(len(order), np.int64)
+        inv[order] = np.arange(len(order))
+        return out.take(pa.array(inv))
+
+
 class HttpFetcher:
     """Live-web fetcher over stdlib urllib — the real implementation of
     the Fetcher seam (same __call__ contract as the synthetic
