@@ -26,16 +26,20 @@ _DCT = _dct_matrix(_N)
 
 
 def phash64(img: np.ndarray) -> int:
-    """(h, w, 3) uint8 -> signed int64 perceptual hash."""
-    gray = img.astype(np.float64).mean(axis=2)
-    small = resize_nearest(gray, _N, _N)
+    """(h, w, 3) uint8 -> signed int64 perceptual hash.
+
+    Bit-identical to the naive gray-then-resize formulation, but
+    cheaper: nearest-resize is pure index selection and grayscale is
+    per-pixel, so they commute — resize FIRST (1024 px instead of
+    h*w), then gray via exact integer channel-sum / 3 (uint8 channels
+    sum exactly; float64(sum)/3 equals float64 mean bit-for-bit)."""
+    small3 = resize_nearest(img, _N, _N)
+    small = small3.sum(axis=2, dtype=np.int64).astype(np.float64) / 3.0
     coef = _DCT @ small @ _DCT.T
     block = coef[:8, :8].flatten()[1:]  # drop DC
     med = np.median(block)
     bits = np.concatenate([[False], block > med])  # DC bit fixed 0
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return int(np.int64(np.uint64(val)))  # two's-complement into int64
 
 

@@ -39,8 +39,11 @@ _KINDS = ("sum", "count", "min", "max", "mean", "std")
 
 def _npart() -> int:
     """Join/shuffle partition count scaled to the session's CPUs (a
-    fixed constant under-parallelizes larger clusters)."""
-    return max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    fixed constant under-parallelizes larger clusters). 1x CPUs, not
+    2x: each hash-join partition is an aggregator actor, and measured
+    join wall time at 32 CPUs is flat from 16->32 partitions but 2x
+    WORSE at 64 (actor spin-up dominates the shuffle)."""
+    return max(16, int(ray.cluster_resources().get("CPU", 8)))
 
 
 def grouped_agg(
