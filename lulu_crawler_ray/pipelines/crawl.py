@@ -128,9 +128,17 @@ def run_crawl(
     # crash mid-overlap resumes at the unsealed wave and rewrites its
     # outputs — while wave w+1's COMPUTE overlaps wave w's sink.
     prev_seal = None
+    # in-memory frontier handoff: each wave passes its materialized
+    # F_{w+1} blocks straight to the next wave (object-store backed —
+    # Ray spills oversize block sets to disk on its own) while the
+    # checkpoint PARQUET spill runs in the background and gates only
+    # the wave's manifest seal. Resume (frontier_ds None) reads the
+    # sealed parquet instead.
+    frontier_ds, n_frontier = None, None
     while True:
         fdir = os.path.join(_ckpt_dir(out_dir, wave), "frontier")
-        n_frontier = _frontier_count(fdir)
+        if frontier_ds is None:
+            n_frontier = _frontier_count(fdir)
         if n_frontier == 0 or wave >= cfg.max_depth or rank_base >= cfg.max_urls:
             break
         # interrupted-wave outputs are rewritten idempotently
@@ -138,7 +146,9 @@ def run_crawl(
             d = _wave_dir(out_dir, kind, wave)
             if os.path.exists(d):
                 shutil.rmtree(d)
-        rank_base, seal = _run_wave(out_dir, wave, rank_base, cfg, shards, metrics)
+        rank_base, seal, frontier_ds, n_frontier = _run_wave(
+            out_dir, wave, rank_base, cfg, shards, metrics, frontier_ds
+        )
         if prev_seal is not None:
             prev_seal()
         prev_seal = seal
@@ -369,7 +379,7 @@ def _get_limiter(cfg: CrawlConfig):
     return lim
 
 
-def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
+def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics, frontier_in=None):
     marks = [time.time()]
 
     def _mark(label):
@@ -382,9 +392,14 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
     # CPU count so every stage can fill the machine regardless of how
     # many files the previous wave happened to write
     nblocks = max(cfg.num_partitions, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    frontier = ray.data.read_parquet(
-        fdir, partitioning=None, override_num_blocks=nblocks
-    )
+    if frontier_in is not None:
+        # in-memory handoff from the previous wave (its parquet spill
+        # runs in the background and gates only that wave's seal)
+        frontier = frontier_in
+    else:
+        frontier = ray.data.read_parquet(
+            fdir, partitioning=None, override_num_blocks=nblocks
+        )
 
     # ── politeness selection (A2): per-batch top-B combiner first — the
     # bulk of a skewed host's pending URLs never leaves its block
@@ -401,7 +416,7 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
         # politeness cannot defer forever (every host admits ≥min(B,pending))
         # so an empty admission means an empty frontier — seal and stop.
         seal = _write_ckpt(out_dir, wave + 1, None, shards, metrics, rank_base=rank_base)
-        return rank_base, seal
+        return rank_base, seal, None, 0
 
     # T4 ledger for this wave (rank-contiguous, one dir per wave) —
     # written from a driver thread so it overlaps the fetch pipeline
@@ -473,19 +488,27 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics) -> int:
     new_frontier = links.map_batches(st.refs_to_frontier, batch_format="pyarrow")
     _mark("links_built")
 
-    # ── F_{w+1} = deferred ∪ new; write checkpoint DATA (frontier +
-    # shard deltas — all seen-set admits for this wave are complete by
-    # now). The returned seal joins the background image/ledger writes
-    # and only then writes the manifest; the caller invokes it after
-    # the next wave's compute, giving cross-wave sink overlap.
-    nxt = deferred.union(new_frontier)
+    # ── F_{w+1} = deferred ∪ new, MATERIALIZED to the object store (all
+    # seen-set admits for this wave complete during the materialize) and
+    # handed to the next wave in memory; the checkpoint parquet spill
+    # runs from a driver thread. Shard deltas are written synchronously
+    # (cheap). The returned seal joins the background frontier/image/
+    # ledger writes and only then writes the manifest; the caller
+    # invokes it after the next wave's compute, giving cross-wave sink
+    # overlap while keeping seal ordering (manifest last).
+    # repartition pins the handoff's block count (deferred inherits the
+    # previous wave's blocks and union adds the link pipeline's — left
+    # unpinned, block count compounds every wave and per-stage task
+    # overhead grows); coalesce-only, no shuffle
+    nxt = deferred.union(new_frontier).repartition(nblocks).materialize()
+    n_next = nxt.count()
     seal = _write_ckpt(
         out_dir, wave + 1, nxt, shards, metrics,
-        rank_base=rank_base + n_admitted,
+        rank_base=rank_base + n_admitted, n_frontier=n_next,
         pre_seal=lambda: (images_t(), ledger_t()),
     )
     _mark("frontier_ckpt")
-    return rank_base + n_admitted, seal
+    return rank_base + n_admitted, seal, nxt, n_next
 
 
 def _bg(fn):
@@ -512,16 +535,19 @@ def _bg(fn):
     return join
 
 
-def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base, pre_seal=None):
-    """Write checkpoint DATA (frontier + shard deltas) and return the
-    seal closure (join background sinks, then write manifest)."""
+def _write_ckpt(
+    out_dir, enter_wave, frontier, shards, metrics, *, rank_base, n_frontier=None, pre_seal=None
+):
+    """Write checkpoint DATA (shard deltas now; frontier parquet in the
+    background when given a materialized Dataset) and return the seal
+    closure (join background sinks, then write manifest)."""
     _t0 = time.time()
     cdir = _ckpt_dir(out_dir, enter_wave)
     if os.path.exists(cdir):
         shutil.rmtree(cdir)
     fdir = os.path.join(cdir, "frontier")
     os.makedirs(fdir, exist_ok=True)
-    n_frontier = 0
+    frontier_t = None
     if frontier is not None:
         if isinstance(frontier, pa.Table):
             pq.write_table(
@@ -529,15 +555,21 @@ def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base, pr
             )
             n_frontier = frontier.num_rows
         else:
-            frontier.write_parquet(fdir)
-            n_frontier = _frontier_count(fdir)
+            # frontier is MATERIALIZED (the admits already ran); the
+            # parquet spill is pure encode+IO, so it runs from a driver
+            # thread and gates only the manifest seal — the next wave
+            # consumes the in-memory blocks, not this file
+            assert n_frontier is not None, "Dataset frontier needs n_frontier"
+            frontier_t = _bg(lambda: frontier.write_parquet(fdir))
+    else:
+        n_frontier = 0
     if _TRACE:
-        print(f"  [ckpt {enter_wave}] frontier write ({n_frontier} rows): {time.time()-_t0:.2f}s", flush=True)
+        print(f"  [ckpt {enter_wave}] frontier write scheduled ({n_frontier} rows): {time.time()-_t0:.2f}s", flush=True)
     _t1 = time.time()
     # shard deltas: every seen-set admit of the finished wave is done by
-    # now (link admits run inside the frontier write above, image admits
-    # in the pre-write materialize); the still-running image SINK does
-    # no admits, so it only gates the manifest, not the data.
+    # now (link admits run inside the pre-ckpt frontier materialize,
+    # image admits in their own materialize); the still-running image
+    # SINK does no admits, so it only gates the manifest, not the data.
     sdir = os.path.join(cdir, "shards")
     os.makedirs(sdir, exist_ok=True)
     ray.get(
@@ -550,6 +582,8 @@ def _write_ckpt(out_dir, enter_wave, frontier, shards, metrics, *, rank_base, pr
         print(f"  [ckpt {enter_wave}] shard dumps: {time.time()-_t1:.2f}s", flush=True)
     def seal():
         _ts = time.time()
+        if frontier_t is not None:
+            frontier_t()  # frontier parquet must be on disk before the manifest
         if pre_seal is not None:
             pre_seal()  # join the wave's background sinks
         # metrics snapshot AFTER the sinks join — increments emitted by a
