@@ -110,6 +110,9 @@ def dedup_first_by_seq(ds, keys: str | list[str] = "url_sha1", driver_max: int =
     from ray.data.aggregate import Min
 
     key_list = [keys] if isinstance(keys, str) else list(keys)
+    # NOTE: combined stays lazy on purpose — materializing it (measured)
+    # costs more in object-store traffic than the per-consumer re-run of
+    # the vectorized per-batch sort
     combined = ds.map_batches(
         lambda t: combine_first_by_seq(t, key_list), batch_format="pyarrow"
     )
