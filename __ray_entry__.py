@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings)
         "e_knn_bruteforce": an.e_knn_bruteforce,
         "e_lsh_ann": an.e_lsh_ann,
+        "e_ivf_ann": an.e_ivf_ann,
         "e_cosine_neardup": an.e_cosine_neardup,
         "e_cosine_dedup": an.e_cosine_dedup,
         "e_label_centroids": an.e_label_centroids,

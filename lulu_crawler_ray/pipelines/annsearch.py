@@ -267,6 +267,156 @@ def _cosine_group_pairs(
     return pd.concat(out).drop_duplicates()
 
 
+def kmeans_fit(
+    ds: ray.data.Dataset, k: int = 16, iters: int = 5, dim: int = 64
+) -> np.ndarray:
+    """Distributed spherical k-means over the embedding column — the
+    iterative-algorithm shape: per iteration, ONE streaming pass
+    computes mergeable partials (per-centroid vector sum + count via a
+    one-hot matmul) inside map_batches; the driver reduces k×dim
+    floats and renormalizes. Deterministic: centroids init from the k
+    smallest vec_ids; an emptied centroid keeps its previous position.
+    Scans the dataset `iters` times — at 100 TB you fit on a
+    hash-residue sample instead (same code over ds.filter)."""
+    init_t = (
+        ds.filter(lambda r: r["vec_id"] < k)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cents = _normalize(np.array(init_t["embedding"].tolist(), dtype=np.float64))
+    if cents.shape[0] < k:
+        raise ValueError(f"need >= {k} vectors with vec_id < {k} for deterministic init")
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            _, m = _emb_matrix(t)
+            mn = _normalize(m)
+            a = np.argmax(mn @ c.T, axis=1)
+            onehot = np.zeros((len(a), c.shape[0]))
+            onehot[np.arange(len(a)), a] = 1.0
+            sums = onehot.T @ mn  # (k, dim)
+            counts = onehot.sum(axis=0)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(c.shape[0]), pa.int32()),
+                    "vsum": pa.array([row.tobytes() for row in sums], pa.binary()),
+                    "n": pa.array(counts.astype(np.int64)),
+                }
+            )
+
+        acc = np.zeros_like(cents)
+        cnt = np.zeros(cents.shape[0], np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=4096
+        ):
+            for cid, vs, n in zip(b["cid"].to_pylist(), b["vsum"].to_pylist(), b["n"].to_pylist()):
+                acc[cid] += np.frombuffer(vs, np.float64)
+                cnt[cid] += n
+        nz = cnt > 0
+        cents = cents.copy()
+        cents[nz] = _normalize(acc[nz] / cnt[nz, None])
+    return cents
+
+
+class IvfIndex:
+    """IVF (inverted-file) ANN index — the centroid-bucketed scale
+    path: spherical-k-means centroids, corpus assigned to its nearest
+    centroid ONCE into a materialized (cid, vec_id, emb blob) index; a
+    query probes only its ``nprobe`` nearest centroid lists (scan
+    fraction ~ nprobe/k). Session-cached like LshIndex."""
+
+    builds = 0
+
+    def __init__(self, sf: str, n_centroids: int = 16, iters: int = 5, dim: int = 64):
+        ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
+        self.centroids = kmeans_fit(ds, k=n_centroids, iters=iters, dim=dim)
+        cref = ray.put(self.centroids)
+
+        def assign(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            ids, m = _emb_matrix(t)
+            mn = _normalize(m)
+            a = np.argmax(mn @ c.T, axis=1).astype(np.int32)
+            return pa.table(
+                {
+                    "cid": pa.array(a),
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "emb": pa.array([r.tobytes() for r in mn], pa.binary()),
+                }
+            )
+
+        self.index = ds.map_batches(assign, batch_format="pyarrow").materialize()
+        IvfIndex.builds += 1
+
+    def query(self, qids: np.ndarray, qm: np.ndarray, k: int = 10, nprobe: int = 4) -> pa.Table:
+        # per-query probe lists; the scan predicate is the UNION of
+        # probed cids, per-query restriction happens at scoring time
+        order = np.argsort(-(qm @ self.centroids.T), axis=1)[:, :nprobe]
+        probe_ref = ray.put((qids, qm, order))
+
+        def probe_topk(t: pa.Table) -> pa.Table:
+            qids_, qm_, probes = ray.get(probe_ref)
+            cid = t["cid"].to_numpy()
+            mask = np.isin(cid, np.unique(probes))
+            out_q, out_n, out_s = [], [], []
+            if mask.any():
+                sub = t.filter(pa.array(mask))
+                ids = sub["vec_id"].to_numpy()
+                cids = sub["cid"].to_numpy()
+                m = np.frombuffer(b"".join(sub["emb"].to_pylist()), np.float64).reshape(len(ids), -1)
+                sims = m @ qm_.T
+                for j, qid in enumerate(qids_):
+                    inlist = np.isin(cids, probes[j]) & (ids != qid)
+                    keep = np.flatnonzero(inlist)
+                    col = sims[:, j]
+                    order_ = keep[np.lexsort((ids[keep], -col[keep]))][:k]
+                    out_q.extend([qid] * len(order_))
+                    out_n.extend(ids[order_])
+                    out_s.extend(col[order_])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+        parts = self.index.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
+        out = {"query_id": [], "neighbor_id": [], "rnk": []}
+        for qid, g in parts.groupby("query_id"):
+            g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+            out["query_id"].extend([qid] * len(g))
+            out["neighbor_id"].extend(g["neighbor_id"])
+            out["rnk"].extend(range(1, len(g) + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "rnk": pa.array(out["rnk"], pa.int64()),
+            }
+        )
+
+
+_IVF_CACHE: dict = {}
+
+
+def ivf_index(sf: str, n_centroids: int = 16, dim: int = 64) -> IvfIndex:
+    key = (sf, n_centroids, dim, ray.get_runtime_context().get_job_id() if ray.is_initialized() else None)
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = IvfIndex(sf, n_centroids=n_centroids, dim=dim)
+    return _IVF_CACHE[key]
+
+
+def e_ivf_ann(sf: str, k: int = 10, n_queries: int = 3, dim: int = 64, nprobe: int = 4):
+    """Approximate top-k via the IVF index (probe nprobe of 16 centroid
+    lists). Same output shape as brute force; recall measured in
+    pytest."""
+    qids, qm = load_queries(sf, n_queries)
+    return ivf_index(sf, dim=dim).query(qids, qm, k, nprobe=nprobe)
+
+
 def e_cosine_neardup(sf: str, threshold: float = 0.45, hot_group_threshold: int = 4096):
     """Embedding-cosine near-dup pairs above threshold, restricted to
     same-label blocks (blocking keeps the pairwise work per group

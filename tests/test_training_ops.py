@@ -417,3 +417,34 @@ def test_lsh_index_built_once_for_two_query_calls(ray_session):
     r2 = an.e_lsh_ann(SF, n_queries=2).to_pandas()
     assert an.LshIndex.builds == before + 1  # corpus hashed once
     assert len(r1) > 0 and len(r2) > 0
+
+
+def test_ivf_ann_recall_and_single_build(ray_session):
+    """IVF index: recall vs brute force at nprobe=4/16 (scan ~25%), and
+    the kmeans+assign build runs once for two query calls."""
+    from lulu_crawler_ray.pipelines import annsearch as an
+
+    an._IVF_CACHE.clear()
+    before = an.IvfIndex.builds
+    exact = an.e_knn_bruteforce(SF).to_pandas()
+    approx = an.e_ivf_ann(SF).to_pandas()
+    _ = an.e_ivf_ann(SF, n_queries=2)
+    assert an.IvfIndex.builds == before + 1
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, f"IVF recall too low: {recalls}"
+
+
+def test_kmeans_deterministic_and_normalized(ray_session):
+    from lulu_crawler_ray.pipelines.annsearch import kmeans_fit
+    from lulu_crawler_ray.sources.testdata import read_table
+
+    ds = read_table(SF, "embeddings", ["vec_id", "embedding"])
+    c1 = kmeans_fit(ds, k=8, iters=3)
+    c2 = kmeans_fit(ds, k=8, iters=3)
+    assert np.array_equal(c1, c2)  # deterministic across runs
+    norms = np.linalg.norm(c1, axis=1)
+    assert np.allclose(norms, 1.0)
