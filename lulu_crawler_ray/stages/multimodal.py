@@ -53,24 +53,68 @@ FRAME_SCHEMA = pa.schema(
 )
 
 
+def encode_wav_pcm16(pcm: np.ndarray, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """float32 [-1, 1] -> PCM16 WAV bytes (stdlib wave — no external
+    codec needed). Interleaved if pcm is (n, channels)."""
+    import io
+    import wave
+
+    x = np.clip(pcm, -1.0, 1.0)
+    ints = np.rint(x * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
+    """PCM WAV bytes -> (mono float32 in [-1, 1], sample_rate,
+    n_channels). Stdlib wave handles the RIFF container; 16-bit and
+    8-bit PCM supported (the common training-corpus cases)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 127.0
+    else:
+        raise NotImplementedError(f"PCM width {width} not supported")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr, nch
+
+
 class AudioFeatureExtractor:
     """Actor-pool stage: audio bytes -> fixed-size feature vector.
 
-    Use ``deterministic_fake=True`` (default in tests) for a seeded fake
-    that keeps the plumbing testable without codecs; with it False the
-    stage raises NotImplementedError at the decode call, the marked seam
-    for a real decoder (soundfile/librosa)."""
+    codec == "wav" decodes FOR REAL via the stdlib wave module (PCM
+    8/16-bit; no external library needed). Other codecs: use
+    ``deterministic_fake=True`` (default in tests) for a seeded fake
+    that keeps the plumbing testable, or get NotImplementedError at the
+    decode call — the marked seam for a real decoder (soundfile)."""
 
     def __init__(self, n_features: int = 16, deterministic_fake: bool = True):
         self.n_features = n_features
         self.fake = deterministic_fake
 
     def _decode_audio(self, data: bytes, codec: str) -> np.ndarray:
+        if codec == "wav":
+            pcm, _sr, _nch = decode_wav_pcm(data)
+            return pcm
         if self.fake:
             seed = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
             return np.random.default_rng(seed).standard_normal(8000).astype(np.float32)
         raise NotImplementedError(
-            "audio codecs unavailable in this sandbox — plug a real decoder here"
+            "non-WAV audio codecs unavailable in this sandbox — plug a real decoder here"
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:

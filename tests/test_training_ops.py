@@ -245,7 +245,7 @@ def _audio_table():
         {
             "media_id": ["a1", "a2"],
             "bytes": [b"fake-audio-1", b"fake-audio-2"],
-            "codec": ["wav", "wav"],
+            "codec": ["mp3", "mp3"],  # non-WAV -> the deterministic-fake seam (wav decodes for real now)
             "sample_rate": pa.array([8000, 8000], pa.int32()),
             "n_channels": pa.array([1, 1], pa.int32()),
         },
@@ -448,3 +448,58 @@ def test_kmeans_deterministic_and_normalized(ray_session):
     assert np.array_equal(c1, c2)  # deterministic across runs
     norms = np.linalg.norm(c1, axis=1)
     assert np.allclose(norms, 1.0)
+
+
+def test_wav_roundtrip_and_real_audio_stage(ray_session):
+    """codec=wav decodes FOR REAL (stdlib wave): encode known PCM,
+    run the actor-pool feature stage, check duration and RMS energies
+    against the source signal."""
+    import ray.data
+
+    from lulu_crawler_ray.stages.multimodal import (
+        AUDIO_SCHEMA,
+        AudioFeatureExtractor,
+        decode_wav_pcm,
+        encode_wav_pcm16,
+    )
+
+    sr = 8000
+    t_axis = np.arange(sr * 2, dtype=np.float32) / sr  # 2 seconds
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t_axis)).astype(np.float32)
+    data = encode_wav_pcm16(tone, sr)
+    back, sr2, nch = decode_wav_pcm(data)
+    assert sr2 == sr and nch == 1
+    assert np.abs(back - tone).max() < 1e-3  # 16-bit quantization only
+
+    rows = pa.table(
+        {
+            "media_id": pa.array(["a1"]),
+            "bytes": pa.array([data], pa.binary()),
+            "codec": pa.array(["wav"]),
+            "sample_rate": pa.array([sr], pa.int32()),
+            "n_channels": pa.array([1], pa.int32()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+    out = (
+        ray.data.from_arrow(rows)
+        .map_batches(AudioFeatureExtractor, batch_format="pyarrow", batch_size=8, concurrency=1)
+        .to_pandas()
+    )
+    assert abs(out["duration_s"][0] - 2.0) < 1e-6
+    feats = np.array(out["features"][0])
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2) in every band
+    assert np.allclose(feats, 0.5 / np.sqrt(2), atol=0.01)
+
+
+def test_wav_stereo_downmix():
+    from lulu_crawler_ray.stages.multimodal import decode_wav_pcm, encode_wav_pcm16
+
+    sr = 4000
+    left = np.full(sr, 0.4, np.float32)
+    right = np.full(sr, -0.4, np.float32)
+    inter = np.stack([left, right], axis=1)
+    data = encode_wav_pcm16(inter, sr, n_channels=2)
+    mono, sr2, nch = decode_wav_pcm(data)
+    assert nch == 2 and sr2 == sr
+    assert np.abs(mono).max() < 1e-3  # L+R cancel after downmix
