@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--num-shards", type=int, default=16)
     c.add_argument("--seed", type=int, default=42)
     c.add_argument("--num-cpus", type=int, default=None)
+    c.add_argument("--politeness-delay", type=float, default=0.0,
+                   help="min seconds between fetch starts per host (0 = off)")
+    c.add_argument("--hot-host-threshold", type=int, default=10_000,
+                   help="candidate count above which a host's selection splits")
 
     q = sub.add_parser("query", help="run a registered query at an sf dir")
     q.add_argument("name")
@@ -60,6 +64,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = CrawlConfig(
             seed=args.seed, budget=args.budget, max_depth=args.max_depth,
             max_urls=args.max_urls, n_hosts=args.n_hosts, num_shards=args.num_shards,
+            politeness_delay_s=args.politeness_delay,
+            hot_host_threshold=args.hot_host_threshold,
         )
         res = run_crawl(read_seed_list(args.seeds), cfg, args.out, resume=args.resume)
         print(json.dumps(res["metrics"]))
