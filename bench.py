@@ -26,20 +26,33 @@ import time
 from lulu_crawler_ray.state.seen import load_seen
 
 
-def _crawl_bench(out_root: str) -> dict:
+def _crawl_bench(out_root: str, big: bool = False) -> dict:
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     from lulu_crawler_ray.config import CrawlConfig, seed_urls
     from lulu_crawler_ray.pipelines.crawl import run_crawl
 
-    cfg = CrawlConfig(
-        seed=42, budget=16, max_depth=4, max_urls=500_000, n_hosts=30_000,
-        num_shards=16, fetch_concurrency=8,
-    )
+    if big:
+        # scaling-mode config: ~3x the scalable work of the headline
+        # crawl so the fixed per-wave term (~13 s: barriers, finalize
+        # tasks, seals) reflects its weight at the 10^10 design point
+        # rather than dominating a small run (BASELINE.md "scaling
+        # protocol")
+        cfg = CrawlConfig(
+            seed=42, budget=24, max_depth=4, max_urls=1_500_000, n_hosts=40_000,
+            num_shards=16, fetch_concurrency=8,
+        )
+        n_seeds = 40_000
+    else:
+        cfg = CrawlConfig(
+            seed=42, budget=16, max_depth=4, max_urls=500_000, n_hosts=30_000,
+            num_shards=16, fetch_concurrency=8,
+        )
+        n_seeds = 30_000
     out = os.path.join(out_root, "crawl")
     t0 = time.time()
-    res = run_crawl(seed_urls(cfg, 30_000), cfg, out)
+    res = run_crawl(seed_urls(cfg, n_seeds), cfg, out)
     wall = time.time() - t0
     urls = res["metrics"]["ranks"]
     imgs = res["metrics"].get("images", 0)
@@ -117,7 +130,7 @@ def run_bench() -> dict:
         t0 = time.time()
         _consume(qfns[name](sf))
         times[name] = round(time.time() - t0, 3)
-    crawl = _crawl_bench(out_root)
+    crawl = _crawl_bench(out_root, big=os.environ.get("GRAFT_SCALING_CRAWL") == "1")
     times["crawl"] = crawl["sec"]
     total = round(time.time() - t_all, 3)
 
@@ -153,7 +166,7 @@ def run_scaling() -> None:
         best = None
         for _ in range(2):  # min-of-2: the right statistic on a noisy box
             _quiesce()
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CRAWL="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,

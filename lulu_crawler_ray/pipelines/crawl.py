@@ -153,21 +153,22 @@ def run_crawl(
             prev_seal()
         prev_seal = seal
         wave += 1
-    if prev_seal is not None:
-        prev_seal()
-
     # finalize: T5 seen dump — each shard spills its OWN sorted run in
     # parallel; the keys never pass through the driver (the audit-time
     # global sha1 sort lives in state.seen.load_seen, over result-sized
-    # data only). Shard layout: out/seen/shard-K.parquet.
+    # data only). Shard layout: out/seen/shard-K.parquet. All admits
+    # completed with the last wave's compute, so the dumps START before
+    # the final seal (which only joins the last image/ledger sinks) and
+    # the two overlap.
     t5dir = os.path.join(out_dir, "seen")
     os.makedirs(t5dir, exist_ok=True)
-    ray.get(
-        [
-            s.dump_parquet.remote("url", os.path.join(t5dir, f"shard-{k}.parquet"))
-            for k, s in enumerate(shards)
-        ]
-    )
+    dump_futs = [
+        s.dump_parquet.remote("url", os.path.join(t5dir, f"shard-{k}.parquet"))
+        for k, s in enumerate(shards)
+    ]
+    if prev_seal is not None:
+        prev_seal()
+    ray.get(dump_futs)
 
     snap = ray.get(metrics.snapshot.remote())
     snap.update(ranks=rank_base, waves=wave)
