@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j3_broadcast_lookup": rl.j3_broadcast_lookup,
         "o2_topk": rl.o2_topk,
         "o4_hash_sample": rl.o4_hash_sample,
+        "o5_topk_per_group": rl.o5_topk_per_group,
+        "g6_grouped_median": rl.g6_grouped_median,
         "d1_first_by_key": rl.d1_first_by_key,
         "d4_union": rl.d4_union,
         "d5_except": rl.d5_except,
@@ -180,6 +182,17 @@ def oracle_sql() -> dict[str, str]:
         "o4_hash_sample": (
             "SELECT l_orderkey, l_partkey, CAST(ROUND(l_quantity*100,0) AS BIGINT) AS quantity_c "
             "FROM lineitem WHERE l_orderkey % 100 = 0"
+        ),
+        "o5_topk_per_group": (
+            "SELECT l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS price_c "
+            "FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, "
+            "ROW_NUMBER() OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_extendedprice DESC, l_linenumber) AS rn FROM lineitem) t "
+            "WHERE rn <= 3"
+        ),
+        "g6_grouped_median": (
+            "SELECT l_returnflag, CAST(ROUND(median(l_quantity)*100,0) AS BIGINT) "
+            "AS median_qty_c FROM lineitem GROUP BY l_returnflag"
         ),
         "d1_first_by_key": (
             "SELECT l_orderkey, l_linenumber, l_partkey FROM ("

@@ -455,6 +455,100 @@ def _collapse_dup_winners(kept, key: str, cols: list[str], driver_max: int = 5_0
     )
 
 
+def o5_topk_per_group(sf: str, k: int = 3):
+    """Grouped top-k (the ROW_NUMBER()<=k window shape): top-k
+    lineitems per order by (extendedprice desc, linenumber asc).
+    Hash-partition by the group key, then ONE vectorized sort +
+    run-position pass per partition — the same combiner arithmetic as
+    the crawl's politeness top-B, exposed as a relational operator."""
+    ds = read_table(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("l_orderkey", "ascending"),
+                    ("l_extendedprice", "descending"),
+                    ("l_linenumber", "ascending"),
+                ],
+            )
+        )
+        key = t["l_orderkey"].to_numpy()
+        starts = np.r_[True, key[1:] != key[:-1]]
+        gid = np.cumsum(starts) - 1
+        pos = np.arange(len(key)) - np.flatnonzero(starts)[gid]
+        t = t.filter(pa.array(pos < k))
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "price_c": pa.array(price_c),
+            }
+        )
+
+    return _hash_partitioned(ds, "l_orderkey", _npart()).map_groups(
+        topk_part, batch_format="pyarrow"
+    )
+
+
+def g6_grouped_median(sf: str):
+    """Exact grouped median (quantile_cont 0.5) of l_quantity per
+    returnflag — per partition: one sort, segment boundaries, the two
+    middle order statistics per segment averaged (DuckDB median
+    semantics); centi-unit output. At 100 TB an exact grouped median
+    needs a per-group sort anyway (hash-partition co-locates groups);
+    the approximate path is a t-digest-style sketch."""
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_quantity"])
+
+    # returnflag is a string; partition on a DETERMINISTIC int digest
+    # (builtin hash() is per-process salted — rows of one flag would
+    # scatter across partitions and emit several medians per flag)
+    import hashlib as _hl
+
+    def with_key(t: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int.from_bytes(_hl.md5(s.encode()).digest()[:4], "big")
+                for s in t["l_returnflag"].to_pylist()
+            ],
+            np.int64,
+        )
+        return t.append_column("__k", pa.array(h))
+
+    def med_part(t: pa.Table) -> pa.Table:
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("l_returnflag", "ascending"), ("l_quantity", "ascending")]
+            )
+        )
+        flag = np.asarray(t["l_returnflag"].to_pylist(), dtype=object)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.r_[True, flag[1:] != flag[:-1]]
+        sp = np.flatnonzero(starts)
+        ends = np.r_[sp[1:], len(flag)]
+        out_f, out_m = [], []
+        for lo, hi in zip(sp, ends):
+            n = hi - lo
+            mid = lo + (n - 1) // 2
+            med = q[mid] if n % 2 else (q[mid] + q[mid + 1]) / 2.0
+            out_f.append(flag[lo])
+            out_m.append(int(np.rint(med * 100)))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out_f, pa.string()),
+                "median_qty_c": pa.array(out_m, pa.int64()),
+            }
+        )
+
+    parted = ds.map_batches(with_key, batch_format="pyarrow")
+    return (
+        parted.groupby("__k")
+        .map_groups(med_part, batch_format="pyarrow")
+    )
+
+
 def d1_first_by_key(sf: str, driver_max: int = 5_000_000):
     """First lineitem row per order by (linenumber, partkey) — D1
     first-by-key. The within-group order column u = ln*2^32 + pk never
