@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o4_hash_sample": rl.o4_hash_sample,
         "o5_topk_per_group": rl.o5_topk_per_group,
         "g6_grouped_median": rl.g6_grouped_median,
+        "g7_rollup": rl.g7_rollup,
+        "d6_intersect": rl.d6_intersect,
         "d1_first_by_key": rl.d1_first_by_key,
         "d4_union": rl.d4_union,
         "d5_except": rl.d5_except,
@@ -193,6 +195,16 @@ def oracle_sql() -> dict[str, str]:
         "g6_grouped_median": (
             "SELECT l_returnflag, CAST(ROUND(median(l_quantity)*100,0) AS BIGINT) "
             "AS median_qty_c FROM lineitem GROUP BY l_returnflag"
+        ),
+        "g7_rollup": (
+            "SELECT COALESCE(l_returnflag,'') AS l_returnflag, "
+            "COALESCE(l_linestatus,'') AS l_linestatus, COUNT(*) AS n, "
+            "CAST(ROUND(SUM(l_quantity)*100,0) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "d6_intersect": (
+            "SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING' "
+            "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O'"
         ),
         "d1_first_by_key": (
             "SELECT l_orderkey, l_linenumber, l_partkey FROM ("

@@ -455,6 +455,81 @@ def _collapse_dup_winners(kept, key: str, cols: list[str], driver_max: int = 5_0
     )
 
 
+def g7_rollup(sf: str):
+    """ROLLUP(returnflag, linestatus) over count + sum(quantity):
+    three grouped_agg passes (detail, per-flag subtotal, grand total)
+    unioned, NULL-marked levels as '' (DuckDB rollup emits NULLs; both
+    sides COALESCE to '' so the hash compares). Each pass is the
+    pre-aggregated combiner shuffle — a rollup at 100 TB is three
+    small shuffles over partial rows, not three scans (the partials
+    could be shared; at these sizes the re-scan is cheaper than
+    materializing them)."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    spec = [("n", "count", None), ("sum_qty", "sum", "l_quantity")]
+
+    detail = grouped_agg(read_table(sf, "lineitem", cols), ["l_returnflag", "l_linestatus"], spec)
+    byflag = grouped_agg(read_table(sf, "lineitem", cols), ["l_returnflag"], spec)
+    total = grouped_agg(
+        read_table(sf, "lineitem", cols).map_batches(
+            lambda t: t.append_column("__all", pa.array(np.zeros(t.num_rows, np.int32))),
+            batch_format="pyarrow",
+        ),
+        ["__all"],
+        spec,
+    )
+
+    def lift_flag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": pa.array([""] * t.num_rows, pa.string()),
+                "n": t["n"],
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    def lift_total(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": pa.array([""] * t.num_rows, pa.string()),
+                "l_linestatus": pa.array([""] * t.num_rows, pa.string()),
+                "n": t["n"],
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    return detail.select_columns(["l_returnflag", "l_linestatus", "n", "sum_qty"]).union(
+        byflag.map_batches(lift_flag, batch_format="pyarrow"),
+        total.map_batches(lift_total, batch_format="pyarrow"),
+    )
+
+
+def d6_intersect(sf: str):
+    """INTERSECT: BUILDING custkeys that also have open orders —
+    broadcast semi filter + distinct (the dual of d5's EXCEPT)."""
+    open_keys = (
+        read_table(sf, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    ref = ray.put(np.sort(np.asarray(open_keys, np.int64)))
+    cust = read_table(sf, "customer", ["c_custkey", "c_mktsegment"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        keep = ray.get(ref)
+        return t.select(["c_custkey"]).filter(
+            pa.array(np.isin(t["c_custkey"].to_numpy(), keep))
+        )
+
+    out = cust.map_batches(semi, batch_format="pyarrow")
+    keys = sorted(out.unique("c_custkey"))
+    return pa.table({"c_custkey": pa.array(keys, pa.int64())})
+
+
 def o5_topk_per_group(sf: str, k: int = 3):
     """Grouped top-k (the ROW_NUMBER()<=k window shape): top-k
     lineitems per order by (extendedprice desc, linenumber asc).
