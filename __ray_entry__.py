@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w2_sessionize": rl.w2_sessionize,
         "w3_asof_join": rl.w3_asof_join,
         "w4_running_sum": rl.w4_running_sum,
+        "w5_range_join": rl.w5_range_join,
         # text / training-data ops (documents)
         "t_token_count": to.t_token_count,
         "t_quality": to.t_quality,
@@ -254,6 +255,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, strftime(o.o_orderdate, '%Y-%m-%d') AS ts_order "
             "FROM events e ASOF LEFT JOIN orders o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "w5_range_join": (
+            "SELECT e.event_id, COUNT(o.o_custkey) AS n_orders "
+            "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey "
+            "AND o.o_orderdate <= e.ts AND o.o_orderdate > e.ts - INTERVAL 30 DAY "
+            "GROUP BY e.event_id"
         ),
         "t_token_count": (
             "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE "

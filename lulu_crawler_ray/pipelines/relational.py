@@ -898,6 +898,36 @@ def w3_asof_join(sf: str):
     return events.map_batches(probe, batch_format="pyarrow")
 
 
+def w5_range_join(sf: str, window_days: int = 30):
+    """RANGE JOIN: for each event, the count of the same user's orders
+    with o_orderdate in (ts - window, ts] — the interval-predicate join
+    Ray Data lacks natively. Same broadcast flattened composite index
+    as the as-of join; the per-batch probe is TWO searchsorteds (right
+    bound minus left bound), no shuffle, no per-row Python. Day
+    granularity is exact for midnight dates (see w3_asof_join)."""
+    blocks = (
+        read_table(sf, "orders", ["o_custkey", "o_orderdate"]).materialize().to_arrow_refs()
+    )
+    ref = _build_asof_index.remote(*blocks)
+    events = read_table(sf, "events", ["event_id", "user_id", "ts"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        uids, offsets, comp, _day = ray.get(ref)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ts_day = (
+            t["ts"].to_numpy().astype("datetime64[us]").astype("datetime64[D]").view(np.int64)
+        )
+        pos = np.searchsorted(uids, u)
+        posc = np.clip(pos, 0, max(len(uids) - 1, 0))
+        has = (pos < len(uids)) & (uids[posc] == u) if len(uids) else np.zeros(len(u), bool)
+        hi = np.searchsorted(comp, posc * (1 << 21) + ts_day, side="right")
+        lo = np.searchsorted(comp, posc * (1 << 21) + ts_day - window_days, side="right")
+        n = np.where(has, hi - lo, 0).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "n_orders": pa.array(n)})
+
+    return events.map_batches(probe, batch_format="pyarrow")
+
+
 def g4_hll_distinct(sf: str):
     """G4 — HyperLogLog approximate distinct of l_partkey: one sketch
     per batch, merged on the driver (sketches are tiny + mergeable).
