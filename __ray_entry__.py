@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprint": to.t_fingerprint,
         "t_minhash_pairs": to.t_minhash_pairs,
         "t_near_dedup": to.t_near_dedup,
+        "t_prep_pipeline": to.t_prep_pipeline,
         # similarity search (embeddings)
         "e_knn_bruteforce": an.e_knn_bruteforce,
         "e_lsh_ann": an.e_lsh_ann,

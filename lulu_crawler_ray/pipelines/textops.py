@@ -333,6 +333,72 @@ def t_near_dedup(sf: str):
     return near_dedup_minhash(docs)
 
 
+def t_prep_pipeline(sf: str, min_tokens: int = 30, max_digit_ratio: float = 0.3):
+    """End-to-end training-data prep over documents — the composition a
+    corpus pipeline actually runs, each stage streaming into the next:
+
+        quality gate (token count + digit ratio, vectorized counts)
+        -> exact dedup (content hash, keep min doc_id)
+        -> MinHash near-dedup (LSH -> distributed Jaccard -> components)
+        -> per-language survivor summary
+
+    Returns (lang, n_docs, sum_tokens) for the surviving set. Rows-only
+    driver check; every component stage is individually oracle- or
+    pytest-verified."""
+    docs = read_table(sf, "documents", ["doc_id", "text", "lang"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        toks = np.array([tx.token_count(s) for s in texts], np.int64)
+        digits = np.array([tx.char_class_counts(s)[1] for s in texts], np.int64)
+        lens = np.maximum(np.array([len(s) for s in texts], np.int64), 1)
+        keep = (toks >= min_tokens) & (digits / lens <= max_digit_ratio)
+        return t.filter(pa.array(keep))
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+
+    # exact dedup: min doc_id per content hash, broadcast winners
+    def h(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()), "doc_id": t["doc_id"]})
+
+    winners = (
+        gated.map_batches(h, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+    wins = []
+    for b in winners.iter_batches(batch_format="pyarrow", batch_size=65536):
+        wins.append(b["doc_id"].to_numpy())
+    wref = ray.put(np.sort(np.concatenate(wins)) if wins else np.array([], np.int64))
+
+    def keep_exact(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        return t.filter(pa.array(np.isin(t["doc_id"].to_numpy(), w)))
+
+    exact_kept = gated.map_batches(keep_exact, batch_format="pyarrow")
+
+    # near-dedup over the exact-kept set (LSH -> verify -> components)
+    survivors = near_dedup_minhash(
+        exact_kept.select_columns(["doc_id", "text"])
+    )
+    sids = []
+    for b in survivors.iter_batches(batch_format="pyarrow", batch_size=65536):
+        sids.append(b["doc_id"].to_numpy())
+    sref = ray.put(np.sort(np.concatenate(sids)) if sids else np.array([], np.int64))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        s = ray.get(sref)
+        t = t.filter(pa.array(np.isin(t["doc_id"].to_numpy(), s)))
+        toks = pa.array([tx.token_count(x) for x in t["text"].to_pylist()], pa.int64())
+        return pa.table({"lang": t["lang"], "n_tokens": toks})
+
+    final = gated.map_batches(summarize, batch_format="pyarrow")
+    return grouped_agg(
+        final, ["lang"], [("n_docs", "count", None), ("sum_tokens", "sum", "n_tokens")]
+    )
+
+
 def t_group_by_lang(sf: str):
     """Language composition summary (uses the stored lang column — the
     SQL-checkable analog of the langid pipeline output)."""
