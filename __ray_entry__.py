@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w5_range_join": rl.w5_range_join,
         # text / training-data ops (documents)
         "t_token_count": to.t_token_count,
+        "t_bpe_tokens": to.t_bpe_tokens,
         "t_quality": to.t_quality,
         "t_exact_dedup": to.t_exact_dedup,
         "t_group_by_lang": to.t_group_by_lang,
@@ -266,6 +267,10 @@ def oracle_sql() -> dict[str, str]:
         "t_token_count": (
             "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE "
             "len(string_split_regex(trim(text),'\\s+')) END AS n_tokens FROM documents"
+        ),
+        "t_bpe_tokens": (
+            "SELECT doc_id, len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS n_bpe_tokens "
+            "FROM documents"
         ),
         "t_quality": (
             "SELECT doc_id, length(text) AS n_chars_m, "

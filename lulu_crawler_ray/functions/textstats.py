@@ -30,6 +30,19 @@ def token_count(text: str) -> int:
     return len(text.split())
 
 
+# GPT-2-style pre-tokenizer shape (contractions | word | number | punct
+# run | whitespace run), restricted to RE2-compatible syntax (no
+# lookahead) so the DuckDB oracle computes the IDENTICAL count
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+_BPE = re.compile(BPE_PATTERN)
+
+
+def bpe_token_count(text: str) -> int:
+    """BPE-ish token count — the pre-tokenization granularity a BPE
+    tokenizer would split further; the standard corpus-size statistic."""
+    return len(_BPE.findall(text))
+
+
 def quality_ratios(text: str) -> tuple[float, float]:
     """(alpha_ratio, digit_ratio) over characters; 0 for empty text."""
     n = len(text)

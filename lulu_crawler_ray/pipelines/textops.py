@@ -40,6 +40,25 @@ def t_token_count(sf: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def t_bpe_tokens(sf: str):
+    """BPE-ish token count per doc (GPT-2-style pre-tokenizer regex,
+    RE2-compatible so DuckDB regexp_extract_all computes the identical
+    number — hash-checked)."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pa.array(
+                    [tx.bpe_token_count(s) for s in t["text"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def t_quality(sf: str):
     """SQL-checkable slice of quality scoring: character-class counts
     (integer outputs — ratios are count quotients and hit decimal
