@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_lsh_ann": an.e_lsh_ann,
         "e_ivf_ann": an.e_ivf_ann,
         "e_cosine_neardup": an.e_cosine_neardup,
+        "e_cosine_neardup_blocked": an.e_cosine_neardup_blocked,
         "e_cosine_dedup": an.e_cosine_dedup,
         "e_label_centroids": an.e_label_centroids,
         # image ops (J4/D3, multimodal decode)

@@ -42,6 +42,60 @@ def load_queries(sf: str, n_queries: int = 3) -> tuple[np.ndarray, np.ndarray]:
     return t["vec_id"].to_numpy().astype(np.int64), _normalize(q)
 
 
+_EMPTY_TOPK = {
+    "query_id": pa.array([], pa.int64()),
+    "neighbor_id": pa.array([], pa.int64()),
+    "sim": pa.array([], pa.float64()),
+}
+
+
+def _score_topk(ids: np.ndarray, m: np.ndarray, qids: np.ndarray, qm: np.ndarray, k: int) -> pa.Table:
+    """Per-block partial top-k: one matmul, then per query a lexsorted
+    (sim desc, id asc) head-k with self excluded. Duplicate ids (an
+    exploded multi-table index carries one row per (vector, table)) are
+    collapsed FIRST so copies cannot crowd distinct candidates out of
+    the k slots."""
+    if len(ids) == 0:
+        return pa.table(_EMPTY_TOPK)
+    _, ui = np.unique(ids, return_index=True)
+    ids, m = ids[ui], m[ui]
+    sims = m @ qm.T
+    out_q, out_n, out_s = [], [], []
+    for j, qid in enumerate(qids):
+        col = sims[:, j]
+        keep = np.flatnonzero(ids != qid)
+        order = keep[np.lexsort((ids[keep], -col[keep]))][:k]
+        out_q.extend([qid] * len(order))
+        out_n.extend(ids[order])
+        out_s.extend(col[order])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def _finalize_topk(parts, k: int) -> pa.Table:
+    """Driver-side merge of per-block partial top-ks: distinct
+    (query, neighbor), sort (sim desc, neighbor asc), head-k, rank."""
+    parts = parts.drop_duplicates(["query_id", "neighbor_id"])
+    out = {"query_id": [], "neighbor_id": [], "rnk": []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        out["query_id"].extend([qid] * len(g))
+        out["neighbor_id"].extend(g["neighbor_id"])
+        out["rnk"].extend(range(1, len(g) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+            "rnk": pa.array(out["rnk"], pa.int64()),
+        }
+    )
+
+
 def e_knn_bruteforce(sf: str, k: int = 10, n_queries: int = 3):
     """Exact cosine top-k for the first n_queries vectors (self
     excluded). Output (query_id, neighbor_id, rnk) — rnk by similarity
@@ -53,38 +107,11 @@ def e_knn_bruteforce(sf: str, k: int = 10, n_queries: int = 3):
     def partial_topk(t: pa.Table) -> pa.Table:
         qids_, qm_ = ray.get(ref)
         ids, m = _emb_matrix(t)
-        sims = _normalize(m) @ qm_.T  # (n, nq)
-        out_q, out_n, out_s = [], [], []
-        for j, qid in enumerate(qids_):
-            col = sims[:, j]
-            keep = np.flatnonzero(ids != qid)
-            # partial top-k within batch: global top-k survives any batching
-            order = keep[np.lexsort((ids[keep], -col[keep]))][:k]
-            out_q.extend([qid] * len(order))
-            out_n.extend(ids[order])
-            out_s.extend(col[order])
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
+        # partial top-k within batch: global top-k survives any batching
+        return _score_topk(ids, _normalize(m), qids_, qm_, k)
 
     parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    out_rows = {"query_id": [], "neighbor_id": [], "rnk": []}
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        out_rows["query_id"].extend([qid] * len(g))
-        out_rows["neighbor_id"].extend(g["neighbor_id"])
-        out_rows["rnk"].extend(range(1, len(g) + 1))
-    return pa.table(
-        {
-            "query_id": pa.array(out_rows["query_id"], pa.int64()),
-            "neighbor_id": pa.array(out_rows["neighbor_id"], pa.int64()),
-            "rnk": pa.array(out_rows["rnk"], pa.int64()),
-        }
-    )
+    return _finalize_topk(parts, k)
 
 
 class HyperplaneHasher:
@@ -163,49 +190,15 @@ class LshIndex:
             qids_, qm_ = ray.get(qref)
             mask = np.isin(t["bucket"].to_numpy(), buckets)
             if not mask.any():
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "neighbor_id": pa.array([], pa.int64()),
-                        "sim": pa.array([], pa.float64()),
-                    }
-                )
+                return pa.table(_EMPTY_TOPK)
             sub = t.filter(pa.array(mask))
             ids = sub["vec_id"].to_numpy()
             m = np.frombuffer(b"".join(sub["emb"].to_pylist()), np.float64).reshape(len(ids), -1)
-            sims = m @ qm_.T
-            out_q, out_n, out_s = [], [], []
-            for j, qid in enumerate(qids_):
-                col = sims[:, j]
-                keep = np.flatnonzero(ids != qid)
-                order = keep[np.lexsort((ids[keep], -col[keep]))][:k]
-                out_q.extend([qid] * len(order))
-                out_n.extend(ids[order])
-                out_s.extend(col[order])
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
+            # _score_topk collapses the per-table duplicate rows first
+            return _score_topk(ids, m, qids_, qm_, k)
 
         parts = self.index.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
-        # a vector matched in several tables appears once per table
-        parts = parts.drop_duplicates(["query_id", "neighbor_id"])
-        out = {"query_id": [], "neighbor_id": [], "rnk": []}
-        for qid, g in parts.groupby("query_id"):
-            g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-            out["query_id"].extend([qid] * len(g))
-            out["neighbor_id"].extend(g["neighbor_id"])
-            out["rnk"].extend(range(1, len(g) + 1))
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], pa.int64()),
-                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                "rnk": pa.array(out["rnk"], pa.int64()),
-            }
-        )
+        return _finalize_topk(parts, k)
 
 
 _LSH_CACHE: dict = {}
@@ -228,7 +221,7 @@ def e_lsh_ann(sf: str, k: int = 10, n_queries: int = 3, dim: int = 64):
 
 
 def _cosine_group_pairs(
-    ids: np.ndarray, m: np.ndarray, threshold: float, hot_threshold: int
+    ids: np.ndarray, m: np.ndarray, threshold: float, hot_threshold: int, strict: bool = False
 ):
     """All (a, b) with cosine > threshold inside one label group. Small
     groups: dense matmul. HOT groups (> hot_threshold rows) switch to
@@ -245,6 +238,14 @@ def _cosine_group_pairs(
         hit = s[iu] > threshold
         a, b = ids[iu[0][hit]], ids[iu[1][hit]]
         return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+    if strict:
+        # the EXACT contract (and its SQL oracle) cannot silently fall
+        # back to the recall<1 blocked path — fail loudly and point at
+        # the explicit blocked variant
+        raise ValueError(
+            f"label group of {n} rows exceeds hot_group_threshold={hot_threshold}: "
+            "exact all-pairs refused; use the *_blocked variant (recall<1) or raise the threshold"
+        )
     hasher = HyperplaneHasher(m.shape[1], n_planes=8, n_tables=6, seed=17)
     bk = hasher.buckets_of(m)  # (n, L)
     out = []
@@ -360,21 +361,24 @@ class IvfIndex:
             qids_, qm_, probes = ray.get(probe_ref)
             cid = t["cid"].to_numpy()
             mask = np.isin(cid, np.unique(probes))
+            if not mask.any():
+                return pa.table(_EMPTY_TOPK)
+            sub = t.filter(pa.array(mask))
+            ids = sub["vec_id"].to_numpy()
+            cids = sub["cid"].to_numpy()
+            m = np.frombuffer(b"".join(sub["emb"].to_pylist()), np.float64).reshape(len(ids), -1)
+            sims = m @ qm_.T
             out_q, out_n, out_s = [], [], []
-            if mask.any():
-                sub = t.filter(pa.array(mask))
-                ids = sub["vec_id"].to_numpy()
-                cids = sub["cid"].to_numpy()
-                m = np.frombuffer(b"".join(sub["emb"].to_pylist()), np.float64).reshape(len(ids), -1)
-                sims = m @ qm_.T
-                for j, qid in enumerate(qids_):
-                    inlist = np.isin(cids, probes[j]) & (ids != qid)
-                    keep = np.flatnonzero(inlist)
-                    col = sims[:, j]
-                    order_ = keep[np.lexsort((ids[keep], -col[keep]))][:k]
-                    out_q.extend([qid] * len(order_))
-                    out_n.extend(ids[order_])
-                    out_s.extend(col[order_])
+            for j, qid in enumerate(qids_):
+                # IVF assigns each vector to exactly ONE centroid, so
+                # unlike the exploded LSH index there are no duplicate
+                # ids within a block; restrict to THIS query's lists
+                keep = np.flatnonzero(np.isin(cids, probes[j]) & (ids != qid))
+                col = sims[:, j]
+                order_ = keep[np.lexsort((ids[keep], -col[keep]))][:k]
+                out_q.extend([qid] * len(order_))
+                out_n.extend(ids[order_])
+                out_s.extend(col[order_])
             return pa.table(
                 {
                     "query_id": pa.array(out_q, pa.int64()),
@@ -384,19 +388,7 @@ class IvfIndex:
             )
 
         parts = self.index.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
-        out = {"query_id": [], "neighbor_id": [], "rnk": []}
-        for qid, g in parts.groupby("query_id"):
-            g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-            out["query_id"].extend([qid] * len(g))
-            out["neighbor_id"].extend(g["neighbor_id"])
-            out["rnk"].extend(range(1, len(g) + 1))
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], pa.int64()),
-                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                "rnk": pa.array(out["rnk"], pa.int64()),
-            }
-        )
+        return _finalize_topk(parts, k)
 
 
 _IVF_CACHE: dict = {}
@@ -417,12 +409,16 @@ def e_ivf_ann(sf: str, k: int = 10, n_queries: int = 3, dim: int = 64, nprobe: i
     return ivf_index(sf, dim=dim).query(qids, qm, k, nprobe=nprobe)
 
 
-def e_cosine_neardup(sf: str, threshold: float = 0.45, hot_group_threshold: int = 4096):
+def e_cosine_neardup(
+    sf: str, threshold: float = 0.45, hot_group_threshold: int = 4096, strict: bool = True
+):
     """Embedding-cosine near-dup pairs above threshold, restricted to
     same-label blocks (blocking keeps the pairwise work per group
     tractable; cross-label near-dups are out of contract by design).
-    Hot label groups are contained by in-group hyperplane blocking
-    (_cosine_group_pairs). Output (a, b) with a < b."""
+    EXACT — this entry is hash-checked against an exact SQL oracle, so
+    a label group too hot for exact all-pairs raises (strict=True)
+    instead of silently degrading; the recall<1 hot path lives in
+    e_cosine_neardup_blocked. Output (a, b) with a < b."""
     import pandas as pd
 
     ds = read_table(sf, "embeddings", ["vec_id", "embedding", "label"])
@@ -430,9 +426,38 @@ def e_cosine_neardup(sf: str, threshold: float = 0.45, hot_group_threshold: int 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy().astype(np.int64)
         m = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
-        return _cosine_group_pairs(ids, m, threshold, hot_group_threshold)
+        return _cosine_group_pairs(ids, m, threshold, hot_group_threshold, strict=strict)
 
     out = ds.groupby("label").map_groups(pairs, batch_format="pandas").to_pandas()
+    if out.empty or "a" not in out.columns:  # all-empty groups lose the schema
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table(
+        {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}
+    )
+
+
+def e_cosine_neardup_blocked(
+    sf: str, threshold: float = 0.45, hot_group_threshold: int = 64
+):
+    """The SCALE variant of e_cosine_neardup: hot label groups switch
+    to in-group hyperplane-LSH blocking (every emitted pair is
+    cosine-verified; recall < 1 above the guard — see the planted-pair
+    recall test). Rows-only driver check by design: an approximate
+    path is never compared to an exact oracle. The tiny default
+    threshold exercises the blocked path at every sf."""
+    import pandas as pd
+
+    ds = read_table(sf, "embeddings", ["vec_id", "embedding", "label"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        m = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
+        return _cosine_group_pairs(ids, m, threshold, hot_group_threshold, strict=False)
+
+    out = ds.groupby("label").map_groups(pairs, batch_format="pandas").to_pandas()
+    if out.empty or "a" not in out.columns:  # all-empty groups lose the schema
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.table(
         {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}

@@ -366,17 +366,20 @@ def _select_distributed(frontier, cfg, rank_base, wave, cand_cols):
     return _selection_outputs(frontier, ref, wave) + (n_admitted,)
 
 
-_LIMITERS: dict[float, object] = {}
+_LIMITERS: dict[tuple, object] = {}
 
 
 def _get_limiter(cfg: CrawlConfig):
-    """One HostRateLimiter actor per (process, delay) — shared by every
-    wave of a crawl so per-host windows never overlap across waves."""
-    lim = _LIMITERS.get(cfg.politeness_delay_s)
+    """One HostRateLimiter actor per (session, delay) — shared by every
+    wave of a crawl so per-host windows never overlap across waves. The
+    key includes the Ray job id: a handle cached across
+    ray.shutdown()/ray.init() would point at a dead actor."""
+    key = (cfg.politeness_delay_s, ray.get_runtime_context().get_job_id())
+    lim = _LIMITERS.get(key)
     if lim is None:
         from .steps import make_rate_limiter
 
-        lim = _LIMITERS[cfg.politeness_delay_s] = make_rate_limiter(cfg.politeness_delay_s)
+        lim = _LIMITERS[key] = make_rate_limiter(cfg.politeness_delay_s)
     return lim
 
 

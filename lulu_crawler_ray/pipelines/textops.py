@@ -249,10 +249,15 @@ def minhash_candidate_pairs(
         return pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
 
     raw = bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # distinct across bands (pair rows are tiny)
-    return raw.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    # distinct across bands: per-batch pyarrow distinct combiner, then a
+    # grouped Count whose key rows ARE the distinct pairs — vectorized
+    # end to end (a map_groups(first) here would cost one Python call
+    # per distinct pair)
+    combined = raw.map_batches(
+        lambda t: t.group_by(["a", "b"]).aggregate([]), batch_format="pyarrow"
     )
+    agg = combined.groupby(["a", "b"]).aggregate(Count(alias_name="__c"))
+    return agg.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
 
 
 def t_minhash_pairs(sf: str):
@@ -326,7 +331,11 @@ def near_dedup_minhash(
             sb = np.frombuffer(sb, np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             uni = sa.size + sb.size - inter
-            if uni and inter / uni >= threshold:
+            # jaccard(∅, ∅) = 1.0 (two token-less docs ARE duplicates)
+            # — matches functions.textstats.jaccard and the round-1
+            # driver-side verify
+            sim = inter / uni if uni else 1.0
+            if sim >= threshold:
                 ka.append(a)
                 kb.append(b)
         return pa.table({"a": pa.array(ka, pa.int64()), "b": pa.array(kb, pa.int64())})
@@ -374,7 +383,10 @@ def t_prep_pipeline(sf: str, min_tokens: int = 30, max_digit_ratio: float = 0.3)
         keep = (toks >= min_tokens) & (digits / lens <= max_digit_ratio)
         return t.filter(pa.array(keep))
 
-    gated = docs.map_batches(gate, batch_format="pyarrow")
+    # materialized: the gate feeds four consumers (winner hash, winner
+    # filter, near-dedup x3 via its own materializes, final summary) —
+    # without this the corpus re-tokenizes/rehashes per consumer
+    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
 
     # exact dedup: min doc_id per content hash, broadcast winners
     def h(t: pa.Table) -> pa.Table:
@@ -395,7 +407,7 @@ def t_prep_pipeline(sf: str, min_tokens: int = 30, max_digit_ratio: float = 0.3)
         w = ray.get(wref)
         return t.filter(pa.array(np.isin(t["doc_id"].to_numpy(), w)))
 
-    exact_kept = gated.map_batches(keep_exact, batch_format="pyarrow")
+    exact_kept = gated.map_batches(keep_exact, batch_format="pyarrow").materialize()
 
     # near-dedup over the exact-kept set (LSH -> verify -> components)
     survivors = near_dedup_minhash(

@@ -106,13 +106,16 @@ class AudioFeatureExtractor:
         self.n_features = n_features
         self.fake = deterministic_fake
 
-    def _decode_audio(self, data: bytes, codec: str) -> np.ndarray:
+    def _decode_audio(self, data: bytes, codec: str) -> tuple[np.ndarray, int | None]:
+        """(pcm, decoded sample_rate or None). The DECODED rate wins
+        over the metadata column when available — metadata drift is the
+        normal case real decode exists to fix."""
         if codec == "wav":
-            pcm, _sr, _nch = decode_wav_pcm(data)
-            return pcm
+            pcm, sr, _nch = decode_wav_pcm(data)
+            return pcm, sr
         if self.fake:
             seed = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
-            return np.random.default_rng(seed).standard_normal(8000).astype(np.float32)
+            return np.random.default_rng(seed).standard_normal(8000).astype(np.float32), None
         raise NotImplementedError(
             "non-WAV audio codecs unavailable in this sandbox — plug a real decoder here"
         )
@@ -120,8 +123,8 @@ class AudioFeatureExtractor:
     def __call__(self, t: pa.Table) -> pa.Table:
         out = {"media_id": [], "duration_s": [], "features": []}
         for i in range(t.num_rows):
-            pcm = self._decode_audio(t["bytes"][i].as_py(), t["codec"][i].as_py())
-            sr = t["sample_rate"][i].as_py() or 8000
+            pcm, sr_decoded = self._decode_audio(t["bytes"][i].as_py(), t["codec"][i].as_py())
+            sr = sr_decoded or t["sample_rate"][i].as_py() or 8000
             # coarse spectral-band energies — real work happens vectorized
             chunks = np.array_split(pcm, self.n_features)
             feats = np.array([float(np.sqrt((c**2).mean())) for c in chunks], np.float32)

@@ -521,3 +521,46 @@ def test_prep_pipeline_end_to_end(ray_session):
     ).fetchone()[0]
     assert 0 < out["n_docs"].sum() < total_docs  # gates + dedup removed rows
     assert (out["n_docs"] > 0).all() and (out["sum_tokens"] > 0).all()
+
+
+def test_near_dedup_empty_docs_are_duplicates(ray_session):
+    """jaccard(∅, ∅) = 1.0: token-less docs (empty/whitespace) must
+    dedup to one survivor through the distributed verify path."""
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.textops import near_dedup_minhash
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([" ", "\t", "normal document text here we go", ""]),
+        }
+    )
+    kept = set(near_dedup_minhash(ray.data.from_arrow(t), threshold=0.7).to_pandas()["doc_id"])
+    assert 3 in kept
+    assert len(kept & {1, 2, 4}) == 1  # the three token-less docs collapse
+
+
+def test_cosine_neardup_strict_raises_on_hot_group(ray_session):
+    from lulu_crawler_ray.pipelines import annsearch as an
+
+    with pytest.raises(Exception, match="hot_group_threshold"):
+        an.e_cosine_neardup(SF, hot_group_threshold=10, strict=True)
+    # the explicit blocked variant runs and stays a subset of exact
+    blocked = an.e_cosine_neardup_blocked(SF, hot_group_threshold=10).to_pandas()
+    exact = an.e_cosine_neardup(SF).to_pandas()
+    b = set(map(tuple, blocked[["a", "b"]].itertuples(index=False)))
+    e = set(map(tuple, exact[["a", "b"]].itertuples(index=False)))
+    assert b <= e
+
+
+def test_lsh_ann_returns_distinct_full_k(ray_session):
+    """The exploded multi-table index must not let duplicate
+    (vector, table) rows crowd distinct candidates out of the k slots."""
+    from lulu_crawler_ray.pipelines import annsearch as an
+
+    an._LSH_CACHE.clear()
+    out = an.e_lsh_ann(SF).to_pandas()
+    for q, g in out.groupby("query_id"):
+        assert g["neighbor_id"].is_unique
+        assert len(g) == 10, f"query {q} returned {len(g)} < k distinct neighbors"
