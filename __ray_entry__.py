@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_group_by_lang": to.t_group_by_lang,
         "t_langid": to.t_langid,
         "t_simhash": to.t_simhash,
+        "t_simhash_neardup": to.t_simhash_neardup,
         "t_fingerprint": to.t_fingerprint,
         "t_minhash_pairs": to.t_minhash_pairs,
         "t_near_dedup": to.t_near_dedup,

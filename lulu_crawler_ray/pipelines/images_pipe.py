@@ -58,7 +58,9 @@ def _bucket_pairs(
     sub-bucket sizes. (A fully degenerate bucket of identical hashes
     stays quadratic — but there the OUTPUT itself is quadratic.)"""
     n = len(ids)
-    empty = pd.DataFrame({"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str)})
+    empty = pd.DataFrame(
+        {"a": pd.Series([], dtype=ids.dtype), "b": pd.Series([], dtype=ids.dtype)}
+    )
     if n < 2:
         return empty
     if n <= hot_threshold:

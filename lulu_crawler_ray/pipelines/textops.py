@@ -144,6 +144,52 @@ def t_simhash(sf: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def t_simhash_neardup(sf: str, max_hamming: int = 6, hot_bucket_threshold: int = 1024):
+    """SimHash near-dup pairs — the third dedup family: 64-bit simhash
+    explodes into 4 x 16-bit bands (exact for <= 3 bit flips by
+    pigeonhole; wider radii trade recall), bucket-groupby, in-bucket
+    VERIFIED hamming with the same exact second-level banding for hot
+    buckets as the phash join (shared _bucket_pairs kernel). Output
+    (a, b) doc_id pairs, a < b."""
+    from .images_pipe import _bucket_pairs
+
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = np.array([tx.simhash64(s) for s in t["text"].to_pylist()], np.int64)
+        u = h.view(np.uint64)
+        bks, hs, ds_ = [], [], []
+        for b in range(4):
+            vals = (u >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bks.append((np.int64(b) << np.int64(16)) | vals.astype(np.int64))
+            hs.append(h)
+            ds_.append(ids)
+        return pa.table(
+            {
+                "band_key": pa.array(np.concatenate(bks)),
+                "h": pa.array(np.concatenate(hs)),
+                "doc_id": pa.array(np.concatenate(ds_), pa.int64()),
+            }
+        )
+
+    bands = ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return _bucket_pairs(
+            g["doc_id"].to_numpy(), g["h"].to_numpy().astype(np.int64),
+            max_hamming, hot_bucket_threshold,
+        )
+
+    out = bands.groupby("band_key").map_groups(pairs, batch_format="pandas").to_pandas()
+    if out.empty or "a" not in out.columns:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table(
+        {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}
+    )
+
+
 def t_fingerprint(sf: str):
     """Winnowing fingerprint cardinality per doc (document
     fingerprinting op; the fingerprint sets drive containment checks)."""

@@ -564,3 +564,31 @@ def test_lsh_ann_returns_distinct_full_k(ray_session):
     for q, g in out.groupby("query_id"):
         assert g["neighbor_id"].is_unique
         assert len(g) == 10, f"query {q} returned {len(g)} < k distinct neighbors"
+
+
+def test_simhash_neardup_vs_bruteforce(ray_session):
+    """Band-joined simhash pairs vs the all-pairs oracle: every found
+    pair verified <= max_hamming (subset), and every pair <= 3 flips
+    found (pigeonhole exactness over 4 bands)."""
+    from lulu_crawler_ray.pipelines.textops import t_simhash_neardup
+
+    found = t_simhash_neardup(SF, max_hamming=6).to_pandas()
+    f = set(map(tuple, found[["a", "b"]].itertuples(index=False)))
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    sh = {d: tx.simhash64(t) for d, t in rows}
+    ids = sorted(sh)
+    close3, close6 = set(), set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = hamming64(sh[a], sh[b])
+            if d <= 6:
+                close6.add((a, b))
+                if d <= 3:
+                    close3.add((a, b))
+    assert f <= close6  # every emitted pair is verified
+    assert close3 <= f  # exact for <= 3 flips
