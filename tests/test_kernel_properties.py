@@ -107,3 +107,52 @@ def test_politeness_invariant_on_crawl(tmp_path, ray_session):
     # ranks contiguous from 0
     ranks = np.sort(led["rank"].to_numpy())
     assert (ranks == np.arange(len(ranks))).all()
+
+
+# ---------------------------------------------------------- banded hamming
+@given(
+    hashes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=2, max_size=60
+    ),
+    max_h=st.integers(0, 12),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_bucket_pairs_banded_equals_dense(hashes, max_h, data):
+    """Second-level banding (hot path) returns EXACTLY the dense
+    all-pairs result for any hash multiset and radius (pigeonhole)."""
+    from lulu_crawler_ray.pipelines.images_pipe import _bucket_pairs
+
+    ph = np.array(hashes, np.int64)
+    ids = np.arange(len(ph), dtype=np.int64)
+    dense = _bucket_pairs(ids, ph, max_h, hot_threshold=10**9)
+    banded = _bucket_pairs(ids, ph, max_h, hot_threshold=1)  # force hot path
+    d = set(map(tuple, dense[["a", "b"]].itertuples(index=False)))
+    b = set(map(tuple, banded[["a", "b"]].itertuples(index=False)))
+    assert d == b
+
+
+# ---------------------------------------------------------- topk scoring
+@given(
+    n=st.integers(1, 40),
+    dup=st.integers(1, 5),
+    k=st.integers(1, 10),
+    seed=st.integers(0, 1000),
+)
+@settings(max_examples=40, deadline=None)
+def test_score_topk_duplicate_invariance(n, dup, k, seed):
+    """_score_topk over rows duplicated `dup` times (the exploded
+    multi-table index shape) equals _score_topk over the distinct rows."""
+    from lulu_crawler_ray.pipelines.annsearch import _normalize, _score_topk
+
+    rng = np.random.default_rng(seed)
+    m = _normalize(rng.standard_normal((n, 8)))
+    ids = np.arange(n, dtype=np.int64)
+    qm = _normalize(rng.standard_normal((2, 8)))
+    qids = np.array([100, 101], np.int64)  # queries not in corpus
+    once = _score_topk(ids, m, qids, qm, k).to_pandas()
+    rep_ids = np.repeat(ids, dup)
+    rep_m = np.repeat(m, dup, axis=0)
+    many = _score_topk(rep_ids, rep_m, qids, qm, k).to_pandas()
+    cols = ["query_id", "neighbor_id"]
+    assert once[cols].values.tolist() == many[cols].values.tolist()

@@ -8,7 +8,7 @@ import sys
 import textwrap
 
 
-def _run(ncpu: int, out: str) -> str:
+def _run(ncpu: int, out: str, extra_cfg: str = "") -> str:
     code = textwrap.dedent(f"""
         import hashlib, ray
         import pyarrow.compute as pc
@@ -21,7 +21,7 @@ def _run(ncpu: int, out: str) -> str:
         from lulu_crawler_ray.pipelines.crawl import run_crawl
         from lulu_crawler_ray.state.seen import load_seen
         cfg = CrawlConfig(seed=21, budget=4, max_depth=3, max_urls=800,
-                          n_hosts=15, num_shards=4)
+                          n_hosts=15, num_shards=4{extra_cfg})
         run_crawl(seed_urls(cfg, 8), cfg, {out!r})
         led = pads.dataset({out!r} + "/ledger", format="parquet").to_table()
         led = led.take(pc.sort_indices(led, sort_keys=[("rank", "ascending")]))
@@ -43,4 +43,14 @@ def _run(ncpu: int, out: str) -> str:
 def test_identical_output_across_parallelism(tmp_path):
     h2 = _run(2, str(tmp_path / "c2"))
     h8 = _run(8, str(tmp_path / "c8"))
+    assert h2 == h8
+
+
+def test_distributed_hot_split_path_parallelism_independent(tmp_path):
+    """The forced distributed selection with hot-domain splitting must
+    also be a pure function of (seeds, config) — identical T4/T5 hashes
+    at 2 vs 8 CPUs through the salted groupby + seq-broadcast path."""
+    extra = ", driver_select_max=0, hot_host_threshold=3"
+    h2 = _run(2, str(tmp_path / "d2"), extra)
+    h8 = _run(8, str(tmp_path / "d8"), extra)
     assert h2 == h8
