@@ -137,16 +137,107 @@ class AudioFeatureExtractor:
         )
 
 
+def encode_avi_rgb24(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """(h, w, 3) uint8 frames -> an uncompressed RGB24 AVI (RIFF/DIB:
+    bottom-up BGR rows padded to 4 bytes — the real container
+    convention, readable by standard players). Pure stdlib/numpy."""
+    import struct
+
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+
+    def dib(frame: np.ndarray) -> bytes:
+        bgr = frame[:, :, ::-1]
+        return b"".join(bgr[r].tobytes() + pad for r in range(h - 1, -1, -1))
+
+    movi_body = b"movi"
+    for f in frames:
+        d = dib(f)
+        movi_body += b"00db" + struct.pack("<I", len(d)) + d
+        if len(d) % 2:
+            movi_body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+
+    us_per_frame = int(1_000_000 / fps)
+    # avih payload: 14 uint32s (us/frame, maxbytes, padding, flags,
+    # total frames, initial, streams, sugbuf, width, height, 4 reserved)
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0x10, len(frames), 0, 1, stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = b"strh" + struct.pack("<I", 56) + b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIIHHHH", 0, 0, 0, 0, 1, fps, 0, len(frames), stride * h, 0xFFFFFFFF, 0, 0, 0, w, h
+    )
+    strf = b"strf" + struct.pack("<I", 40) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    strl_body = b"strl" + strh + strf
+    strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    hdrl_body = b"hdrl" + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_rgb24(data: bytes):
+    """Uncompressed RGB24 AVI -> (frames list of (h, w, 3) uint8 RGB,
+    fps). Parses the RIFF chunk tree for avih (dims, frame timing) and
+    the movi '00db'/'00dc' DIB payloads (bottom-up BGR, 4-byte row
+    stride). Raises on compressed streams."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    w = h = n_frames = None
+    us_per_frame = 100_000
+    frames: list[np.ndarray] = []
+
+    def walk(buf: int, end: int):
+        nonlocal w, h, n_frames, us_per_frame
+        pos = buf
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + sz)
+            elif cid == b"avih":
+                vals = struct.unpack("<IIIIIIIIII", data[body : body + 40])
+                us_per_frame, n_frames, w, h = vals[0], vals[4], vals[8], vals[9]
+            elif cid in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("movi before avih")
+                stride = (w * 3 + 3) & ~3
+                if sz < stride * h:
+                    raise NotImplementedError("compressed AVI stream not supported")
+                arr = np.frombuffer(data[body : body + stride * h], np.uint8)
+                rows = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                frames.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR -> RGB
+            pos = body + sz + (sz & 1)
+
+    walk(12, len(data))
+    fps = 1_000_000 / us_per_frame if us_per_frame else 10.0
+    return frames, fps
+
+
 class VideoFrameSampler:
     """Actor-pool stage: video bytes -> every k-th frame as PNG rows
-    (1 video -> N frame rows). The decode is the stub seam; the fake
-    emits deterministic gradient frames via the in-repo PNG encoder."""
+    (1 video -> N frame rows). codec == "avi" decodes FOR REAL
+    (uncompressed RGB24 RIFF/DIB via decode_avi_rgb24 — no external
+    library); other codecs use the deterministic fake or the declared
+    NotImplementedError seam."""
 
     def __init__(self, every_k: int = 10, deterministic_fake: bool = True):
         self.every_k = every_k
         self.fake = deterministic_fake
 
     def _decode_frames(self, data: bytes, codec: str, n_frames: int):
+        if codec == "avi":
+            frames, _fps = decode_avi_rgb24(data)
+            for idx in range(0, len(frames), self.every_k):
+                yield idx, frames[idx]
+            return
         if self.fake:
             seed = hashlib.sha256(data).digest()
             for idx in range(0, max(n_frames, 1), self.every_k):
@@ -154,7 +245,7 @@ class VideoFrameSampler:
                 yield idx, np.full((16, 16, 3), base, np.uint8)
             return
         raise NotImplementedError(
-            "video codecs unavailable in this sandbox — plug a real decoder here"
+            "non-AVI video codecs unavailable in this sandbox — plug a real decoder here"
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:
