@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_neardup_pairs": im.img_neardup_pairs_query,
         "img_stats": im.img_stats_query,
         "img_resize": im.img_resize_query,
+        "img_near_dedup": im.img_near_dedup_query,
+        "audio_features": im.audio_features_query,
+        "video_frames": im.video_frames_query,
         # flagship crawl outputs (oracle-crawler-verified in pytest)
         "crawl_ledger": lambda sf: _crawl_outputs(sf, "ledger"),
         "crawl_images": lambda sf: _crawl_outputs(sf, "images"),

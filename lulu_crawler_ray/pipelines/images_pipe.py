@@ -217,6 +217,113 @@ def img_resize_query(sf: str):
     )
 
 
+def img_near_dedup_query(sf: str):
+    """queries() entry: D3 end-to-end — J4 pairs -> components -> keep
+    min image_id per cluster over the deterministic fixture."""
+    n = 600 if "0.1" in sf else 300
+    ds = fixture_dataset(n)
+    kept = near_dedup_images(ds, max_hamming=10)
+    return kept.map_batches(
+        lambda t: t.select(["image_id"]), batch_format="pyarrow"
+    ).sort("image_id")
+
+
+def audio_features_query(sf: str):
+    """queries() entry: REAL WAV decode through the actor-pool feature
+    stage over a deterministic synthesized fixture (sine tones at
+    per-row frequencies/amplitudes)."""
+    import ray.data
+
+    from ..stages.multimodal import AUDIO_SCHEMA, AudioFeatureExtractor, encode_wav_pcm16
+
+    n = 60 if "0.1" in sf else 30
+    sr = 8000
+    rows = {"media_id": [], "bytes": [], "codec": [], "sample_rate": [], "n_channels": []}
+    t_axis = np.arange(sr, dtype=np.float32) / sr
+    for i in range(n):
+        freq = 110.0 * (1 + i % 8)
+        amp = 0.2 + 0.1 * (i % 5)
+        tone = (amp * np.sin(2 * np.pi * freq * t_axis)).astype(np.float32)
+        rows["media_id"].append(f"a{i:04d}")
+        rows["bytes"].append(encode_wav_pcm16(tone, sr))
+        rows["codec"].append("wav")
+        rows["sample_rate"].append(sr)
+        rows["n_channels"].append(1)
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "codec": pa.array(rows["codec"]),
+            "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+            "n_channels": pa.array(rows["n_channels"], pa.int32()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = ds.map_batches(
+        AudioFeatureExtractor, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+
+    def summarize(tb: pa.Table) -> pa.Table:
+        feats = [np.asarray(f) for f in tb["features"].to_pylist()]
+        rms_e4 = [int(np.rint(float(np.sqrt((f**2).mean())) * 10000)) for f in feats]
+        return pa.table(
+            {
+                "media_id": tb["media_id"],
+                "duration_s": tb["duration_s"],
+                "rms_e4": pa.array(rms_e4, pa.int64()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow").sort("media_id")
+
+
+def video_frames_query(sf: str):
+    """queries() entry: REAL uncompressed-AVI decode through the frame
+    sampler over a deterministic synthesized fixture."""
+    import ray.data
+
+    from ..stages.multimodal import VIDEO_SCHEMA, VideoFrameSampler, encode_avi_rgb24
+
+    n_vids = 6 if "0.1" in sf else 3
+    rows = {"media_id": [], "bytes": [], "codec": [], "fps": [], "n_frames": []}
+    for v in range(n_vids):
+        frames = [
+            ((np.indices((16, 16)).sum(axis=0)[:, :, None] * (v + 1) + k) % 256).astype(np.uint8).repeat(3, axis=2)
+            for k in range(9)
+        ]
+        rows["media_id"].append(f"v{v:03d}")
+        rows["bytes"].append(encode_avi_rgb24(frames, fps=6))
+        rows["codec"].append("avi")
+        rows["fps"].append(6.0)
+        rows["n_frames"].append(9)
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "codec": pa.array(rows["codec"]),
+            "fps": pa.array(rows["fps"], pa.float32()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+        },
+        schema=VIDEO_SCHEMA,
+    )
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"every_k": 4},
+        batch_format="pyarrow", concurrency=1,
+    )
+    return out.map_batches(
+        lambda tb: pa.table(
+            {
+                "media_id": tb["media_id"],
+                "frame_idx": tb["frame_idx"],
+                "png_len": pa.array([len(b) for b in tb["frame_png"].to_pylist()], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["media_id", "frame_idx"])
+
+
 def img_stats_query(sf: str):
     """queries() entry: decode-validate + grouped stats by fmt over the
     fixture table (real decode per row — M8/M10 exercised end-to-end)."""
