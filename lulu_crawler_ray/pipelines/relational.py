@@ -37,6 +37,11 @@ from ..sources.testdata import read_table
 _KINDS = ("sum", "count", "min", "max", "mean", "std")
 
 
+@ray.remote
+def _count_rows_ref(t: pa.Table) -> int:
+    return t.num_rows
+
+
 def _npart() -> int:
     """Join/shuffle partition count scaled to the session's CPUs (a
     fixed constant under-parallelizes larger clusters). 1x CPUs, not
@@ -46,11 +51,22 @@ def _npart() -> int:
     return max(16, int(ray.cluster_resources().get("CPU", 8)))
 
 
+@ray.remote(num_cpus=1)
+def _grouped_agg_task(keys, pairs, *blocks):
+    """One-task finalize: pyarrow C++ group_by over the combined
+    partial rows. pairs: (term_col, op) per final aggregate."""
+    t = pa.concat_tables(blocks).combine_chunks()
+    out = t.group_by(keys).aggregate(pairs)
+    ren = {f"{c}_{op}": c for c, op in pairs}
+    return out.rename_columns([ren.get(n, n) for n in out.column_names])
+
+
 def grouped_agg(
     ds: ray.data.Dataset,
     keys: list[str],
     specs: list[tuple[str, str, str | None]],
     round_to: int | None = 4,
+    task_max: int = 2_000_000,
 ) -> ray.data.Dataset:
     """specs: (out_name, kind, col) with kind in sum|count|min|max|mean|std.
     count ignores col (row count). std is sample std (ddof=1), matching
@@ -94,25 +110,43 @@ def grouped_agg(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    final_aggs = []
+    final_aggs, final_pairs = [], []
     for i, (_, kind, _) in enumerate(specs):
         p = f"__p{i}"
         if kind == "count":
             final_aggs.append(Sum(p + "_c", alias_name=p + "_c"))
+            final_pairs.append((p + "_c", "sum"))
         elif kind == "sum":
             final_aggs.append(Sum(p + "_v", alias_name=p + "_v"))
+            final_pairs.append((p + "_v", "sum"))
         elif kind == "min":
             final_aggs.append(Min(p + "_v", alias_name=p + "_v"))
+            final_pairs.append((p + "_v", "min"))
         elif kind == "max":
             final_aggs.append(Max(p + "_v", alias_name=p + "_v"))
+            final_pairs.append((p + "_v", "max"))
         elif kind == "mean":
             final_aggs.append(Sum(p + "_s", alias_name=p + "_s"))
             final_aggs.append(Sum(p + "_c", alias_name=p + "_c"))
+            final_pairs += [(p + "_s", "sum"), (p + "_c", "sum")]
         elif kind == "std":
             final_aggs.append(Sum(p + "_s", alias_name=p + "_s"))
             final_aggs.append(Sum(p + "_q", alias_name=p + "_q"))
             final_aggs.append(Sum(p + "_c", alias_name=p + "_c"))
-    agg = partials.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*final_aggs)
+            final_pairs += [(p + "_s", "sum"), (p + "_q", "sum"), (p + "_c", "sum")]
+
+    # adaptive finalize: the partial set often compresses little (a
+    # near-unique key like (user, hour) keeps ~1 partial row per input
+    # row) — below ``task_max`` rows ONE pyarrow C++ group_by task
+    # beats the distributed sort-shuffle groupby; above it the shuffle
+    # path takes over (the same threshold pattern as selection/dedup)
+    blocks = partials.materialize().to_arrow_refs()
+    counts = ray.get([_count_rows_ref.remote(b) for b in blocks])
+    blocks = [b for b, c in zip(blocks, counts) if c > 0]
+    if sum(counts) <= task_max and blocks:
+        agg = ray.data.from_arrow_refs([_grouped_agg_task.remote(keys, final_pairs, *blocks)])
+    else:
+        agg = partials.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*final_aggs)
 
     def finalize(t: pa.Table) -> pa.Table:
         out: dict[str, pa.Array] = {k: t[k] for k in keys}
