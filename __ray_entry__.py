@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o5_topk_per_group": rl.o5_topk_per_group,
         "g6_grouped_median": rl.g6_grouped_median,
         "g7_rollup": rl.g7_rollup,
+        "g8_approx_quantile": rl.g8_approx_quantile,
         "d6_intersect": rl.d6_intersect,
         "d1_first_by_key": rl.d1_first_by_key,
         "d4_union": rl.d4_union,

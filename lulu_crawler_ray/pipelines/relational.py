@@ -489,6 +489,75 @@ def _collapse_dup_winners(kept, key: str, cols: list[str], driver_max: int = 5_0
     )
 
 
+def g8_approx_quantile(sf: str, q: float = 0.5, n_buckets: int = 4096):
+    """APPROXIMATE grouped quantile — the mergeable-sketch scale path
+    complementing g6's exact median (HLL:distinct :: histogram:
+    quantile). Two streaming passes: (1) per-batch (group, min, max)
+    partials -> global range per group in one task; (2) per-batch
+    equi-width bucket counts -> merged histogram -> quantile read off
+    the cumulative counts. Deterministic; absolute error <= range /
+    n_buckets (pytest-checked vs exact). No SQL oracle by design."""
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def ranges(t: pa.Table) -> pa.Table:
+        out = (
+            pa.table({"g": t["l_returnflag"], "v": t["l_extendedprice"]})
+            .group_by(["g"])
+            .aggregate([("v", "min"), ("v", "max")])
+        )
+        return out.rename_columns(["g", "lo", "hi"])
+
+    rng: dict[str, tuple[float, float]] = {}
+    for b in ds.map_batches(ranges, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        for g, lo, hi in zip(b["g"].to_pylist(), b["lo"].to_pylist(), b["hi"].to_pylist()):
+            cur = rng.get(g)
+            rng[g] = (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
+    groups = sorted(rng)
+    lo = np.array([rng[g][0] for g in groups])
+    width = np.array([max(rng[g][1] - rng[g][0], 1e-12) for g in groups])
+    gref = ray.put((np.array(groups, dtype=object), lo, width))
+
+    def hist(t: pa.Table) -> pa.Table:
+        gs, lo_, w_ = ray.get(gref)
+        gv = np.asarray(t["l_returnflag"].to_pylist(), dtype=object)
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        gi = np.searchsorted(gs, gv)
+        bk = np.clip(((v - lo_[gi]) / w_[gi] * n_buckets).astype(np.int64), 0, n_buckets - 1)
+        key = gi * n_buckets + bk
+        cnt = np.bincount(key, minlength=len(gs) * n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"key": pa.array(nz), "n": pa.array(cnt[nz], pa.int64())})
+
+    acc = None
+    for b in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=262144
+    ):
+        if acc is None:
+            acc = np.zeros(len(groups) * n_buckets, np.int64)
+        np.add.at(acc, b["key"].to_numpy(), b["n"].to_numpy())
+    out_g, out_q = [], []
+    if acc is not None:
+        for i, g in enumerate(groups):
+            h = acc[i * n_buckets : (i + 1) * n_buckets]
+            total = h.sum()
+            if total == 0:
+                continue
+            target = q * total
+            cum = np.cumsum(h)
+            bidx = int(np.searchsorted(cum, target, side="left"))
+            est = lo[i] + (bidx + 0.5) / n_buckets * width[i]
+            out_g.append(g)
+            out_q.append(round(float(est), 2))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_g, pa.string()),
+            "approx_quantile": pa.array(out_q, pa.float64()),
+        }
+    )
+
+
 def g7_rollup(sf: str):
     """ROLLUP(returnflag, linestatus) over count + sum(quantity):
     three grouped_agg passes (detail, per-flag subtotal, grand total)

@@ -635,3 +635,32 @@ def test_avi_roundtrip_and_real_video_stage(ray_session):
     assert list(out["frame_idx"]) == [0, 3, 6]
     px = decode_png(out["frame_png"][0])
     assert np.array_equal(px, frames[0])
+
+
+def test_g8_approx_quantile_accuracy(ray_session):
+    """Histogram-sketch grouped median within bucket-width error of the
+    exact per-group median."""
+    import duckdb
+
+    from lulu_crawler_ray.pipelines.relational import g8_approx_quantile
+
+    approx = {
+        r["l_returnflag"]: r["approx_quantile"]
+        for r in g8_approx_quantile(SF).to_pylist()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"SELECT l_returnflag, median(l_extendedprice) "
+            f"FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    rng = dict(
+        duckdb.sql(
+            f"SELECT l_returnflag, MAX(l_extendedprice)-MIN(l_extendedprice) "
+            f"FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for g in exact:
+        tol = rng[g] / 4096 + 0.01
+        assert abs(approx[g] - exact[g]) <= 2 * tol, (g, approx[g], exact[g])
