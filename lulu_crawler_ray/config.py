@@ -70,6 +70,17 @@ class CrawlConfig:
     # 0 = off. Order-neutral by construction: the admitted set and rank
     # order are fixed before the fetch stage runs.
     politeness_delay_s: float = 0.0
+    # incremental frontier: waves append a new-links SEGMENT and filter
+    # previously-admitted rows lazily (per-wave checkpoint IO ∝ new
+    # links). Compaction physically rebuilds the pending set into one
+    # segment and resets the filter chain when EITHER compact_every
+    # waves elapsed OR the dead-row share of the view exceeds
+    # compact_dead_frac (adaptive: small crawls with high per-wave
+    # admit ratios compact often — scans stay lean; a 10^10 frontier
+    # admits a tiny fraction per wave, so checkpoints stay deltas).
+    # Order-neutral: the filtered union IS the deferred frontier.
+    compact_every: int = 8
+    compact_dead_frac: float = 0.15
 
     def priority(self, depth: int) -> int:
         """Pluggable priority function (SURVEY.md §2 op U2); default 0:

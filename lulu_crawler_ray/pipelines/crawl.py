@@ -12,16 +12,25 @@ Checkpoint layout (SURVEY.md §4.4; BASELINE.json:6 "every partition
 checkpoints its frontier, cuckoo-filter shards, and fetch lineage so a
 killed job resumes mid-crawl with identical downstream state"):
 
-    out/ckpt/enter_wave=NNNN/frontier/*.parquet   F_W at entry of wave W
+    out/ckpt/enter_wave=NNNN/frontier/*.parquet   frontier SEGMENT: the
+        new-links delta of wave N-1 (or the compacted pending set on a
+        compaction wave) — per-wave checkpoint IO ∝ new links
+    out/ckpt/enter_wave=NNNN/admitted.parquet     admitted-seq filter
+        delta (absent on compaction waves — the chain resets)
     out/ckpt/enter_wave=NNNN/shards/shard-K.bin   seen-set shard dumps
-    out/ckpt/enter_wave=NNNN/manifest.json        written LAST = seal
+    out/ckpt/enter_wave=NNNN/manifest.json        written LAST = seal;
+        lists the live segment + admitted-file paths
     out/ledger/wave=NNNN/*.parquet                T4 crawl order
     out/waves/wave=NNNN/...                       T3 image rows (Lance/Parquet)
 
-Resume = restore shards + frontier from the last sealed enter_wave
-manifest and re-run from that wave; output dirs of the interrupted wave
-are deleted first, and rank assignment recomputes identically
-(SURVEY.md §3.3 wave-granular idempotence).
+The PENDING frontier is the union of the live segments minus the
+admitted filter chain (applied lazily inside the selection scan);
+compaction (periodic or when the dead-row share exceeds
+cfg.compact_dead_frac) physically rebuilds it into one segment. Resume
+= restore shards + segments + filter chain from the last sealed
+enter_wave manifest and re-run from that wave; output dirs of the
+interrupted wave are deleted first, and rank assignment recomputes
+identically (SURVEY.md §3.3 wave-granular idempotence).
 """
 
 from __future__ import annotations
@@ -84,6 +93,69 @@ def _frontier_count(path: str) -> int:
         return 0
 
 
+def _rel_frontier(enter_wave: int) -> str:
+    return os.path.join("ckpt", f"enter_wave={enter_wave:04d}", "frontier")
+
+
+def _rel_admitted(enter_wave: int) -> str:
+    return os.path.join("ckpt", f"enter_wave={enter_wave:04d}", "admitted.parquet")
+
+
+class _FrontierState:
+    """The incremental pending set: segment datasets + their checkpoint
+    paths, admitted-seq filter refs + their delta paths, pending count,
+    and the raw view size (pending + dead rows — drives adaptive
+    compaction)."""
+
+    def __init__(self, segments, seg_rel, aseq_refs, adm_rel, pending, n_view=None):
+        self.segments = segments
+        self.seg_rel = seg_rel
+        self.aseq_refs = aseq_refs
+        self.adm_rel = adm_rel
+        self.pending = pending
+        self.n_view = pending if n_view is None else n_view
+
+    def union(self):
+        if len(self.segments) == 1:
+            return self.segments[0]
+        return self.segments[0].union(*self.segments[1:])
+
+
+def _drop_admitted_rows(t: pa.Table, aseq_refs) -> pa.Table:
+    """Filter out rows whose seq is in ANY of the admitted-seq arrays
+    (each ref is a sorted int64 array in the object store; seq values
+    are globally unique, so membership is one searchsorted per ref)."""
+    if not aseq_refs or t.num_rows == 0:
+        return t
+    s = t["seq"].to_numpy()
+    keep = np.ones(len(s), bool)
+    for r in aseq_refs:
+        a = ray.get(r)
+        if len(a):
+            idx = np.clip(np.searchsorted(a, s), 0, len(a) - 1)
+            keep &= a[idx] != s
+    return t.filter(pa.array(keep))
+
+
+@ray.remote
+def _extract_aseq(sel):
+    """(aseq, arank) tuple -> just the sorted admitted-seq array (kept
+    in the object store — the driver holds only the ref)."""
+    return sel[0]
+
+
+@ray.remote
+def _write_admitted(sel, path: str) -> int:
+    """Spill this wave's admitted seqs (the filter delta a resume
+    replays) as parquet. Atomic via tmp+rename."""
+    aseq = sel[0]
+    t = pa.table({"seq": pa.array(aseq, pa.int64())})
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return len(aseq)
+
+
 def _admit_table(table: pa.Table, cfg: CrawlConfig, shards, metrics) -> pa.Table:
     """Driver-side admission for small tables (seeds): scope+robots ->
     within-set dedup -> seen-set admit. Same stages as the wave path."""
@@ -114,40 +186,53 @@ def run_crawl(
     metrics = MetricsActor.remote()
 
     if resume:
-        wave, rank_base = _restore(out_dir, shards, metrics)
+        wave, rank_base, fstate = _restore(out_dir, shards, metrics)
     else:
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
         os.makedirs(out_dir)
         frontier0 = _admit_table(st.seeds_to_frontier(seeds, cfg), cfg, shards, metrics)
-        _write_ckpt(out_dir, 0, frontier0, shards, metrics, rank_base=0)()  # seal now
+        seg0_rel = _rel_frontier(0)
+        _write_ckpt(
+            out_dir, 0, frontier0, shards, metrics, rank_base=0,
+            segments_rel=[seg0_rel] if frontier0.num_rows else [], admitted_rel=[],
+        )()  # seal now
+        # split the seed table across blocks — a single-block segment
+        # would serialize wave 0's whole fetch pipeline into one task
+        nblocks0 = max(cfg.num_partitions, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        seg0 = (
+            ray.data.from_arrow(frontier0).repartition(nblocks0).materialize()
+            if frontier0.num_rows
+            else None
+        )
+        fstate = _FrontierState(
+            segments=[seg0] if seg0 is not None else [],
+            seg_rel=[seg0_rel] if seg0 is not None else [],
+            aseq_refs=[], adm_rel=[], pending=frontier0.num_rows,
+        )
         wave, rank_base = 0, 0
 
     # seals are ordered: manifest for enter_wave=w+1 is written only
     # after wave w's (possibly still-running) image sink finishes, so a
     # crash mid-overlap resumes at the unsealed wave and rewrites its
     # outputs — while wave w+1's COMPUTE overlaps wave w's sink.
+    # INCREMENTAL FRONTIER: the pending set is a list of materialized
+    # SEGMENT datasets (seeds + one new-links segment per wave) minus a
+    # chain of admitted-seq filters (object-store refs, applied lazily
+    # inside the selection scan). Per-wave checkpoint IO is the new
+    # segment + a tiny admitted delta — not the whole frontier; every
+    # cfg.compact_every-th wave physically compacts.
     prev_seal = None
-    # in-memory frontier handoff: each wave passes its materialized
-    # F_{w+1} blocks straight to the next wave (object-store backed —
-    # Ray spills oversize block sets to disk on its own) while the
-    # checkpoint PARQUET spill runs in the background and gates only
-    # the wave's manifest seal. Resume (frontier_ds None) reads the
-    # sealed parquet instead.
-    frontier_ds, n_frontier = None, None
     while True:
-        fdir = os.path.join(_ckpt_dir(out_dir, wave), "frontier")
-        if frontier_ds is None:
-            n_frontier = _frontier_count(fdir)
-        if n_frontier == 0 or wave >= cfg.max_depth or rank_base >= cfg.max_urls:
+        if fstate.pending == 0 or wave >= cfg.max_depth or rank_base >= cfg.max_urls:
             break
         # interrupted-wave outputs are rewritten idempotently
         for kind in ("waves", "ledger"):
             d = _wave_dir(out_dir, kind, wave)
             if os.path.exists(d):
                 shutil.rmtree(d)
-        rank_base, seal, frontier_ds, n_frontier = _run_wave(
-            out_dir, wave, rank_base, cfg, shards, metrics, frontier_ds
+        rank_base, seal, fstate = _run_wave(
+            out_dir, wave, rank_base, cfg, shards, metrics, fstate
         )
         if prev_seal is not None:
             prev_seal()
@@ -215,18 +300,26 @@ def _finalize_selection(budget: int, max_take: int, rank_base: int, *blocks):
     return len(adm_seq), (adm_seq[by_seq], ranks[by_seq])
 
 
-def _select_and_rank(frontier, cfg, rank_base, wave):
-    """Politeness selection + deterministic global rank assignment.
+def _select_and_rank(frontier, cfg, rank_base, wave, aseq_refs=()):
+    """Politeness selection + deterministic global rank assignment over
+    the INCREMENTAL frontier view: previously-admitted rows are dropped
+    inside the candidate scan (``aseq_refs`` filter chain — no physical
+    deferred rebuild).
 
-    Returns (ranked_factory, deferred_ds, n_admitted): ranked_factory()
+    Returns (ranked_factory, n_admitted, sel_ref): ranked_factory()
     yields a Dataset of admitted T1 rows + rank + fetch-wave stamp;
-    deferred_ds is the rest of the frontier. The admitted set per host
-    is the first ``budget`` rows by (priority, seq); global order is
-    (host_hash, host, priority, seq) truncated to max_urls - rank_base.
-    """
+    sel_ref is the object-store (adm_seq_sorted, ranks) pair (its seq
+    array becomes the next wave's filter delta). The admitted set per
+    host is the first ``budget`` rows by (priority, seq); global order
+    is (host_hash, host, priority, seq) truncated to max_urls -
+    rank_base."""
     budget = cfg.budget
+    refs = list(aseq_refs)
     cand_cols = (
-        frontier.map_batches(lambda t: st.topb_per_host(t, budget), batch_format="pyarrow")
+        frontier.map_batches(
+            lambda t: st.topb_per_host(_drop_admitted_rows(t, refs), budget),
+            batch_format="pyarrow",
+        )
         .select_columns(["host_hash", "host", "priority", "seq"])
         .materialize()
     )
@@ -244,14 +337,15 @@ def _select_and_rank(frontier, cfg, rank_base, wave):
         budget, cfg.max_urls - rank_base, rank_base, *blocks
     )
     n_admitted = ray.get(n_ref)
-    return _selection_outputs(frontier, ref, wave) + (n_admitted,)
+    return _ranked_factory(frontier, ref, wave), n_admitted, ref
 
 
-def _selection_outputs(frontier, ref, wave):
-    """(ranked_factory, deferred) from a broadcast (adm_seq_sorted,
+def _ranked_factory(frontier, ref, wave):
+    """Admitted-rows factory from a broadcast (adm_seq_sorted,
     ranks_aligned) ref — shared by both selection paths. seq values are
-    globally unique, so admitted membership and rank attach are both
-    one vectorized searchsorted per batch."""
+    globally unique, so membership + rank attach are one vectorized
+    searchsorted per batch; rows admitted in EARLIER waves are not in
+    aseq, so the attach filter drops them too (no pre-filter needed)."""
 
     def attach_rank(t: pa.Table) -> pa.Table:
         aseq, arank = ray.get(ref)
@@ -268,17 +362,7 @@ def _selection_outputs(frontier, ref, wave):
         )
         return t.append_column("rank", pa.array(rk, pa.int64()))
 
-    def drop_admitted(t: pa.Table) -> pa.Table:
-        aseq, _ = ray.get(ref)
-        s = t["seq"].to_numpy()
-        if len(aseq) == 0:
-            return t
-        idx = np.clip(np.searchsorted(aseq, s), 0, len(aseq) - 1)
-        return t.filter(pa.array(aseq[idx] != s))
-
-    ranked = lambda: frontier.map_batches(attach_rank, batch_format="pyarrow")
-    deferred = frontier.map_batches(drop_admitted, batch_format="pyarrow")
-    return ranked, deferred
+    return lambda: frontier.map_batches(attach_rank, batch_format="pyarrow")
 
 
 def _hot_hosts(cand_cols, threshold: int) -> list[str]:
@@ -363,7 +447,7 @@ def _select_distributed(frontier, cfg, rank_base, wave, cand_cols):
     refs = [r for r, c in zip(refs, counts) if c > 0]  # empty sort blocks lose schema
     n_admitted = int(sum(counts))
     ref = _gather_seq_rank.remote(rank_base, *refs)
-    return _selection_outputs(frontier, ref, wave) + (n_admitted,)
+    return _ranked_factory(frontier, ref, wave), n_admitted, ref
 
 
 _LIMITERS: dict[tuple, object] = {}
@@ -383,7 +467,7 @@ def _get_limiter(cfg: CrawlConfig):
     return lim
 
 
-def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics, frontier_in=None):
+def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics, fstate):
     marks = [time.time()]
 
     def _mark(label):
@@ -391,36 +475,35 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics, frontier_in=None):
             marks.append(time.time())
             print(f"[wave {wave}] {label}: {marks[-1]-marks[-2]:.2f}s", flush=True)
 
-    fdir = os.path.join(_ckpt_dir(out_dir, wave), "frontier")
     # block count == per-stage task parallelism: pin it to the session's
     # CPU count so every stage can fill the machine regardless of how
     # many files the previous wave happened to write
     nblocks = max(cfg.num_partitions, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    if frontier_in is not None:
-        # in-memory handoff from the previous wave (its parquet spill
-        # runs in the background and gates only that wave's seal)
-        frontier = frontier_in
-    else:
-        frontier = ray.data.read_parquet(
-            fdir, partitioning=None, override_num_blocks=nblocks
-        )
+    frontier = fstate.union()
 
     # ── politeness selection (A2): per-batch top-B combiner first — the
     # bulk of a skewed host's pending URLs never leaves its block
-    # (SURVEY.md §4.3). The candidate set is politeness-bounded
-    # (≤ B×hosts×blocks), so for typical waves the finalize (exact
-    # per-host top-B + global order + rank) runs driver-side over FOUR
-    # pruned numpy columns; waves whose candidate set exceeds
-    # cfg.driver_select_max fall back to the distributed
+    # (SURVEY.md §4.3); the incremental frontier's admitted filter is
+    # folded into the same scan. The candidate set is
+    # politeness-bounded (≤ B×hosts×blocks), so for typical waves the
+    # finalize (exact per-host top-B + global order + rank) runs in ONE
+    # remote task over FOUR pruned numpy columns; waves whose candidate
+    # set exceeds cfg.driver_select_max fall back to the distributed
     # groupby+sort+zipWithIndex path. Both paths compute the identical
     # admitted set and ranks (SURVEY.md §3.2.4).
-    ranked, deferred, n_admitted = _select_and_rank(frontier, cfg, rank_base, wave)
+    ranked, n_admitted, sel_ref = _select_and_rank(
+        frontier, cfg, rank_base, wave, fstate.aseq_refs
+    )
     _mark("select+sort+rank")
     if n_admitted == 0:
         # politeness cannot defer forever (every host admits ≥min(B,pending))
         # so an empty admission means an empty frontier — seal and stop.
-        seal = _write_ckpt(out_dir, wave + 1, None, shards, metrics, rank_base=rank_base)
-        return rank_base, seal, None, 0
+        seal = _write_ckpt(
+            out_dir, wave + 1, None, shards, metrics, rank_base=rank_base,
+            segments_rel=[], admitted_rel=[],
+        )
+        fstate.pending = 0
+        return rank_base, seal, fstate
 
     # T4 ledger for this wave (rank-contiguous, one dir per wave) —
     # written from a driver thread so it overlaps the fetch pipeline
@@ -489,30 +572,69 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics, frontier_in=None):
         batch_size=cfg.dedup_batch_size,
         batch_format="pyarrow",
     )
-    new_frontier = links.map_batches(st.refs_to_frontier, batch_format="pyarrow")
+    new_frontier_lazy = links.map_batches(st.refs_to_frontier, batch_format="pyarrow")
     _mark("links_built")
 
-    # ── F_{w+1} = deferred ∪ new, MATERIALIZED to the object store (all
-    # seen-set admits for this wave complete during the materialize) and
-    # handed to the next wave in memory; the checkpoint parquet spill
-    # runs from a driver thread. Shard deltas are written synchronously
-    # (cheap). The returned seal joins the background frontier/image/
-    # ledger writes and only then writes the manifest; the caller
-    # invokes it after the next wave's compute, giving cross-wave sink
-    # overlap while keeping seal ordering (manifest last).
-    # repartition pins the handoff's block count (deferred inherits the
-    # previous wave's blocks and union adds the link pipeline's — left
-    # unpinned, block count compounds every wave and per-stage task
-    # overhead grows); coalesce-only, no shuffle
-    nxt = deferred.union(new_frontier).repartition(nblocks).materialize()
-    n_next = nxt.count()
+    # ── INCREMENTAL F_{w+1}: append the new-links SEGMENT + this wave's
+    # admitted-seq filter delta (an object-store ref — the driver never
+    # holds the arrays). Checkpoint IO per wave = the new segment + a
+    # tiny admitted parquet, both written in the background and gating
+    # only the manifest seal. Every cfg.compact_every-th wave instead
+    # COMPACTS: physically materializes the filtered union into one
+    # segment and resets the filter chain (bounding both the segment
+    # list and the filter-chain length — at 10^10 the chain would
+    # otherwise grow toward the whole seen set).
+    aseq_ref = _extract_aseq.remote(sel_ref)
+    this_rel = _rel_frontier(wave + 1)
+    adm_rel = _rel_admitted(wave + 1)
+    # adaptive compaction decided from PRE-wave state (deciding on the
+    # new-links count would force materializing them separately — an
+    # extra execution barrier per wave): dead share = already-filtered
+    # rows plus this wave's admissions over the current view
+    n_dead = (fstate.n_view - fstate.pending) + n_admitted
+    compact = (cfg.compact_every > 0 and (wave + 1) % cfg.compact_every == 0) or (
+        fstate.n_view > 0 and n_dead / fstate.n_view > cfg.compact_dead_frac
+    )
+    if compact:
+        # ONE materialize: filtered old view ∪ lazy new links (this also
+        # forces the link seen-set admits before the shard checkpoint)
+        refs_all = list(fstate.aseq_refs) + [aseq_ref]
+        nxt = (
+            fstate.union()
+            .map_batches(lambda t: _drop_admitted_rows(t, refs_all), batch_format="pyarrow")
+            .union(new_frontier_lazy)
+            .repartition(nblocks)
+            .materialize()
+        )
+        pending2 = nxt.count()
+        new_state = _FrontierState([nxt], [this_rel], [], [], pending2, n_view=pending2)
+        ckpt_ds = nxt
+        admitted_src = None  # filter chain resets; nothing to replay
+        adm_rel_list: list = []
+    else:
+        new_frontier = new_frontier_lazy.repartition(nblocks).materialize()
+        n_new = new_frontier.count()
+        admitted_src = (sel_ref, adm_rel)  # _write_ckpt fires it AFTER the dir exists
+        pending2 = fstate.pending - n_admitted + n_new
+        new_state = _FrontierState(
+            fstate.segments + [new_frontier],
+            fstate.seg_rel + [this_rel],
+            fstate.aseq_refs + [aseq_ref],
+            fstate.adm_rel + [adm_rel],
+            pending2,
+            n_view=fstate.n_view + n_new,
+        )
+        ckpt_ds = new_frontier
+        adm_rel_list = new_state.adm_rel
     seal = _write_ckpt(
-        out_dir, wave + 1, nxt, shards, metrics,
-        rank_base=rank_base + n_admitted, n_frontier=n_next,
+        out_dir, wave + 1, ckpt_ds, shards, metrics,
+        rank_base=rank_base + n_admitted, n_frontier=pending2,
+        segments_rel=new_state.seg_rel, admitted_rel=adm_rel_list,
+        admitted_src=admitted_src,
         pre_seal=lambda: (images_t(), ledger_t()),
     )
     _mark("frontier_ckpt")
-    return rank_base + n_admitted, seal, nxt, n_next
+    return rank_base + n_admitted, seal, new_state
 
 
 def _bg(fn):
@@ -540,11 +662,14 @@ def _bg(fn):
 
 
 def _write_ckpt(
-    out_dir, enter_wave, frontier, shards, metrics, *, rank_base, n_frontier=None, pre_seal=None
+    out_dir, enter_wave, frontier, shards, metrics, *, rank_base, n_frontier=None,
+    segments_rel=None, admitted_rel=None, admitted_src=None, pre_seal=None,
 ):
-    """Write checkpoint DATA (shard deltas now; frontier parquet in the
-    background when given a materialized Dataset) and return the seal
-    closure (join background sinks, then write manifest)."""
+    """Write checkpoint DATA (shard deltas now; segment parquet +
+    admitted delta in the background when given a materialized Dataset)
+    and return the seal closure (join background sinks, then write
+    manifest). The manifest's segments/admitted_files lists are what a
+    resume reconstructs the incremental pending view from."""
     _t0 = time.time()
     cdir = _ckpt_dir(out_dir, enter_wave)
     if os.path.exists(cdir):
@@ -567,6 +692,10 @@ def _write_ckpt(
             frontier_t = _bg(lambda: frontier.write_parquet(fdir))
     else:
         n_frontier = 0
+    admitted_fut = None
+    if admitted_src is not None:
+        sel_ref, adm_rel = admitted_src
+        admitted_fut = _write_admitted.remote(sel_ref, os.path.join(out_dir, adm_rel))
     if _TRACE:
         print(f"  [ckpt {enter_wave}] frontier write scheduled ({n_frontier} rows): {time.time()-_t0:.2f}s", flush=True)
     _t1 = time.time()
@@ -588,6 +717,8 @@ def _write_ckpt(
         _ts = time.time()
         if frontier_t is not None:
             frontier_t()  # frontier parquet must be on disk before the manifest
+        if admitted_fut is not None:
+            ray.get(admitted_fut)  # ditto the admitted-seq delta
         if pre_seal is not None:
             pre_seal()  # join the wave's background sinks
         # metrics snapshot AFTER the sinks join — increments emitted by a
@@ -597,6 +728,10 @@ def _write_ckpt(
             "enter_wave": enter_wave,
             "rank_base": rank_base,
             "n_frontier": n_frontier,
+            # incremental frontier: the segment + admitted-delta files a
+            # resume reconstructs the pending view from
+            "segments": list(segments_rel or []),
+            "admitted_files": list(admitted_rel or []),
             # increments are wave-tagged: < enter_wave covers every
             # finished wave (incl. its just-joined background sink) and
             # excludes the already-overlapping next wave's compute
@@ -612,8 +747,9 @@ def _write_ckpt(
     return seal
 
 
-def _restore(out_dir, shards, metrics) -> tuple[int, int]:
-    """Find the last sealed checkpoint, restore shard + metric state,
+def _restore(out_dir, shards, metrics):
+    """Find the last sealed checkpoint, restore shard + metric state +
+    the incremental frontier view (segments + admitted filter chain),
     drop any unsealed later checkpoints."""
     ckroot = os.path.join(out_dir, "ckpt")
     sealed = []
@@ -639,4 +775,22 @@ def _restore(out_dir, shards, metrics) -> tuple[int, int]:
         ]
     )
     ray.get(metrics.reset.remote(m["metrics"]))
-    return w, m["rank_base"]
+
+    nblocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    segments = [
+        ray.data.read_parquet(
+            os.path.join(out_dir, rel), partitioning=None,
+            override_num_blocks=max(2, nblocks // max(len(m["segments"]), 1)),
+        ).materialize()
+        for rel in m["segments"]
+    ]
+    aseq_refs = []
+    for rel in m.get("admitted_files", []):
+        arr = pq.read_table(os.path.join(out_dir, rel))["seq"].to_numpy()
+        aseq_refs.append(ray.put(np.sort(arr)))
+    n_view = sum(seg.count() for seg in segments)
+    fstate = _FrontierState(
+        segments, list(m["segments"]), aseq_refs, list(m.get("admitted_files", [])),
+        m["n_frontier"], n_view=n_view,
+    )
+    return w, m["rank_base"], fstate
