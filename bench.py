@@ -40,7 +40,7 @@ def _crawl_bench(out_root: str, big: bool = False) -> dict:
         # rather than dominating a small run (BASELINE.md "scaling
         # protocol")
         cfg = CrawlConfig(
-            seed=42, budget=24, max_depth=4, max_urls=1_500_000, n_hosts=40_000,
+            seed=42, budget=24, max_depth=5, max_urls=2_500_000, n_hosts=40_000,
             num_shards=16, fetch_concurrency=8,
         )
         n_seeds = 40_000

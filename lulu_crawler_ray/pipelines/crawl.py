@@ -43,7 +43,6 @@ import time
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -84,13 +83,6 @@ def _gather_seq_rank(rank_base: int, *blocks):
     ranks = np.arange(rank_base, rank_base + len(seqs), dtype=np.int64)
     by = np.argsort(seqs)
     return seqs[by], ranks[by]
-
-
-def _frontier_count(path: str) -> int:
-    try:
-        return pads.dataset(path, format="parquet").count_rows()
-    except FileNotFoundError:
-        return 0
 
 
 def _rel_frontier(enter_wave: int) -> str:
