@@ -156,3 +156,55 @@ def test_score_topk_duplicate_invariance(n, dup, k, seed):
     many = _score_topk(rep_ids, rep_m, qids, qm, k).to_pandas()
     cols = ["query_id", "neighbor_id"]
     assert once[cols].values.tolist() == many[cols].values.tolist()
+
+
+# ------------------------------------------------------ asof/range probes
+@given(
+    n_orders=st.integers(0, 60),
+    n_events=st.integers(1, 60),
+    n_users=st.integers(1, 8),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_asof_composite_index_vs_bruteforce(n_orders, n_events, n_users, seed):
+    """The flattened composite-searchsorted probe must equal the naive
+    per-row scan for arbitrary (user, date) multisets."""
+    import ray
+
+    from lulu_crawler_ray.pipelines.relational import _build_asof_index
+
+    rng = np.random.default_rng(seed)
+    o_user = rng.integers(0, n_users, n_orders).astype(np.int64)
+    o_day = rng.integers(9000, 9400, n_orders).astype(np.int64)  # ~1994-1995
+    e_user = rng.integers(0, n_users + 2, n_events).astype(np.int64)  # some users w/o orders
+    e_day = rng.integers(8990, 9410, n_events).astype(np.int64)
+
+    t = pa.table(
+        {
+            "o_custkey": pa.array(o_user),
+            "o_orderdate": pa.array(o_day.astype("datetime64[D]").astype("datetime64[us]")),
+        }
+    )
+    uids, offsets, comp, day = ray.get(_build_asof_index.remote(t))
+
+    pos = np.searchsorted(uids, e_user)
+    posc = np.clip(pos, 0, max(len(uids) - 1, 0))
+    has = (pos < len(uids)) & (uids[posc] == e_user) if len(uids) else np.zeros(n_events, bool)
+    i = np.searchsorted(comp, posc * (1 << 21) + e_day, side="right") - 1
+    valid = has & (i >= offsets[posc])
+    # brute force: latest order day <= event day for the same user
+    for j in range(n_events):
+        cands = o_day[(o_user == e_user[j]) & (o_day <= e_day[j])]
+        if len(cands):
+            assert valid[j]
+            assert day[i[j]] == cands.max()
+        else:
+            assert not valid[j]
+    # range-join count over a window: two searchsorteds == brute count
+    w = 30
+    hi = np.searchsorted(comp, posc * (1 << 21) + e_day, side="right")
+    lo = np.searchsorted(comp, posc * (1 << 21) + e_day - w, side="right")
+    n = np.where(has, hi - lo, 0)
+    for j in range(n_events):
+        brute = int(((o_user == e_user[j]) & (o_day <= e_day[j]) & (o_day > e_day[j] - w)).sum())
+        assert n[j] == brute
