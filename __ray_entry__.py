@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j1_anti_join": rl.j1_anti_join,
         "j2_inner_join": rl.j2_inner_join,
         "j3_broadcast_lookup": rl.j3_broadcast_lookup,
+        "j5_adaptive_join": rl.j5_adaptive_join,
         "o2_topk": rl.o2_topk,
         "o4_hash_sample": rl.o4_hash_sample,
         "o5_topk_per_group": rl.o5_topk_per_group,
@@ -185,6 +186,11 @@ def oracle_sql() -> dict[str, str]:
         "j3_broadcast_lookup": (
             "SELECT s_nationkey AS nationkey, COUNT(*) AS n FROM lineitem "
             "JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1"
+        ),
+        "j5_adaptive_join": (
+            "SELECT l_orderkey, l_linenumber, s_nationkey, "
+            "CAST(ROUND(s_acctbal*100,0) AS BIGINT) AS acctbal_c "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
         ),
         "o2_topk": (
             "SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS acctbal_c FROM customer "

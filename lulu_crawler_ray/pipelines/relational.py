@@ -442,6 +442,79 @@ def j3_broadcast_lookup(sf: str):
     return grouped_agg(ds, ["nationkey"], [("n", "count", None)])
 
 
+@ray.remote(num_cpus=1)
+def _build_bcast_index(key: str, *blocks):
+    """Build-side index for the broadcast join: sorted key array +
+    payload table reordered to match. Unique-key (dimension) semantics
+    enforced — duplicate build keys fail loudly rather than silently
+    dropping matches."""
+    t = pa.concat_tables(blocks).combine_chunks()
+    k = t[key].to_numpy()
+    order = np.argsort(k, kind="stable")
+    ks = k[order]
+    if len(ks) > 1 and (np.diff(ks) == 0).any():
+        raise ValueError("broadcast join build side has duplicate keys")
+    return ks, t.take(pa.array(order))
+
+
+def adaptive_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str,
+    broadcast_max: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Size-based join strategy selection (inner, unique build keys):
+    when the build side fits under ``broadcast_max`` rows it becomes an
+    object-store index probed with ONE searchsorted + take per batch —
+    no shuffle at all; above it the hash shuffle join takes over. The
+    probe side streams either way — at 100 TB this is the difference
+    between a dimension join that never moves the fact table and one
+    that exchanges every block."""
+    blocks = right.materialize().to_arrow_refs()
+    counts = ray.get([_count_rows_ref.remote(b) for b in blocks])
+    n = sum(counts)
+    if n <= broadcast_max:
+        ref = _build_bcast_index.remote(
+            right_on, *[b for b, c in zip(blocks, counts) if c > 0]
+        )
+
+        def probe(t: pa.Table) -> pa.Table:
+            ks, payload = ray.get(ref)
+            k = t[on].to_numpy()
+            if len(ks) == 0:
+                return t.slice(0, 0)
+            idx = np.clip(np.searchsorted(ks, k), 0, len(ks) - 1)
+            m = ks[idx] == k
+            t = t.filter(pa.array(m))
+            rows = payload.take(pa.array(idx[m]))
+            for name in payload.column_names:
+                if name != right_on:
+                    t = t.append_column(name, rows[name])
+            return t
+
+        return left.map_batches(probe, batch_format="pyarrow")
+    return left.join(
+        right, join_type="inner", num_partitions=num_partitions or _npart(),
+        on=(on,), right_on=(right_on,),
+    )
+
+
+def j5_adaptive_join(sf: str, broadcast_max: int = 1_000_000):
+    """Fact ⋈ dimension through the adaptive strategy (supplier fits →
+    broadcast path; broadcast_max=0 forces the shuffle path — the paths
+    are equality-tested in pytest)."""
+    li = read_table(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_suppkey"])
+    supp = read_table(sf, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    j = adaptive_join(li, supp, "l_suppkey", "s_suppkey", broadcast_max=broadcast_max)
+    out = j.map_batches(
+        lambda t: t.select(["l_orderkey", "l_linenumber", "s_nationkey", "s_acctbal"]),
+        batch_format="pyarrow",
+    )
+    return _cents_cols(out, {"s_acctbal": "acctbal_c"})
+
+
 def o2_topk(sf: str):
     ds = read_table(sf, "customer", ["c_custkey", "c_name", "c_acctbal"])
     top = ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)

@@ -104,3 +104,25 @@ def test_d1_pack_bounds_raise(ray_session):
 
     with pytest.raises(Exception, match="pack bounds"):
         ds.map_batches(pack, batch_format="pyarrow").materialize()
+
+
+def test_adaptive_join_paths_equal(ray_session):
+    """Broadcast path == shuffle path (broadcast_max=0 forces the
+    shuffle), and duplicate build keys fail loudly."""
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.relational import adaptive_join, j5_adaptive_join
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["l_orderkey", "l_linenumber", "s_nationkey", "acctbal_c"]
+    a = j5_adaptive_join(sf).to_pandas().sort_values(cols).reset_index(drop=True)
+    b = j5_adaptive_join(sf, broadcast_max=0).to_pandas().sort_values(cols).reset_index(drop=True)
+    assert len(a) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
+
+    dup = ray.data.from_items([{"k": 1, "v": 1}, {"k": 1, "v": 2}])
+    left = ray.data.from_items([{"k": 1}])
+    with pytest.raises(Exception, match="duplicate"):
+        adaptive_join(left, dup, "k", "k").to_pandas()
