@@ -222,19 +222,40 @@ class MinHasher:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         r = self.NUM_PERM // self.BANDS
-        band_ids, band_hashes, doc_ids = [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = tx.minhash_signature(tx.shingles(text), self.a, self.b)
-            for b in range(self.BANDS):
-                h = hashlib.md5(sig[b * r : (b + 1) * r].tobytes()).hexdigest()[:16]
-                band_ids.append(b)
-                band_hashes.append(h)
-                doc_ids.append(doc_id)
+        from ..functions.hll import _mix64
+
+        docs = t["doc_id"].to_numpy()
+        n = len(docs)
+        # batched signatures: ONE (total_shingles, num_perm) mix matrix
+        # + segmented min via minimum.reduceat — no per-doc numpy calls
+        sh_lists = [
+            np.fromiter(s, np.uint64, len(s))
+            for s in (tx.shingles(x) for x in t["text"].to_pylist())
+        ]
+        lens = np.array([len(s) for s in sh_lists], np.int64)
+        sigs = np.full((n, self.NUM_PERM), np.iinfo(np.uint64).max, np.uint64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            allsh = np.concatenate([sh_lists[i] for i in nz])
+            mixed = _mix64(allsh[:, None] ^ self.a[None, :])
+            starts = np.r_[0, np.cumsum(lens[nz])[:-1]]
+            sigs[nz] = np.minimum.reduceat(mixed, starts, axis=0)
+        # band bucket key: vectorized 64-bit multiplicative mix over the
+        # band's r signature values (bucket ids are internal — identical
+        # signatures bucket together under ANY deterministic hash; this
+        # replaces 16 per-doc md5 calls and string keys in the shuffle
+        # with one numpy pass and int64 keys)
+        chunks = sigs.reshape(n, self.BANDS, r)
+        mix = np.full((n, self.BANDS), 0xCBF29CE484222325, np.uint64)
+        for j in range(r):
+            mix = (mix ^ chunks[:, :, j]) * np.uint64(0x100000001B3)
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(self.BANDS, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(mix.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(np.repeat(docs, self.BANDS), pa.int64()),
             }
         )
 
