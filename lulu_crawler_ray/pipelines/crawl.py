@@ -99,13 +99,16 @@ class _FrontierState:
     and the raw view size (pending + dead rows — drives adaptive
     compaction)."""
 
-    def __init__(self, segments, seg_rel, aseq_refs, adm_rel, pending, n_view=None):
+    def __init__(self, segments, seg_rel, aseq_refs, adm_rel, pending, n_view=None, chain_start=0):
         self.segments = segments
         self.seg_rel = seg_rel
         self.aseq_refs = aseq_refs
         self.adm_rel = adm_rel
         self.pending = pending
         self.n_view = pending if n_view is None else n_view
+        # first enter_wave whose shard checkpoint the restore replay
+        # chain starts from (reset by full snapshots on compaction)
+        self.chain_start = chain_start
 
     def union(self):
         if len(self.segments) == 1:
@@ -492,7 +495,7 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics, fstate):
         # so an empty admission means an empty frontier — seal and stop.
         seal = _write_ckpt(
             out_dir, wave + 1, None, shards, metrics, rank_base=rank_base,
-            segments_rel=[], admitted_rel=[],
+            segments_rel=[], admitted_rel=[], chain_start=fstate.chain_start,
         )
         fstate.pending = 0
         return rank_base, seal, fstate
@@ -599,7 +602,10 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics, fstate):
             .materialize()
         )
         pending2 = nxt.count()
-        new_state = _FrontierState([nxt], [this_rel], [], [], pending2, n_view=pending2)
+        new_state = _FrontierState(
+            [nxt], [this_rel], [], [], pending2, n_view=pending2,
+            chain_start=wave + 1,  # full shard snapshot resets the replay chain
+        )
         ckpt_ds = nxt
         admitted_src = None  # filter chain resets; nothing to replay
         adm_rel_list: list = []
@@ -615,6 +621,7 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics, fstate):
             fstate.adm_rel + [adm_rel],
             pending2,
             n_view=fstate.n_view + n_new,
+            chain_start=fstate.chain_start,
         )
         ckpt_ds = new_frontier
         adm_rel_list = new_state.adm_rel
@@ -622,7 +629,8 @@ def _run_wave(out_dir, wave, rank_base, cfg, shards, metrics, fstate):
         out_dir, wave + 1, ckpt_ds, shards, metrics,
         rank_base=rank_base + n_admitted, n_frontier=pending2,
         segments_rel=new_state.seg_rel, admitted_rel=adm_rel_list,
-        admitted_src=admitted_src,
+        admitted_src=admitted_src, shards_full=compact,
+        chain_start=new_state.chain_start,
         pre_seal=lambda: (images_t(), ledger_t()),
     )
     _mark("frontier_ckpt")
@@ -655,7 +663,8 @@ def _bg(fn):
 
 def _write_ckpt(
     out_dir, enter_wave, frontier, shards, metrics, *, rank_base, n_frontier=None,
-    segments_rel=None, admitted_rel=None, admitted_src=None, pre_seal=None,
+    segments_rel=None, admitted_rel=None, admitted_src=None, shards_full=False,
+    chain_start=0, pre_seal=None,
 ):
     """Write checkpoint DATA (shard deltas now; segment parquet +
     admitted delta in the background when given a materialized Dataset)
@@ -699,7 +708,7 @@ def _write_ckpt(
     os.makedirs(sdir, exist_ok=True)
     ray.get(
         [
-            s.checkpoint.remote(os.path.join(sdir, f"shard-{k}.bin"))
+            s.checkpoint.remote(os.path.join(sdir, f"shard-{k}.bin"), shards_full)
             for k, s in enumerate(shards)
         ]
     )
@@ -724,6 +733,7 @@ def _write_ckpt(
             # resume reconstructs the pending view from
             "segments": list(segments_rel or []),
             "admitted_files": list(admitted_rel or []),
+            "shard_chain_start": chain_start,
             # increments are wave-tagged: < enter_wave covers every
             # finished wave (incl. its just-joined background sink) and
             # excludes the already-overlapping next wave's compute
@@ -756,8 +766,11 @@ def _restore(out_dir, shards, metrics):
         raise FileNotFoundError(f"no sealed checkpoint under {ckroot}")
     m = sealed[-1]
     w = m["enter_wave"]
-    # incremental shard checkpoints: replay the whole sealed delta chain
-    waves = [mm["enter_wave"] for mm in sealed]
+    # incremental shard checkpoints: replay the delta chain from the
+    # last FULL snapshot (shard_chain_start) — restore cost is bounded
+    # by the compaction cadence, not crawl length
+    start = m.get("shard_chain_start", 0)
+    waves = [mm["enter_wave"] for mm in sealed if mm["enter_wave"] >= start]
     ray.get(
         [
             s.restore.remote(
@@ -783,6 +796,6 @@ def _restore(out_dir, shards, metrics):
     n_view = sum(seg.count() for seg in segments)
     fstate = _FrontierState(
         segments, list(m["segments"]), aseq_refs, list(m.get("admitted_files", [])),
-        m["n_frontier"], n_view=n_view,
+        m["n_frontier"], n_view=n_view, chain_start=m.get("shard_chain_start", 0),
     )
     return w, m["rank_base"], fstate

@@ -100,10 +100,15 @@ class SeenShard:
     # -- checkpoint (S5): INCREMENTAL — each wave's file holds only the
     # keys admitted since the previous checkpoint, so per-wave IO scales
     # with new URLs, not total seen-set size; restore replays the delta
-    # chain and rebuilds the cuckoo filter from the exact keys.
-    def checkpoint(self, path: str) -> int:
+    # chain and rebuilds the cuckoo filter from the exact keys. A FULL
+    # snapshot (``full=True``, written on frontier-compaction waves)
+    # contains the whole store and resets the replay chain — restore
+    # cost stays bounded by the compaction cadence instead of growing
+    # with crawl length.
+    def checkpoint(self, path: str, full: bool = False) -> int:
         tmp = path + ".tmp"
-        payload = {ns: (len(ks), b"".join(ks)) for ns, ks in self._delta.items()}
+        src = self._exact if full else self._delta
+        payload = {ns: (len(ks), b"".join(sorted(ks) if full else ks)) for ns, ks in src.items()}
         with open(tmp, "wb") as f:
             pickle.dump(
                 {"shard_id": self.shard_id, "capacity": self.capacity, "delta": payload},

@@ -199,3 +199,29 @@ def test_resume_in_delta_mode(tmp_path, ray_session):
     assert k_led.equals(s_led)
     assert k_seen.equals(s_seen)
     assert k_imgs.equals(s_imgs)
+
+
+def test_shard_chain_bounded_by_snapshot(tmp_path, ray_session):
+    """Compaction waves write FULL shard snapshots: the post-compaction
+    manifest's shard_chain_start moves forward, and a resume that
+    replays only [chain_start..] reproduces the straight run (covered
+    by test_resume_across_compaction_boundary) — here we assert the
+    chain metadata itself."""
+    from lulu_crawler_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(
+        seed=11, budget=3, max_depth=4, max_urls=500, n_hosts=12, num_shards=4,
+        compact_every=2,
+    )
+    out = str(tmp_path / "c")
+    run_crawl(seed_urls(cfg, N_SEEDS), cfg, out)
+    starts = []
+    for d in sorted(os.listdir(f"{out}/ckpt")):
+        with open(f"{out}/ckpt/{d}/manifest.json") as f:
+            m = json.load(f)
+        starts.append((m["enter_wave"], m["shard_chain_start"]))
+    assert starts[0] == (0, 0)
+    assert any(cs == w and w > 0 for w, cs in starts), starts  # a reset happened
+    # chain start is monotone and never exceeds its wave
+    assert all(cs <= w for w, cs in starts)
+    assert [cs for _, cs in starts] == sorted(cs for _, cs in starts)
