@@ -460,38 +460,29 @@ def t_prep_pipeline(sf: str, min_tokens: int = 30, max_digit_ratio: float = 0.3)
         hs = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
         return pa.table({"h": pa.array(hs, pa.string()), "doc_id": t["doc_id"]})
 
+    # winner/survivor id sets are CORPUS-sized (one id per distinct
+    # doc), so both semi filters go through the size-adaptive join —
+    # broadcast-index probe while they fit, hash shuffle above the
+    # threshold; never a driver-side gather
+    from .relational import adaptive_join
+
     winners = (
         gated.map_batches(h, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"))
+        .map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
     )
-    wins = []
-    for b in winners.iter_batches(batch_format="pyarrow", batch_size=65536):
-        wins.append(b["doc_id"].to_numpy())
-    wref = ray.put(np.sort(np.concatenate(wins)) if wins else np.array([], np.int64))
-
-    def keep_exact(t: pa.Table) -> pa.Table:
-        w = ray.get(wref)
-        return t.filter(pa.array(np.isin(t["doc_id"].to_numpy(), w)))
-
-    exact_kept = gated.map_batches(keep_exact, batch_format="pyarrow").materialize()
+    exact_kept = adaptive_join(gated, winners, "doc_id", "doc_id").materialize()
 
     # near-dedup over the exact-kept set (LSH -> verify -> components)
-    survivors = near_dedup_minhash(
-        exact_kept.select_columns(["doc_id", "text"])
-    )
-    sids = []
-    for b in survivors.iter_batches(batch_format="pyarrow", batch_size=65536):
-        sids.append(b["doc_id"].to_numpy())
-    sref = ray.put(np.sort(np.concatenate(sids)) if sids else np.array([], np.int64))
+    survivors = near_dedup_minhash(exact_kept.select_columns(["doc_id", "text"]))
+    surviving = adaptive_join(exact_kept, survivors, "doc_id", "doc_id")
 
     def summarize(t: pa.Table) -> pa.Table:
-        s = ray.get(sref)
-        t = t.filter(pa.array(np.isin(t["doc_id"].to_numpy(), s)))
         toks = pa.array([tx.token_count(x) for x in t["text"].to_pylist()], pa.int64())
         return pa.table({"lang": t["lang"], "n_tokens": toks})
 
-    final = gated.map_batches(summarize, batch_format="pyarrow")
+    final = surviving.map_batches(summarize, batch_format="pyarrow")
     return grouped_agg(
         final, ["lang"], [("n_docs", "count", None), ("sum_tokens", "sum", "n_tokens")]
     )
