@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g6_grouped_median": rl.g6_grouped_median,
         "g7_rollup": rl.g7_rollup,
         "g8_approx_quantile": rl.g8_approx_quantile,
+        "g9_count_distinct": rl.g9_count_distinct,
+        "m14_regex_extract": rl.m14_regex_extract,
         "d6_intersect": rl.d6_intersect,
         "d1_first_by_key": rl.d1_first_by_key,
         "d4_union": rl.d4_union,
@@ -245,6 +247,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "m13_string_ops": (
             "SELECT p_partkey, UPPER(p_brand) AS brand_u, substr(p_name,1,8) AS name8 FROM part"
+        ),
+        "m14_regex_extract": (
+            "SELECT p_partkey, regexp_extract(p_name, '^(\\w+) (\\w+)', 1) AS w1, "
+            "regexp_extract(p_name, '^(\\w+) (\\w+)', 2) AS w2 FROM part"
+        ),
+        "g9_count_distinct": (
+            "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "m13_date_bucket": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n FROM events GROUP BY 1"

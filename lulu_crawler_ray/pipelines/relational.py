@@ -631,6 +631,53 @@ def g8_approx_quantile(sf: str, q: float = 0.5, n_buckets: int = 4096):
     )
 
 
+def g9_count_distinct(sf: str):
+    """COUNT(DISTINCT l_partkey) GROUP BY l_returnflag — exact, as two
+    pre-aggregated levels: per-batch distinct (flag, partkey) pairs
+    (pyarrow group_by), a grouped distinct over the pairs, then a
+    per-flag count. The shuffle carries distinct pairs, not rows."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_partkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"f": t["l_returnflag"], "p": t["l_partkey"]})
+            .group_by(["f", "p"])
+            .aggregate([])
+        )
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["f", "p"])
+        .aggregate(Count(alias_name="__c"))
+    )
+    out = distinct.groupby("f").aggregate(Count(alias_name="n_parts"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["l_returnflag", "n_parts"]), batch_format="pyarrow"
+    )
+
+
+def m14_regex_extract(sf: str):
+    """Vectorized regex extraction (pc.extract_regex — Arrow's RE2, the
+    same engine DuckDB uses, so the oracle computes identical groups):
+    split p_name's first two words."""
+    ds = read_table(sf, "part", ["p_partkey", "p_name"])
+    pat = r"^(?P<w1>\w+) (?P<w2>\w+)"
+
+    def f(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["p_name"], pattern=pat)
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "w1": pc.struct_field(ex, "w1"),
+                "w2": pc.struct_field(ex, "w2"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def g7_rollup(sf: str):
     """ROLLUP(returnflag, linestatus) over count + sum(quantity):
     three grouped_agg passes (detail, per-flag subtotal, grand total)
