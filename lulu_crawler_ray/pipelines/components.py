@@ -42,10 +42,42 @@ def _union_find(pairs: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _label_sum(labels: ray.data.Dataset) -> int:
+    """Exact (bigint) sum of the label column as three 22-bit slice
+    sums reassembled on the driver — a single int64 Sum can wrap at
+    10^10 nodes x 10^10-sized ids; each slice sum stays < 2^63. The
+    driver sees THREE integers, never the label table."""
+
+    def slices(t: pa.Table) -> pa.Table:
+        l = t["lbl"].to_numpy().astype(np.int64)
+        if len(l) and l.min() < 0:
+            raise ValueError("label propagation requires non-negative node ids")
+        return pa.table(
+            {
+                "s0": pa.array(l & 0x3FFFFF),
+                "s1": pa.array((l >> 22) & 0x3FFFFF),
+                "s2": pa.array(l >> 44),
+            }
+        )
+
+    s = labels.map_batches(slices, batch_format="pyarrow").sum(["s0", "s1", "s2"])
+    return int(s["sum(s0)"]) + (int(s["sum(s1)"]) << 22) + (int(s["sum(s2)"]) << 44)
+
+
 def _label_propagation(pairs: ray.data.Dataset, max_rounds: int = 50) -> pd.DataFrame:
     """pairs(a,b) -> DataFrame(node, label) via distributed min-label
-    propagation (groupby-min per round; edges stay distributed)."""
+    propagation (groupby-min per round; edges stay distributed).
+
+    Convergence is detected WITHOUT materializing the label table on
+    the driver: new_label(node) = min(old, neighborhood) is monotone
+    non-increasing per node and the node set is fixed, so the exact
+    label-multiset sum strictly decreases until the fixpoint —
+    sum-unchanged ⟺ no label changed. One cheap aggregate per round
+    (three int64s to the driver) replaces the two full to_pandas()
+    gathers per round that round 2 shipped."""
     from ray.data.aggregate import Min
+
+    from .relational import _nonempty, _npart
 
     # undirected edge list, both directions: (node, neighbor)
     def both_dirs(t: pa.Table) -> pa.Table:
@@ -58,42 +90,46 @@ def _label_propagation(pairs: ray.data.Dataset, max_rounds: int = 50) -> pd.Data
             }
         )
 
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # _nonempty: zero-row pair blocks become schema-less RefBundles and
+    # poison the per-round hash join (see relational._nonempty)
+    edges = _nonempty(pairs.map_batches(both_dirs, batch_format="pyarrow"))
     # label(node) = min(node, min neighbor) initially
     labels = edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
-    labels = labels.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t["node"],
-                "lbl": pa.array(
-                    np.minimum(t["node"].to_numpy(), t["lbl"].to_numpy()), pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    labels = _nonempty(
+        labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "lbl": pa.array(
+                        np.minimum(t["node"].to_numpy(), t["lbl"].to_numpy()), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
 
+    nparts = max(2, min(_npart(), int(ray.cluster_resources().get("CPU", 8))))
+    cur_sum = _label_sum(labels)
     for _ in range(max_rounds):
         # propagate: each node takes min(own label, labels of neighbors)
         renamed = labels.map_batches(
             lambda t: t.rename_columns(["lnode", "lbl"]), batch_format="pyarrow"
         )
         nbr_lbl = edges.join(
-            renamed, join_type="inner", num_partitions=8, on=("nbr",), right_on=("lnode",)
+            renamed, join_type="inner", num_partitions=nparts, on=("nbr",), right_on=("lnode",)
         )
-        prop = (
+        prop = _nonempty(
             nbr_lbl.select_columns(["node", "lbl"])
             .union(labels)
             .groupby("node")
             .aggregate(Min("lbl", alias_name="lbl"))
-            .materialize()
         )
-        # converged when nothing changed
-        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
-        new = prop.to_pandas().sort_values("node").reset_index(drop=True)
         labels = prop
-        if old.equals(new):
+        new_sum = _label_sum(labels)
+        if new_sum == cur_sum:
             break
+        cur_sum = new_sum
     return labels.to_pandas()
 
 

@@ -42,6 +42,43 @@ def _count_rows_ref(t: pa.Table) -> int:
     return t.num_rows
 
 
+def _nonempty(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop zero-row blocks before a hash-shuffle join. Ray 2.49 emits
+    zero-row blocks (e.g. from a selective upstream filter) as
+    SCHEMA-LESS RefBundles; when a join partition consists only of such
+    blocks, acero cannot resolve the key FieldRef and the join dies with
+    ``ArrowInvalid: No match ... FieldRef.Name(<key>)`` — a
+    parallelism-dependent failure (more CPUs -> more partitions -> some
+    partition is all-empty). Materializes and re-wraps only the
+    non-empty block refs; when EVERY block is empty, one block is kept
+    (its arrow table still carries the column schema) so downstream
+    stays well-typed."""
+    blocks = ds.materialize().to_arrow_refs()
+    counts = ray.get([_count_rows_ref.remote(b) for b in blocks])
+    keep = [b for b, c in zip(blocks, counts) if c > 0]
+    return ray.data.from_arrow_refs(keep if keep else list(blocks[:1]))
+
+
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Inner hash-shuffle join with BOTH inputs guarded against
+    zero-row schema-less blocks (see _nonempty). The guard's
+    materialize is not an extra data copy at scale — the hash shuffle
+    materializes both sides through the exchange anyway."""
+    return _nonempty(left).join(
+        _nonempty(right),
+        join_type="inner",
+        num_partitions=num_partitions or _npart(),
+        on=(on,),
+        right_on=(right_on,),
+    )
+
+
 def _npart() -> int:
     """Join/shuffle partition count scaled to the session's CPUs (a
     fixed constant under-parallelizes larger clusters). 1x CPUs, not
@@ -360,7 +397,9 @@ def q3_shipping_priority(sf: str):
 
     li = li.map_batches(l_filter, batch_format="pyarrow")
 
-    j = li.join(orders, join_type="inner", num_partitions=_npart(), on=("l_orderkey",), right_on=("o_orderkey",))
+    # both sides are filtered upstream -> zero-row blocks possible;
+    # shuffle_join guards them (the unguarded join breaks at high CPUs)
+    j = shuffle_join(li, orders, "l_orderkey", "o_orderkey")
     agg = grouped_agg(
         j, ["l_orderkey", "orderdate"], [("revenue_e4", "sum", "rev")], round_to=None
     )
@@ -495,8 +534,11 @@ def adaptive_join(
             return t
 
         return left.map_batches(probe, batch_format="pyarrow")
-    return left.join(
-        right, join_type="inner", num_partitions=num_partitions or _npart(),
+    right_ne = ray.data.from_arrow_refs(
+        [b for b, c in zip(blocks, counts) if c > 0] or list(blocks[:1])
+    )
+    return _nonempty(left).join(
+        right_ne, join_type="inner", num_partitions=num_partitions or _npart(),
         on=(on,), right_on=(right_on,),
     )
 

@@ -373,7 +373,15 @@ def near_dedup_minhash(
             }
         )
 
-    shingles = docs.map_batches(sh, batch_format="pyarrow").materialize()
+    from .relational import _nonempty
+
+    # the sh() filter EMPTIES whole blocks when few docs are pair-touched
+    # (routine when the input was already gated/deduped upstream, as in
+    # t_prep_pipeline); Ray emits those as schema-less RefBundles, and a
+    # join partition made only of them dies with ArrowInvalid on the key
+    # FieldRef — a parallelism-dependent failure (more CPUs -> more
+    # partitions). _nonempty drops them from every join input.
+    shingles = _nonempty(docs.map_batches(sh, batch_format="pyarrow"))
     sh_a = shingles.map_batches(
         lambda t: t.rename_columns(["__a", "sh_a"]), batch_format="pyarrow"
     )
@@ -383,10 +391,13 @@ def near_dedup_minhash(
     # chained hash joins deadlock when both aggregator pools outsize the
     # cluster: cap partitions at the CPU count and MATERIALIZE between
     # the two joins so the first pool releases before the second spawns
+    # (_nonempty's materialize doubles as that barrier)
     nparts = max(2, min(num_partitions, int(ray.cluster_resources().get("CPU", 8))))
-    j = pairs.join(
-        sh_a, join_type="inner", num_partitions=nparts, on=("a",), right_on=("__a",)
-    ).materialize()
+    j = _nonempty(
+        _nonempty(pairs).join(
+            sh_a, join_type="inner", num_partitions=nparts, on=("a",), right_on=("__a",)
+        )
+    )
     j = j.join(sh_b, join_type="inner", num_partitions=nparts, on=("b",), right_on=("__b",))
 
     def verify(t: pa.Table) -> pa.Table:

@@ -354,6 +354,9 @@ def test_connected_components_label_prop_vs_union_find(ray_session):
     for n in uf:
         assert uf[n] == lp_map[n], f"node {n}: {uf[n]} != {lp_map[n]}"
     assert connected_components(df) == uf
+    # forced-distributed path (driver_max_pairs=0 routes even a tiny
+    # pair set through label propagation) must agree with union-find
+    assert connected_components(df, driver_max_pairs=0) == uf
 
 
 def test_phash_hot_bucket_second_level_banding_exact():
