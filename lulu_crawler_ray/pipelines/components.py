@@ -26,8 +26,11 @@ import ray
 import ray.data
 
 
-def _union_find(pairs: pd.DataFrame) -> dict[int, int]:
-    parent: dict[int, int] = {}
+def _union_find(pairs: pd.DataFrame) -> dict:
+    """Driver union-find over any orderable node ids (ints OR strings —
+    the image family clusters hex ids directly on the small path); root
+    = min id per component."""
+    parent: dict = {}
 
     def find(x):
         while parent.setdefault(x, x) != x:
@@ -35,8 +38,11 @@ def _union_find(pairs: pd.DataFrame) -> dict[int, int]:
             x = parent[x]
         return x
 
+    is_int = len(pairs) and not isinstance(pairs["a"].iloc[0], str)
     for a, b in zip(pairs["a"], pairs["b"]):
-        ra, rb = find(int(a)), find(int(b))
+        if is_int:
+            a, b = int(a), int(b)
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {x: find(x) for x in parent}
@@ -64,8 +70,10 @@ def _label_sum(labels: ray.data.Dataset) -> int:
     return int(s["sum(s0)"]) + (int(s["sum(s1)"]) << 22) + (int(s["sum(s2)"]) << 44)
 
 
-def _label_propagation(pairs: ray.data.Dataset, max_rounds: int = 50) -> pd.DataFrame:
-    """pairs(a,b) -> DataFrame(node, label) via distributed min-label
+def _label_propagation_ds(
+    pairs: ray.data.Dataset, max_rounds: int = 50
+) -> ray.data.Dataset:
+    """pairs(a,b) -> Dataset(node, lbl) via distributed min-label
     propagation (groupby-min per round; edges stay distributed).
 
     Convergence is detected WITHOUT materializing the label table on
@@ -130,7 +138,13 @@ def _label_propagation(pairs: ray.data.Dataset, max_rounds: int = 50) -> pd.Data
         if new_sum == cur_sum:
             break
         cur_sum = new_sum
-    return labels.to_pandas()
+    return labels
+
+
+def _label_propagation(pairs: ray.data.Dataset, max_rounds: int = 50) -> pd.DataFrame:
+    """pandas-facing wrapper for the tests / small callers; the scale
+    path is _label_propagation_ds (no driver gather)."""
+    return _label_propagation_ds(pairs, max_rounds).to_pandas()
 
 
 def connected_components(
@@ -144,3 +158,27 @@ def connected_components(
     ds = ray.data.from_pandas(pairs_pd)
     lbl = _label_propagation(ds)
     return dict(zip(lbl["node"].astype(int), lbl["lbl"].astype(int)))
+
+
+def component_nonroots(
+    pairs: ray.data.Dataset, driver_max_pairs: int = 1_000_000
+) -> np.ndarray:
+    """(a, b) int64 pair DATASET -> sorted int64 array of nodes that are
+    NOT their component's min label — the drop set of a keep-min dedup.
+    Adaptive like connected_components, but Dataset-native: under the
+    threshold the (small) pair set collapses to driver union-find; above
+    it distributed label propagation runs and ONLY the dup-count-sized
+    drop set ever reaches the driver (it must — callers broadcast it
+    into a keep filter), never the pair or label table."""
+    pairs = pairs.materialize()
+    if pairs.count() <= driver_max_pairs:
+        comp = _union_find(pairs.to_pandas())
+        return np.array(
+            sorted(x for x, r in comp.items() if r != x), np.int64
+        )
+    labels = _label_propagation_ds(pairs)
+    out = [np.array([], np.int64)]
+    for b in labels.iter_batches(batch_format="pyarrow", batch_size=262144):
+        node = b["node"].to_numpy()
+        out.append(node[node != b["lbl"].to_numpy()])
+    return np.sort(np.concatenate(out))

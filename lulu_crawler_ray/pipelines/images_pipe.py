@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -95,7 +96,7 @@ def _bucket_pairs(
 
 def phash_near_pairs(
     images: ray.data.Dataset, max_hamming: int = 8, hot_bucket_threshold: int = 1024
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """J4 — near-dup image pairs with hamming(phash) <= t via the LSH
     band join: each 64-bit phash explodes into 4 x 16-bit bands; a pair
     within hamming 8 of uniformly-spread error agrees on >=1 band with
@@ -105,7 +106,10 @@ def phash_near_pairs(
     in-bucket pairwise hamming (vectorized popcount), with hot buckets
     (> hot_bucket_threshold rows) contained by exact second-level
     banding (_bucket_pairs). Bytes never enter the shuffle — only
-    (band_key, phash, image_id)."""
+    (band_key, phash, image_id) — and the distinct pair set finalizes
+    IN the dataset (per-batch pyarrow distinct combiner + a grouped
+    Count whose key rows ARE the distinct pairs), never on the driver
+    (the round-2 .to_pandas() is gone)."""
 
     def explode(t: pa.Table) -> pa.Table:
         ph = t["phash"].to_numpy().astype(np.int64).view(np.uint64)
@@ -127,37 +131,120 @@ def phash_near_pairs(
 
     bands = images.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("image_id")
-        return _bucket_pairs(
+        df = _bucket_pairs(
             g["image_id"].to_numpy(),
             g["phash"].to_numpy().astype(np.int64),
             max_hamming,
             hot_bucket_threshold,
         )
+        # typed arrow out (an empty object-dtype pandas block has no
+        # inferable type and trips Ray's block-size estimator)
+        return pa.table(
+            {"a": pa.array(df["a"], pa.string()), "b": pa.array(df["b"], pa.string())}
+        )
 
-    out = bands.groupby("band_key").map_groups(pairs, batch_format="pandas").to_pandas()
-    return out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+    from ray.data.aggregate import Count
 
-
-def near_dedup_images(images: ray.data.Dataset, max_hamming: int = 8) -> ray.data.Dataset:
-    """D3 — drop near-duplicate images: J4 pairs -> union-find on the
-    driver (pair count << corpus) -> keep min image_id per cluster."""
-    pr = phash_near_pairs(images, max_hamming)
-    # image_ids are hex strings; components run on stable int surrogates
-    ids = sorted(set(pr["a"]) | set(pr["b"]))
-    idx = {s: i for i, s in enumerate(ids)}
-    from .components import connected_components
-
-    comp = connected_components(
-        pd.DataFrame({"a": [idx[x] for x in pr["a"]], "b": [idx[x] for x in pr["b"]]})
+    raw = bands.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    combined = raw.map_batches(
+        lambda t: t.group_by(["a", "b"]).aggregate([]), batch_format="pyarrow"
     )
-    drop = {ids[x] for x, root in comp.items() if root != x}
-    ref = ray.put(drop)
+    agg = combined.groupby(["a", "b"]).aggregate(Count(alias_name="__c"))
+    return agg.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+
+def _sid_batch(ids: list[str]) -> np.ndarray:
+    """Stable 63-bit int surrogate per string id (blake2b-8, sign bit
+    masked so label-prop's non-negative invariant holds). Collision
+    bound: p ~ n^2/2^64 — ~3e-5 at 10^9 pair-touched dups; a collision
+    can only merge two clusters (over-dropping one representative),
+    never corrupt unrelated rows."""
+    import hashlib as _hl
+
+    return np.array(
+        [
+            int.from_bytes(_hl.blake2b(s.encode(), digest_size=8).digest(), "big")
+            & 0x7FFFFFFFFFFFFFFF
+            for s in ids
+        ],
+        np.int64,
+    )
+
+
+def _drop_names_distributed(
+    pr: ray.data.Dataset, images: ray.data.Dataset
+) -> list[str]:
+    """Scale path of D3: label-propagate over int64 surrogates of the
+    string ids (label prop needs ints for its sum-convergence check),
+    then recover the per-cluster LEXICOGRAPHIC-min image_id with one
+    mapping join + grouped Min + winner join — all Dataset ops; only
+    the dup-count-sized drop-name list reaches the driver (every path
+    must broadcast it into the keep filter anyway)."""
+    from ray.data.aggregate import Min
+
+    from .components import _label_propagation_ds
+    from .relational import shuffle_join
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(_sid_batch(t["a"].to_pylist())),
+                "b": pa.array(_sid_batch(t["b"].to_pylist())),
+            }
+        )
+
+    labels = _label_propagation_ds(pr.map_batches(to_ints, batch_format="pyarrow"))
+
+    def mk_map(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(_sid_batch(t["image_id"].to_pylist())),
+                "image_id": t["image_id"],
+            }
+        )
+
+    mapping = images.map_batches(mk_map, batch_format="pyarrow")
+    # inner join keeps only pair-touched images -> (node, lbl, image_id)
+    named = shuffle_join(labels, mapping, "node", "node")
+    winners = named.groupby("lbl").aggregate(Min("image_id", alias_name="keep_id"))
+    j = shuffle_join(named, winners, "lbl", "lbl")
+
+    def losers(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(t["image_id"], t["keep_id"]))
+        return t.filter(m).select(["image_id"])
+
+    out: list[str] = []
+    for b in j.map_batches(losers, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=262144
+    ):
+        out.extend(b["image_id"].to_pylist())
+    return sorted(out)
+
+
+def near_dedup_images(
+    images: ray.data.Dataset, max_hamming: int = 8, driver_max_pairs: int = 1_000_000
+) -> ray.data.Dataset:
+    """D3 — drop near-duplicate images, keeping the min image_id per
+    cluster. The J4 pair set stays a DATASET through the component
+    stage: under ``driver_max_pairs`` it collapses to a driver
+    union-find directly over the string ids; above it the distributed
+    label-propagation + min-name recovery path runs and the driver only
+    ever sees the dup-sized drop-name list."""
+    pr = phash_near_pairs(images, max_hamming).materialize()
+    if pr.count() <= driver_max_pairs:
+        from .components import _union_find
+
+        comp = _union_find(pr.to_pandas())
+        drop_names = sorted(x for x, root in comp.items() if root != x)
+    else:
+        drop_names = _drop_names_distributed(pr, images)
+    ref = ray.put(pa.array(drop_names, pa.string()))
 
     def keep(t: pa.Table) -> pa.Table:
         d = ray.get(ref)
-        return t.filter(pa.array([i not in d for i in t["image_id"].to_pylist()]))
+        return t.filter(pc.invert(pc.is_in(t["image_id"], value_set=d)))
 
     return images.map_batches(keep, batch_format="pyarrow")
 
@@ -196,10 +283,7 @@ def img_neardup_pairs_query(sf: str):
     (size scaled loosely by sf dir name; content independent of sf)."""
     n = 600 if "0.1" in sf else 300
     ds = fixture_dataset(n)
-    pr = phash_near_pairs(ds, max_hamming=10)
-    return pa.table(
-        {"a": pa.array(pr["a"], pa.string()), "b": pa.array(pr["b"], pa.string())}
-    )
+    return phash_near_pairs(ds, max_hamming=10).sort(["a", "b"])
 
 
 def img_resize_query(sf: str):

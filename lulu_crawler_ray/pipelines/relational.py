@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources.testdata import read_table
 
@@ -77,6 +77,22 @@ def shuffle_join(
         on=(on,),
         right_on=(right_on,),
     )
+
+
+def _distinct_sorted(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
+    """Dataset-side DISTINCT + total sort on one column: per-batch
+    pyarrow distinct combiner (shrinks the shuffle to unique-per-block
+    keys), a grouped Count whose key rows ARE the distinct keys, then a
+    range-partition sort. The driver never gathers the key set — a
+    billion-key EXCEPT/INTERSECT stays in the object store (round 2
+    finalized with sorted(ds.unique()) on the driver)."""
+    combined = ds.map_batches(
+        lambda t: t.group_by([key]).aggregate([]), batch_format="pyarrow"
+    )
+    agg = combined.groupby(key).aggregate(Count(alias_name="__c"))
+    return agg.map_batches(
+        lambda t: t.select([key]), batch_format="pyarrow"
+    ).sort(key)
 
 
 def _npart() -> int:
@@ -791,8 +807,7 @@ def d6_intersect(sf: str):
         )
 
     out = cust.map_batches(semi, batch_format="pyarrow")
-    keys = sorted(out.unique("c_custkey"))
-    return pa.table({"c_custkey": pa.array(keys, pa.int64())})
+    return _distinct_sorted(out, "c_custkey")
 
 
 def o5_topk_per_group(sf: str, k: int = 3):
@@ -945,8 +960,7 @@ def d5_except(sf: str):
         )
 
     out = cust.map_batches(ex, batch_format="pyarrow")
-    keys = sorted(out.unique("c_custkey"))
-    return pa.table({"c_custkey": pa.array(keys, pa.int64())})
+    return _distinct_sorted(out, "c_custkey")
 
 
 def m6_filter_project(sf: str):

@@ -175,19 +175,27 @@ def t_simhash_neardup(sf: str, max_hamming: int = 6, hot_bucket_threshold: int =
 
     bands = ds.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_pairs(
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        df = _bucket_pairs(
             g["doc_id"].to_numpy(), g["h"].to_numpy().astype(np.int64),
             max_hamming, hot_bucket_threshold,
         )
+        return pa.table(
+            {"a": pa.array(df["a"], pa.int64()), "b": pa.array(df["b"], pa.int64())}
+        )
 
-    out = bands.groupby("band_key").map_groups(pairs, batch_format="pandas").to_pandas()
-    if out.empty or "a" not in out.columns:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    out = out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.table(
-        {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}
+    # distinct pair set finalizes IN the dataset (per-batch pyarrow
+    # distinct combiner + grouped Count whose key rows ARE the distinct
+    # pairs) — the round-2 .to_pandas() is gone; same shape as
+    # minhash_candidate_pairs' grouped path
+    raw = bands.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    combined = raw.map_batches(
+        lambda t: t.group_by(["a", "b"]).aggregate([]), batch_format="pyarrow"
     )
+    agg = combined.groupby(["a", "b"]).aggregate(Count(alias_name="__c"))
+    return agg.map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    ).sort(["a", "b"])
 
 
 def t_fingerprint(sf: str):
@@ -418,12 +426,14 @@ def near_dedup_minhash(
                 kb.append(b)
         return pa.table({"a": pa.array(ka, pa.int64()), "b": pa.array(kb, pa.int64())})
 
-    verified = j.map_batches(verify, batch_format="pyarrow").to_pandas()
-    from .components import connected_components
+    # component stage takes the verified pair DATASET (component_nonroots:
+    # driver union-find under its threshold, distributed label
+    # propagation above — the pair set never touches the driver; only
+    # the dup-sized drop set does, which the keep filter broadcasts)
+    verified = j.map_batches(verify, batch_format="pyarrow")
+    from .components import component_nonroots
 
-    comp = connected_components(verified)
-    drop = {x for x, root in comp.items() if root != x}
-    ref = ray.put(np.array(sorted(drop), np.int64))
+    ref = ray.put(component_nonroots(verified))
 
     def keep(t: pa.Table) -> pa.Table:
         d = ray.get(ref)

@@ -212,13 +212,20 @@ def test_phash_neardup_band_join(ray_session):
     )
     full = pa.concat_tables([t, extra])
     ds = ray.data.from_arrow(full).repartition(3)
-    pairs = phash_near_pairs(ds, max_hamming=4)
+    pairs = phash_near_pairs(ds, max_hamming=4).to_pandas()
     pairset = set(map(tuple, pairs[["a", "b"]].to_numpy()))
     id0 = t["image_id"][0].as_py()
     assert tuple(sorted((id0, "zz02"))) in pairset  # exact dup
     assert tuple(sorted((id0, "zz01"))) in pairset  # 2-bit flip
     kept = set(near_dedup_images(ds, max_hamming=4).to_pandas()["image_id"])
     assert "zz01" not in kept and "zz02" not in kept and id0 in kept
+    # forced-distributed component path (surrogate label prop + min-name
+    # recovery joins) must produce the identical surviving set
+    kept_d = set(
+        near_dedup_images(ds, max_hamming=4, driver_max_pairs=0)
+        .to_pandas()["image_id"]
+    )
+    assert kept_d == kept
 
 
 def test_image_transform_stage(ray_session):
