@@ -179,6 +179,11 @@ def run_crawl(
         )
     shards = make_shards(cfg.num_shards)
     metrics = MetricsActor.remote()
+    if cfg.politeness_delay_s > 0:
+        # fresh pacing windows per crawl: the limiter actor is cached
+        # per (delay, job) and would otherwise carry the previous
+        # crawl's next_free reservations into this one
+        ray.get(_get_limiter(cfg).reset.remote())
 
     if resume:
         wave, rank_base, fstate = _restore(out_dir, shards, metrics)
@@ -371,7 +376,10 @@ def _hot_hosts(cand_cols, threshold: int) -> list[str]:
 
     def cnt(t: pa.Table) -> pa.Table:
         out = pa.table({"host": t["host"]}).group_by(["host"]).aggregate([("host", "count")])
-        return out.rename_columns(["host", "n"])
+        # rename BY NAME: pyarrow group_by output column order (keys
+        # first vs aggregates first) is version-dependent; a positional
+        # rename could silently swap host/count
+        return out.select(["host", "host_count"]).rename_columns(["host", "n"])
 
     agg = cand_cols.map_batches(cnt, batch_format="pyarrow").groupby("host").aggregate(
         Sum("n", alias_name="n")
@@ -405,7 +413,9 @@ def _select_distributed(frontier, cfg, rank_base, wave, cand_cols):
     with explicit HOT-DOMAIN SPLITTING (BASELINE.json:6 "explicit skew
     mitigation (hot-domain splitting, salted shuffle)"; SURVEY.md
     §4.3.2): hosts whose candidate count exceeds cfg.hot_host_threshold
-    get their per-host top-B split round-robin (salt = seq % n_salts)
+    get their per-host top-B split (salt = fib_hash(seq) % n_salts —
+    _salt_candidates uses a Fibonacci multiplicative hash because a
+    plain seq % n_salts aliases on structured seq patterns)
     across n_salts groups, each reduced in its own task, then finalized
     per host over ≤ B×n_salts rows — exact because top-B of per-salt
     top-Bs == top-B, and order-preserving because the split is a pure

@@ -636,7 +636,9 @@ def g8_approx_quantile(sf: str, q: float = 0.5, n_buckets: int = 4096):
             .group_by(["g"])
             .aggregate([("v", "min"), ("v", "max")])
         )
-        return out.rename_columns(["g", "lo", "hi"])
+        # select BY NAME before renaming (pyarrow group_by column order
+        # is version-dependent: keys-first vs aggregates-first)
+        return out.select(["g", "v_min", "v_max"]).rename_columns(["g", "lo", "hi"])
 
     rng: dict[str, tuple[float, float]] = {}
     for b in ds.map_batches(ranges, batch_format="pyarrow").iter_batches(
@@ -1161,6 +1163,8 @@ def w3_asof_join(sf: str):
         ts_day = (
             t["ts"].to_numpy().astype("datetime64[us]").astype("datetime64[D]").view(np.int64)
         )
+        if len(ts_day) and (ts_day.min() < 0 or ts_day.max() >= (1 << 21)):
+            raise ValueError("asof join: event day out of composite range [0, 2^21)")
         pos = np.searchsorted(uids, u)
         posc = np.clip(pos, 0, max(len(uids) - 1, 0))
         has = (pos < len(uids)) & (uids[posc] == u) if len(uids) else np.zeros(len(u), bool)
@@ -1196,11 +1200,17 @@ def w5_range_join(sf: str, window_days: int = 30):
         ts_day = (
             t["ts"].to_numpy().astype("datetime64[us]").astype("datetime64[D]").view(np.int64)
         )
+        if len(ts_day) and (ts_day.min() < 0 or ts_day.max() >= (1 << 21)):
+            raise ValueError("range join: event day out of composite range [0, 2^21)")
         pos = np.searchsorted(uids, u)
         posc = np.clip(pos, 0, max(len(uids) - 1, 0))
         has = (pos < len(uids)) & (uids[posc] == u) if len(uids) else np.zeros(len(u), bool)
         hi = np.searchsorted(comp, posc * (1 << 21) + ts_day, side="right")
         lo = np.searchsorted(comp, posc * (1 << 21) + ts_day - window_days, side="right")
+        # clamp to the segment start: for ts_day < window_days the lower
+        # probe's composite underflows into the PREVIOUS uid's segment
+        # and would count another user's orders
+        lo = np.maximum(lo, offsets[posc]) if len(uids) else lo
         n = np.where(has, hi - lo, 0).astype(np.int64)
         return pa.table({"event_id": t["event_id"], "n_orders": pa.array(n)})
 

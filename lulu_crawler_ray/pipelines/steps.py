@@ -94,6 +94,12 @@ def make_rate_limiter(delay_s: float):
             self.next_free[host] = start + n * self.delay
             return start
 
+        def reset(self) -> None:
+            """Clear reservations — called at crawl start so a second
+            run_crawl in the same Ray job doesn't inherit the previous
+            crawl's per-host windows (wall-clock only; order unaffected)."""
+            self.next_free.clear()
+
     return HostRateLimiter.remote(delay_s)
 
 

@@ -126,3 +126,44 @@ def test_adaptive_join_paths_equal(ray_session):
     left = ray.data.from_items([{"k": 1}])
     with pytest.raises(Exception, match="duplicate"):
         adaptive_join(left, dup, "k", "k").to_pandas()
+
+
+def test_w5_range_join_epoch_underflow_clamp(ray_session, tmp_path):
+    """Events within window_days of the 1970 epoch: the lower probe's
+    composite (posc*2^21 + ts_day - window_days) underflows into the
+    PREVIOUS user's segment; without the segment-start clamp the count
+    includes that user's late orders (ADVICE r2 #1). User 1 has two
+    orders at days just under 2^21 (the top of the composite day range)
+    so the unclamped lower bound lands inside user 1's segment when
+    probing for user 2."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lulu_crawler_ray.pipelines.relational import w5_range_join
+
+    def day_ts(d):
+        return np.datetime64(d, "D").astype("datetime64[us]").astype(object)
+
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [day_ts((1 << 21) - 12), day_ts((1 << 21) - 7), day_ts(0)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    events = pa.table(
+        {
+            "event_id": pa.array([100], pa.int64()),
+            "user_id": pa.array([2], pa.int64()),
+            "ts": pa.array([day_ts(10)], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    out = w5_range_join(str(tmp_path), window_days=30).to_pandas()
+    # only user 2's own day-0 order is in (10-30, 10]; the unclamped
+    # probe returned 3 (user 1's two high-day orders leaked in)
+    assert out["n_orders"].tolist() == [1]
