@@ -95,13 +95,23 @@ def _distinct_sorted(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
     ).sort(key)
 
 
-def _npart() -> int:
-    """Join/shuffle partition count scaled to the session's CPUs (a
-    fixed constant under-parallelizes larger clusters). 1x CPUs, not
-    2x: each hash-join partition is an aggregator actor, and measured
-    join wall time at 32 CPUs is flat from 16->32 partitions but 2x
-    WORSE at 64 (actor spin-up dominates the shuffle)."""
-    return max(16, int(ray.cluster_resources().get("CPU", 8)))
+def _npart(rows: int | None = None) -> int:
+    """Join/shuffle partition count. Each hash-shuffle partition is an
+    aggregator actor with a fixed spin-up cost, so the count must scale
+    with the DATA, not the cluster: the round-3 sweep at 32 CPUs on the
+    150k-row j2 join measured 1.8 s at 2 partitions monotonically up to
+    7.9 s at 64 — actor spin-up dominated everything (round 2's jump
+    from 16 to max(16, CPUs) partitions was the whole j2 regression).
+
+    With a row hint (parquet-footer metadata, free): one partition per
+    ~128k rows, floor 2, capped at 4x CPUs (the cap keeps per-partition
+    memory bounded as data grows past cpu*128k; a multi-node cluster
+    raises the cap through its CPU total). Without a hint, the old
+    CPU-scaled default."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if rows is None:
+        return max(16, cpus)
+    return int(min(max(2, rows // 131072 + 1), max(16, 4 * cpus)))
 
 
 @ray.remote(num_cpus=1)
@@ -414,8 +424,14 @@ def q3_shipping_priority(sf: str):
     li = li.map_batches(l_filter, batch_format="pyarrow")
 
     # both sides are filtered upstream -> zero-row blocks possible;
-    # shuffle_join guards them (the unguarded join breaks at high CPUs)
-    j = shuffle_join(li, orders, "l_orderkey", "o_orderkey")
+    # shuffle_join guards them (the unguarded join breaks at high CPUs).
+    # partition count sized to the pre-filter row total (upper bound)
+    from ..sources.testdata import table_rows
+
+    j = shuffle_join(
+        li, orders, "l_orderkey", "o_orderkey",
+        num_partitions=_npart(table_rows(sf, "lineitem") + table_rows(sf, "orders")),
+    )
     agg = grouped_agg(
         j, ["l_orderkey", "orderdate"], [("revenue_e4", "sum", "rev")], round_to=None
     )
@@ -441,11 +457,15 @@ def g3_distinct(sf: str):
 
 
 def j2_inner_join(sf: str):
-    """Hash shuffle join (both sides large): orders ⋈ customer."""
+    """Hash shuffle join (both sides large): orders ⋈ customer.
+    Partition count sized to the input rows (parquet footer metadata)."""
+    from ..sources.testdata import table_rows
+
     orders = read_table(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = read_table(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    nparts = _npart(table_rows(sf, "orders") + table_rows(sf, "customer"))
     j = orders.join(
-        cust, join_type="inner", num_partitions=_npart(), on=("o_custkey",), right_on=("c_custkey",)
+        cust, join_type="inner", num_partitions=nparts, on=("o_custkey",), right_on=("c_custkey",)
     )
     j = j.select_columns(["o_orderkey", "c_name", "c_mktsegment", "o_totalprice"])
     return _cents_cols(j, {"o_totalprice": "totalprice_c"})

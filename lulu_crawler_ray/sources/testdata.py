@@ -15,3 +15,14 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.
     if name not in TABLES:
         raise KeyError(name)
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count straight from parquet footer metadata (microseconds,
+    no scan) — used to size shuffle partition counts to the data
+    instead of a CPU-count constant."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise KeyError(name)
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
