@@ -11,6 +11,9 @@
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -80,6 +83,14 @@ def _score_topk(ids: np.ndarray, m: np.ndarray, qids: np.ndarray, qm: np.ndarray
 def _finalize_topk(parts, k: int) -> pa.Table:
     """Driver-side merge of per-block partial top-ks: distinct
     (query, neighbor), sort (sim desc, neighbor asc), head-k, rank."""
+    if parts.empty or "query_id" not in parts.columns:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
     parts = parts.drop_duplicates(["query_id", "neighbor_id"])
     out = {"query_id": [], "neighbor_id": [], "rnk": []}
     for qid, g in parts.groupby("query_id"):
@@ -147,42 +158,70 @@ class HyperplaneHasher:
 
 
 class LshIndex:
-    """MATERIALIZED multi-table hyperplane LSH index over the embeddings
-    table (the IVF-style scale path): (bucket, vec_id, normalized-emb
-    blob) rows, one row per (vector, table). Built ONCE per (sf, dim)
-    and Ray session — a query probes its L buckets against the cached
-    index instead of re-hashing the corpus per call (the round-1 shape).
-    At 100 TB the emb payload would be float16/float32 and the index a
-    partitioned parquet/Lance artifact keyed by bucket range; here it
-    lives in the object store."""
+    """DURABLE bucket-partitioned multi-table hyperplane LSH index over
+    the embeddings table: (bucket, vec_id, normalized-emb blob) rows,
+    one row per (vector, table), written once as hive-partitioned
+    parquet (annindex.BucketIndexArtifact — shard = fib_hash(bucket) %
+    n_shards). A query probes its L buckets by READING only the shard
+    directories that can contain them (IO pruning, not just the round-2
+    np.isin compute pruning) and masking within-shard by exact bucket.
+    The artifact survives the Ray session: a matching sealed manifest
+    makes the next build a pure load."""
 
     builds = 0  # test hook: counts corpus-hash materializations
 
-    def __init__(self, sf: str, dim: int = 64, n_planes: int = 4, n_tables: int = 8, seed: int = 5):
+    def __init__(
+        self,
+        sf: str,
+        dim: int = 64,
+        n_planes: int = 4,
+        n_tables: int = 8,
+        seed: int = 5,
+        root: str | None = None,
+    ):
+        import hashlib as _hl
+
+        from ..sources.testdata import table_rows
+        from .annindex import _DEFAULT_ROOT, BucketIndexArtifact
+
         self.hasher = HyperplaneHasher(dim, n_planes, n_tables, seed)
         hasher = self.hasher
-        ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
+        digest = _hl.md5(
+            json.dumps(
+                ["lsh", sf, table_rows(sf, "embeddings"), dim, n_planes, n_tables, seed]
+            ).encode()
+        ).hexdigest()
+        root = root or os.path.join(_DEFAULT_ROOT, f"lsh-{digest[:16]}")
 
-        def explode(t: pa.Table) -> pa.Table:
-            ids, m = _emb_matrix(t)
-            mn = _normalize(m)
-            bk = hasher.buckets_of(mn)
-            n, L = bk.shape
-            rep = np.repeat(mn, L, axis=0)  # row-major matches bk.ravel()
-            return pa.table(
-                {
-                    "bucket": pa.array(bk.ravel(), pa.int64()),
-                    "vec_id": pa.array(np.repeat(ids, L), pa.int64()),
-                    "emb": pa.array([r.tobytes() for r in rep], pa.binary()),
-                }
-            )
+        def build() -> ray.data.Dataset:
+            ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
 
-        self.index = ds.map_batches(explode, batch_format="pyarrow").materialize()
-        LshIndex.builds += 1
+            def explode(t: pa.Table) -> pa.Table:
+                ids, m = _emb_matrix(t)
+                mn = _normalize(m)
+                bk = hasher.buckets_of(mn)
+                n, L = bk.shape
+                rep = np.repeat(mn, L, axis=0)  # row-major matches bk.ravel()
+                return pa.table(
+                    {
+                        "bucket": pa.array(bk.ravel(), pa.int64()),
+                        "vec_id": pa.array(np.repeat(ids, L), pa.int64()),
+                        "emb": pa.array([r.tobytes() for r in rep], pa.binary()),
+                    }
+                )
+
+            return ds.map_batches(explode, batch_format="pyarrow")
+
+        self.artifact, built = BucketIndexArtifact.build_or_load(
+            root, digest, "bucket", build, n_shards=32
+        )
+        if built:
+            LshIndex.builds += 1
 
     def query(self, qids: np.ndarray, qm: np.ndarray, k: int = 10) -> pa.Table:
         qb = self.hasher.buckets_of(qm)
-        probe_ref = ray.put(np.unique(qb.ravel()))
+        probe_buckets = np.unique(qb.ravel())
+        probe_ref = ray.put(probe_buckets)
         qref = ray.put((qids, qm))
 
         def probe_topk(t: pa.Table) -> pa.Table:
@@ -197,7 +236,8 @@ class LshIndex:
             # _score_topk collapses the per-table duplicate rows first
             return _score_topk(ids, m, qids_, qm_, k)
 
-        parts = self.index.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
+        idx = self.artifact.read_for(probe_buckets)
+        parts = idx.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
         return _finalize_topk(parts, k)
 
 
@@ -324,36 +364,71 @@ def kmeans_fit(
 class IvfIndex:
     """IVF (inverted-file) ANN index — the centroid-bucketed scale
     path: spherical-k-means centroids, corpus assigned to its nearest
-    centroid ONCE into a materialized (cid, vec_id, emb blob) index; a
-    query probes only its ``nprobe`` nearest centroid lists (scan
-    fraction ~ nprobe/k). Session-cached like LshIndex."""
+    centroid ONCE into a DURABLE hive-partitioned parquet index
+    (shard = cid identity — one shard per centroid list); a query
+    READS only its ``nprobe`` nearest centroid lists (IO pruning at
+    read time; scan fraction ~ nprobe/k for IO and compute). The
+    centroids themselves live in the manifest-adjacent npy file so a
+    cross-session load restores the full index without touching the
+    corpus. Session-cached like LshIndex."""
 
     builds = 0
 
-    def __init__(self, sf: str, n_centroids: int = 16, iters: int = 5, dim: int = 64):
-        ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
-        self.centroids = kmeans_fit(ds, k=n_centroids, iters=iters, dim=dim)
-        cref = ray.put(self.centroids)
+    def __init__(
+        self,
+        sf: str,
+        n_centroids: int = 16,
+        iters: int = 5,
+        dim: int = 64,
+        root: str | None = None,
+    ):
+        import hashlib as _hl
 
-        def assign(t: pa.Table) -> pa.Table:
-            c = ray.get(cref)
-            ids, m = _emb_matrix(t)
-            mn = _normalize(m)
-            a = np.argmax(mn @ c.T, axis=1).astype(np.int32)
-            return pa.table(
-                {
-                    "cid": pa.array(a),
-                    "vec_id": pa.array(ids, pa.int64()),
-                    "emb": pa.array([r.tobytes() for r in mn], pa.binary()),
-                }
-            )
+        from ..sources.testdata import table_rows
+        from .annindex import _DEFAULT_ROOT, BucketIndexArtifact
 
-        self.index = ds.map_batches(assign, batch_format="pyarrow").materialize()
-        IvfIndex.builds += 1
+        digest = _hl.md5(
+            json.dumps(
+                ["ivf", sf, table_rows(sf, "embeddings"), n_centroids, iters, dim]
+            ).encode()
+        ).hexdigest()
+        root = root or os.path.join(_DEFAULT_ROOT, f"ivf-{digest[:16]}")
+        cents_path = os.path.join(root, "centroids.npy")
+
+        def build() -> ray.data.Dataset:
+            ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
+            self.centroids = kmeans_fit(ds, k=n_centroids, iters=iters, dim=dim)
+            # saved BEFORE the manifest seal (build_or_load writes the
+            # manifest last) so a sealed artifact always has centroids
+            np.save(cents_path, self.centroids)
+            cref = ray.put(self.centroids)
+
+            def assign(t: pa.Table) -> pa.Table:
+                c = ray.get(cref)
+                ids, m = _emb_matrix(t)
+                mn = _normalize(m)
+                a = np.argmax(mn @ c.T, axis=1).astype(np.int32)
+                return pa.table(
+                    {
+                        "cid": pa.array(a),
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "emb": pa.array([r.tobytes() for r in mn], pa.binary()),
+                    }
+                )
+
+            return ds.map_batches(assign, batch_format="pyarrow")
+
+        self.artifact, built = BucketIndexArtifact.build_or_load(
+            root, digest, "cid", build, n_shards=n_centroids, identity=True
+        )
+        if built:
+            IvfIndex.builds += 1
+        else:
+            self.centroids = np.load(cents_path)
 
     def query(self, qids: np.ndarray, qm: np.ndarray, k: int = 10, nprobe: int = 4) -> pa.Table:
-        # per-query probe lists; the scan predicate is the UNION of
-        # probed cids, per-query restriction happens at scoring time
+        # per-query probe lists; the READ set is the union of probed
+        # cids' shard dirs, per-query restriction happens at scoring time
         order = np.argsort(-(qm @ self.centroids.T), axis=1)[:, :nprobe]
         probe_ref = ray.put((qids, qm, order))
 
@@ -387,7 +462,8 @@ class IvfIndex:
                 }
             )
 
-        parts = self.index.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
+        idx = self.artifact.read_for(np.unique(order.ravel()))
+        parts = idx.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
         return _finalize_topk(parts, k)
 
 

@@ -418,15 +418,49 @@ def test_cosine_hot_group_blocking_recall():
     assert len(s & planted) >= 18  # recall >= 0.9 on planted near-identicals
 
 
+def _clear_ann_artifacts():
+    import shutil
+
+    from lulu_crawler_ray.pipelines.annindex import _DEFAULT_ROOT
+
+    shutil.rmtree(_DEFAULT_ROOT, ignore_errors=True)
+
+
 def test_lsh_index_built_once_for_two_query_calls(ray_session):
     from lulu_crawler_ray.pipelines import annsearch as an
 
     an._LSH_CACHE.clear()
+    _clear_ann_artifacts()  # durable artifact would make build a pure load
     before = an.LshIndex.builds
     r1 = an.e_lsh_ann(SF).to_pandas()
     r2 = an.e_lsh_ann(SF, n_queries=2).to_pandas()
     assert an.LshIndex.builds == before + 1  # corpus hashed once
     assert len(r1) > 0 and len(r2) > 0
+    # durability: a fresh index object on the sealed artifact loads
+    # without re-hashing the corpus (builds unchanged) and answers
+    # identically
+    idx2 = an.LshIndex(SF)
+    assert an.LshIndex.builds == before + 1
+    qids, qm = an.load_queries(SF)
+    import pandas as pd
+
+    a = an._LSH_CACHE[list(an._LSH_CACHE)[0]].query(qids, qm).to_pandas()
+    b = idx2.query(qids, qm).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_lsh_probe_reads_strict_shard_subset(ray_session):
+    """The durable artifact prunes IO: a probe must read a strict,
+    non-empty subset of the on-disk shard directories."""
+    from lulu_crawler_ray.pipelines import annsearch as an
+
+    idx = an.lsh_index(SF)
+    qids, qm = an.load_queries(SF)
+    out = idx.query(qids, qm).to_pandas()
+    assert len(out) > 0
+    touched = idx.artifact.last_probe_shards
+    total = idx.artifact.num_shards_on_disk()
+    assert 0 < len(touched) < total, (touched, total)
 
 
 def test_ivf_ann_recall_and_single_build(ray_session):
@@ -435,11 +469,25 @@ def test_ivf_ann_recall_and_single_build(ray_session):
     from lulu_crawler_ray.pipelines import annsearch as an
 
     an._IVF_CACHE.clear()
+    _clear_ann_artifacts()  # durable artifact would make build a pure load
     before = an.IvfIndex.builds
     exact = an.e_knn_bruteforce(SF).to_pandas()
     approx = an.e_ivf_ann(SF).to_pandas()
     _ = an.e_ivf_ann(SF, n_queries=2)
     assert an.IvfIndex.builds == before + 1
+    # cross-session-shaped load: fresh object, sealed artifact -> no
+    # rebuild, centroids restored from the artifact
+    idx2 = an.IvfIndex(SF)
+    assert an.IvfIndex.builds == before + 1
+    import numpy as _np
+
+    _np.testing.assert_allclose(
+        idx2.centroids, an._IVF_CACHE[list(an._IVF_CACHE)[0]].centroids
+    )
+    # IO pruning: nprobe=4 of 16 centroid lists -> 4 shard dirs read
+    qids, qm = an.load_queries(SF)
+    idx2.query(qids, qm, nprobe=4)
+    assert 0 < len(idx2.artifact.last_probe_shards) < idx2.artifact.num_shards_on_disk()
     recalls = []
     for q in exact["query_id"].unique():
         e = set(exact[exact.query_id == q]["neighbor_id"])
