@@ -46,6 +46,11 @@ class CrawlConfig:
     zipf_alpha: float = 1.1
     max_links_per_page: int = 12
     image_sizes: tuple[int, ...] = (32, 48, 64, 96, 128)  # synthetic-universe knob
+    # formats pages embed (synthetic-universe knob, like image_sizes).
+    # Default = the three lossless codecs (keeps the crawl output hash
+    # stable across rounds); add "ldt" to exercise the lossy DCT codec
+    # and the real PSNR >= 40 dB fidelity gate (BASELINE.json:15).
+    image_formats: tuple[str, ...] = ("raw", "ppm", "png")
 
     # physical knobs (order-neutral)
     # driver fast-path budgets: waves whose candidate / combined-ref

@@ -1,13 +1,17 @@
-"""In-repo lossless image codecs (M8) — no PIL/opencv in this sandbox
+"""In-repo image codecs (M8) — no PIL/opencv in this sandbox
 (SURVEY.md §0.2). Formats:
 
     raw — b"RAW0" + w:uint32le + h:uint32le + RGB8 C-order pixels
     ppm — binary P6, maxval 255
     png — real PNG: 8-bit RGB, zlib IDAT, filter type 0 only
+    ldt — LOSSY: JPEG-style 8x8 DCT + quality-scaled quantization over
+          YCbCr with 4:2:0 chroma subsampling, zlib-packed int16
+          coefficients. This makes the ``PSNR >= 40 dB for lossy``
+          criterion (BASELINE.json:15) a REAL assertion: the default
+          quality clears it with margin (pytest-checked per format
+          cycle), a degraded quality measurably fails it.
 
-All lossless => decoded-pixel equality is exact and PSNR = inf >= 40 dB,
-satisfying the per-row fidelity invariant of BASELINE.json:15. ``fmt``
-stays a real column so lossy codecs can be added when codecs exist.
+raw/ppm/png are lossless => decoded-pixel equality exact, PSNR = inf.
 """
 
 from __future__ import annotations
@@ -17,7 +21,8 @@ import zlib
 
 import numpy as np
 
-FORMATS = ("raw", "ppm", "png")
+FORMATS = ("raw", "ppm", "png", "ldt")
+LOSSLESS = ("raw", "ppm", "png")  # exact roundtrip; ldt is lossy by design
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -104,8 +109,162 @@ def decode_png(data: bytes) -> np.ndarray:
     return scan[:, 1:].reshape(h, w, 3).copy()
 
 
-_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png}
-_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png}
+# ---------------------------------------------------------------- ldt
+# 8x8 DCT-II basis (orthonormal): forward = D @ B @ D.T on 128-centered
+# blocks, inverse = D.T @ C @ D. Standard JPEG base quantization tables
+# scaled by the libjpeg quality curve.
+_DCT = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+_QY = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    np.float64,
+)
+_QC = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    np.float64,
+)
+# default quality: measured worst-case PSNR over the synthetic image
+# universe is 43.3 dB at q98 (39.9 at q97) — clears the >= 40 dB
+# criterion with margin while remaining genuinely lossy (~0.58x raw)
+LDT_DEFAULT_QUALITY = 98
+
+
+def _qtables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = min(max(int(quality), 1), 100)
+    s = 5000 / q if q < 50 else 200 - 2 * q
+    qy = np.clip(np.floor((_QY * s + 50) / 100), 1, 255)
+    qc = np.clip(np.floor((_QC * s + 50) / 100), 1, 255)
+    return qy, qc
+
+
+def _pad_to(m: np.ndarray, mult: int) -> np.ndarray:
+    h, w = m.shape
+    ph, pw = (-h) % mult, (-w) % mult
+    if ph or pw:
+        m = np.pad(m, ((0, ph), (0, pw)), mode="edge")
+    return m
+
+
+def _blocks_fwd(ch: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) float channel -> quantized int16 coefficients, H,W % 8 == 0."""
+    h, w = ch.shape
+    b = ch.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    c = np.einsum("ij,abjk,lk->abil", _DCT, b, _DCT)
+    return np.rint(c / q).astype(np.int16)
+
+
+def _blocks_inv(coef: np.ndarray, q: np.ndarray, h: int, w: int) -> np.ndarray:
+    c = coef.astype(np.float64) * q
+    b = np.einsum("ji,abjk,kl->abil", _DCT, c, _DCT) + 128.0
+    return b.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    f = img.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def encode_ldt(
+    img: np.ndarray, quality: int = LDT_DEFAULT_QUALITY, subsample: bool = False
+) -> bytes:
+    """4:4:4 by default; 4:2:0 chroma subsampling is an opt-in header
+    flag (the synthetic gradient corpus has pixel-scale chroma detail —
+    subsampling alone caps PSNR in the teens there, while plain
+    quality-scaled quantization stays a smooth fidelity knob)."""
+    h, w, _ = img.shape
+    qy, qc = _qtables(quality)
+    y, cb, cr = _rgb_to_ycbcr(img)
+    yp = _pad_to(y, 8)
+    sub = []
+    for chan in (cb, cr):
+        if subsample:
+            cp = _pad_to(chan, 2)
+            s = (cp[0::2, 0::2] + cp[1::2, 0::2] + cp[0::2, 1::2] + cp[1::2, 1::2]) / 4.0
+        else:
+            s = chan
+        sub.append(_pad_to(s, 8))
+    payload = b"".join(
+        _blocks_fwd(c, q).tobytes()
+        for c, q in ((yp, qy), (sub[0], qc), (sub[1], qc))
+    )
+    return (
+        b"LDT0"
+        + struct.pack(
+            "<IIBB", w, h, min(max(int(quality), 1), 100), 1 if subsample else 0
+        )
+        + zlib.compress(payload, 6)
+    )
+
+
+def decode_ldt(data: bytes) -> np.ndarray:
+    if data[:4] != b"LDT0":
+        raise ValueError("bad ldt magic")
+    w, h, quality, subsample = struct.unpack("<IIBB", data[4:14])
+    qy, qc = _qtables(quality)
+    yh, yw = h + (-h) % 8, w + (-w) % 8
+    if subsample:
+        ch2, cw2 = (h + (-h) % 2) // 2, (w + (-w) % 2) // 2
+    else:
+        ch2, cw2 = h, w
+    ch, cw = ch2 + (-ch2) % 8, cw2 + (-cw2) % 8
+    raw = zlib.decompress(data[14:])
+    ny, nc = yh * yw, ch * cw
+    coefs = np.frombuffer(raw, np.int16)
+    if len(coefs) != ny + 2 * nc:
+        raise ValueError("ldt payload length mismatch")
+
+    def unblk(flat: np.ndarray, hh: int, ww: int) -> np.ndarray:
+        return flat.reshape(hh // 8, ww // 8, 8, 8)
+
+    y = _blocks_inv(unblk(coefs[:ny], yh, yw), qy, yh, yw)[:h, :w]
+    cb = _blocks_inv(unblk(coefs[ny : ny + nc], ch, cw), qc, ch, cw)
+    cr = _blocks_inv(unblk(coefs[ny + nc :], ch, cw), qc, ch, cw)
+    if subsample:  # 2x nearest upsample back to luma resolution
+        cb = cb.repeat(2, axis=0).repeat(2, axis=1)
+        cr = cr.repeat(2, axis=0).repeat(2, axis=1)
+    cb, cr = cb[:h, :w], cr[:h, :w]
+    return _ycbcr_to_rgb(y, cb, cr)
+
+
+_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt}
+_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:

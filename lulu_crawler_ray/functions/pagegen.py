@@ -17,8 +17,6 @@ import numpy as np
 
 from .imagecodec import FORMATS, encode
 
-_FMT = list(FORMATS)
-
 
 def _h(parts: str) -> bytes:
     return hashlib.sha256(parts.encode("utf-8")).digest()
@@ -43,11 +41,21 @@ def _n_links(u16: int, max_links: int) -> int:
     return int(np.searchsorted(cdf, u16 / 65536.0, side="right")) + 1
 
 
-def page_bytes(seed: int, url: str, *, n_hosts: int, alpha: float, max_links: int) -> bytes:
+def page_bytes(
+    seed: int,
+    url: str,
+    *,
+    n_hosts: int,
+    alpha: float,
+    max_links: int,
+    formats: tuple = ("raw", "ppm", "png"),
+) -> bytes:
     """Synthetic HTML-like body for a canonical page URL.
 
     Document order: n_links anchors then exactly one <img>. ~60% of
     links are same-host relative paths, ~40% cross-host absolute.
+    ``formats`` is the image-format universe pages draw from (defaults
+    to the lossless trio; include "ldt" for the lossy path).
     """
     H = _h(f"{seed}|{url}")
     n = _n_links(int.from_bytes(H[0:2], "big"), max_links)
@@ -60,7 +68,7 @@ def page_bytes(seed: int, url: str, *, n_hosts: int, alpha: float, max_links: in
             host = zipf_host(n_hosts, alpha, int.from_bytes(hj[1:3], "big"))
             target = f"http://h{host}.test/p/{hj.hex()[:8]}"
         out.append(f'<a href="{target}">t{j}</a>')
-    fmt = _FMT[H[2] % 3]
+    fmt = formats[H[2] % len(formats)]
     hi = _h(f"{seed}|{url}|img")
     caption = "cap-" + H.hex()[:16]
     out.append(f'<img src="/img/{hi.hex()[:12]}.{fmt}" alt="{caption}">')

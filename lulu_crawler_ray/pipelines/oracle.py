@@ -148,7 +148,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> CrawlResult:
             )
             body = pagegen.page_bytes(
                 cfg.seed, r.url, n_hosts=cfg.n_hosts, alpha=cfg.zipf_alpha,
-                max_links=cfg.max_links_per_page,
+                max_links=cfg.max_links_per_page, formats=cfg.image_formats,
             )
             res.metrics["fetched"] += 1
             for j, kind, target, caption in htmlparse.extract_refs(body):
@@ -186,7 +186,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> CrawlResult:
             ph = phash64(decode(data, fmt))
             res.images.append(
                 dict(image_id=iid, bytes=data, w=w, h=h, fmt=fmt,
-                     caption=caption, phash=ph, wave=wave)
+                     caption=caption, phash=ph, wave=wave, url=r.url)
             )
 
         frontier = deferred

@@ -265,7 +265,7 @@ class PageFetcher:
         bodies = [
             pagegen.page_bytes(
                 cfg.seed, u, n_hosts=cfg.n_hosts, alpha=cfg.zipf_alpha,
-                max_links=cfg.max_links_per_page,
+                max_links=cfg.max_links_per_page, formats=cfg.image_formats,
             )
             for u in t["url"].to_pylist()
         ]

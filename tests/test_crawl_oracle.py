@@ -68,6 +68,39 @@ def test_engine_matches_oracle(tmp_path, ray_session, cfg, n_seeds):
     _assert_equal(ledger, seen, images, oracle, cfg)
 
 
+def test_lossy_format_crawl_psnr(tmp_path, ray_session):
+    """Crawl with the lossy ldt codec in the format universe: engine
+    output still byte-equals the oracle, ldt rows actually occur, and
+    every stored image decodes within the PSNR >= 40 dB fidelity gate
+    vs the pristine source pixels (BASELINE.json:15 — now a REAL
+    assertion, not vacuous lossless equality)."""
+    from lulu_crawler_ray.functions.imagecodec import psnr
+    from lulu_crawler_ray.functions.pagegen import image_pixels
+
+    cfg = CrawlConfig(
+        seed=13, budget=3, max_depth=3, max_urls=400, n_hosts=12, num_shards=2,
+        image_formats=("raw", "ppm", "png", "ldt"),
+    )
+    oracle = run_oracle(seed_urls(cfg, 8), cfg)
+    ledger, seen, images = _engine_outputs(tmp_path, cfg, 8, ray_session)
+    _assert_equal(ledger, seen, images, oracle, cfg)
+    assert "ldt" in set(images["fmt"].to_pylist())  # the lossy path ran
+    # Fidelity vs the PRISTINE source pixels (the oracle keeps the image
+    # URL, from which the synthetic universe regenerates them exactly).
+    o_imgs = sorted(oracle.images, key=lambda r: r["image_id"])
+    n_lossy_nonexact = 0
+    for i, o in enumerate(o_imgs):
+        src = image_pixels(cfg.seed, o["url"], cfg.image_sizes)
+        got_px = decode(images["bytes"][i].as_py(), o["fmt"])
+        if o["fmt"] == "ldt":
+            assert psnr(src, got_px) >= 40.0
+            if not np.array_equal(src, got_px):
+                n_lossy_nonexact += 1
+        else:
+            assert np.array_equal(src, got_px)  # lossless => exact
+    assert n_lossy_nonexact > 0  # the gate is exercised non-vacuously
+
+
 def test_max_urls_truncation(tmp_path, ray_session):
     cfg = CrawlConfig(seed=3, budget=4, max_depth=4, max_urls=30, n_hosts=10, num_shards=2)
     oracle = run_oracle(seed_urls(cfg, 6), cfg)
