@@ -342,10 +342,63 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(SQRT(SUM(cv*cv))*10000,0) AS BIGINT) AS centroid_norm_e4 "
             "FROM c JOIN nn USING(label) GROUP BY c.label, nn.n"
         ),
-        # g4_hll_distinct, t_langid, t_simhash, t_fingerprint,
-        # t_minhash_pairs, t_near_dedup, e_lsh_ann,
-        # img_neardup_pairs, img_stats, crawl_ledger, crawl_images:
-        # approximate / heuristic / non-SQL-expressible -> rows-only
-        # check; correctness covered by pytest oracles (brute-force,
-        # single-threaded crawler, property tests).
+        # t_simhash / t_fingerprint / t_simhash_neardup are exact
+        # deterministic functions of the text whose hash primitive is
+        # _h64 = first 8 bytes of md5 — which DuckDB can compute, so
+        # all three are fully SQL-checked (VERDICT r2 ask #7).
+        "t_simhash": (
+            "WITH toks AS ("
+            "SELECT doc_id, lower(tok) AS tok FROM ("
+            "SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok "
+            "FROM documents) WHERE tok <> ''), "
+            "th AS (SELECT doc_id, CAST('0x' || substr(md5(tok),1,16) AS UBIGINT) AS h FROM toks), "
+            "bits AS (SELECT doc_id, i, "
+            "SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc "
+            "FROM th CROSS JOIN (SELECT UNNEST(range(64)) AS i) g GROUP BY doc_id, i), "
+            "sh AS (SELECT doc_id, SUM(CASE WHEN acc > 0 THEN "
+            "CAST(CAST(1 AS UBIGINT) << i AS HUGEINT) ELSE 0 END) AS u "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE("
+            "CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT) "
+            "THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END, 0) AS BIGINT) AS simhash "
+            "FROM documents d LEFT JOIN sh USING(doc_id)"
+        ),
+        "t_fingerprint": (
+            "WITH s AS (SELECT doc_id, lower(text) AS s, length(lower(text)) AS n FROM documents), "
+            "long AS (SELECT doc_id, s, n - 4 AS ng FROM s WHERE n >= 5), "
+            "grams AS (SELECT doc_id, i, "
+            "CAST('0x' || substr(md5(substr(s, CAST(i AS BIGINT), 5)),1,16) AS UBIGINT) AS h, ng "
+            "FROM long CROSS JOIN LATERAL (SELECT UNNEST(range(1, ng + 1)) AS i) g), "
+            "wins AS (SELECT doc_id, i, ng, MIN(h) OVER (PARTITION BY doc_id ORDER BY i "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn FROM grams), "
+            "fp AS (SELECT doc_id, COUNT(DISTINCT mn) AS n_fingerprints "
+            "FROM wins WHERE i <= GREATEST(1, ng - 3) GROUP BY doc_id) "
+            "SELECT s.doc_id, CAST(COALESCE(fp.n_fingerprints, "
+            "CASE WHEN s.n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fingerprints "
+            "FROM s LEFT JOIN fp USING(doc_id)"
+        ),
+        "t_simhash_neardup": (
+            "WITH toks AS ("
+            "SELECT doc_id, lower(tok) AS tok FROM ("
+            "SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok "
+            "FROM documents) WHERE tok <> ''), "
+            "th AS (SELECT doc_id, CAST('0x' || substr(md5(tok),1,16) AS UBIGINT) AS h FROM toks), "
+            "bits AS (SELECT doc_id, i, "
+            "SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc "
+            "FROM th CROSS JOIN (SELECT UNNEST(range(64)) AS i) g GROUP BY doc_id, i), "
+            "sh0 AS (SELECT doc_id, CAST(SUM(CASE WHEN acc > 0 THEN "
+            "CAST(CAST(1 AS UBIGINT) << i AS HUGEINT) ELSE 0 END) AS UBIGINT) AS u "
+            "FROM bits GROUP BY doc_id), "
+            "sh AS (SELECT d.doc_id, COALESCE(u, 0) AS u FROM documents d LEFT JOIN sh0 USING(doc_id)), "
+            "bands AS (SELECT doc_id, u, b, (u >> (16*b)) & 65535 AS bv "
+            "FROM sh CROSS JOIN (SELECT UNNEST(range(4)) AS b) g), "
+            "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b_, x.u AS ua, y.u AS ub "
+            "FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id) "
+            "SELECT a, b_ AS b FROM cand WHERE bit_count(xor(ua, ub)) <= 6"
+        ),
+        # g4_hll_distinct, t_langid, t_minhash_pairs, t_near_dedup,
+        # e_lsh_ann, img_neardup_pairs, img_stats, crawl_ledger,
+        # crawl_images: approximate / heuristic / non-SQL-expressible
+        # -> rows-only check; correctness covered by pytest oracles
+        # (brute-force, single-threaded crawler, property tests).
     }
