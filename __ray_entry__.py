@@ -60,6 +60,10 @@ def _crawl_outputs(sf_dir: str, what: str):
         from lulu_crawler_ray.pipelines.crawl_queries import wave_histogram
 
         return wave_histogram(out)
+    if what == "summary":
+        from lulu_crawler_ray.pipelines.crawl_queries import crawl_summary
+
+        return crawl_summary(out)
     if what == "ledger":
         t = pads.dataset(f"{out}/ledger", format="parquet").to_table()
         t = t.take(pc.sort_indices(t, sort_keys=[("rank", "ascending")]))
@@ -141,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_images": lambda sf: _crawl_outputs(sf, "images"),
         "crawl_host_counts": lambda sf: _crawl_outputs(sf, "host_counts"),
         "crawl_wave_histogram": lambda sf: _crawl_outputs(sf, "wave_histogram"),
+        # one-row integer digest of ledger+images (order captured via
+        # rank in the row mix) — hash-checkable without binary columns
+        "crawl_summary": lambda sf: _crawl_outputs(sf, "summary"),
     }
 
 

@@ -31,6 +31,103 @@ def host_counts(out_dir: str, top_k: int | None = None) -> pa.Table:
     return t.slice(0, top_k) if top_k else t
 
 
+def crawl_summary(out_dir: str) -> pa.Table:
+    """One-row integer digest of the flagship crawl outputs (T4 ledger +
+    T3 images) so the driver's hash check can cover the crawl without
+    shipping row-level binary columns (VERDICT r2 ask #10).
+
+    The digests are order-insensitive uint64 sums of per-row mixes —
+    but rank (ledger) and phash/w/h (images) are baked into each row's
+    mix, so crawl ORDER and content are both captured. Fully
+    dataset-side: map_batches emits per-block partial sums, a tiny Sum
+    aggregate finalizes; nothing row-level reaches the driver."""
+    import numpy as np
+    import ray.data
+
+    from ..functions.hll import _mix64
+
+    _M = np.uint64((1 << 63) - 1)  # final digest -> positive int64
+
+    def _signed(v: np.uint64) -> int:
+        # reinterpret the full uint64 partial as int64 for transport:
+        # wrap-around sums stay associative across ANY block split
+        # (mask-then-sum would lose carries blockwise)
+        iv = int(v)
+        return iv - (1 << 64) if iv >= (1 << 63) else iv
+
+    def led_part(t: pa.Table) -> pa.Table:
+        sha = np.frombuffer(
+            b"".join(t["url_sha1"].to_pylist()) or b"\0" * 8, np.uint8
+        )
+        sha64 = (
+            sha.reshape(-1, 20)[:, :8].copy().view(">u8").astype(np.uint64).ravel()
+            if t.num_rows
+            else np.zeros(0, np.uint64)
+        )
+        rank = t["rank"].to_numpy().astype(np.uint64)
+        wave = t["wave"].to_numpy().astype(np.uint64)
+        seq = t["seq"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            contrib = _mix64(sha64 ^ _mix64(rank) ^ _mix64(wave * np.uint64(131) + seq))
+        return pa.table(
+            {
+                "part": pa.array([_signed(contrib.sum(dtype=np.uint64))], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "max_wave": pa.array(
+                    [int(wave.max()) if t.num_rows else -1], pa.int64()
+                ),
+            }
+        )
+
+    def img_part(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        w = t["w"].to_numpy().astype(np.uint64)
+        h = t["h"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            contrib = _mix64(ph ^ _mix64(w * np.uint64(131) + h))
+        return pa.table(
+            {
+                "part": pa.array([_signed(contrib.sum(dtype=np.uint64))], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    def combine(partials, with_wave: bool):
+        # one partial row PER BLOCK (metadata-sized at any scale) —
+        # exact uint64 wrap-around combine on the driver
+        d = np.uint64(0)
+        n = 0
+        mw = -1
+        with np.errstate(over="ignore"):
+            for t in partials.iter_batches(batch_format="pyarrow", batch_size=4096):
+                d += t["part"].to_numpy().view(np.uint64).sum(dtype=np.uint64)
+                n += int(t["n"].to_numpy().sum())
+                if with_wave and t.num_rows:
+                    mw = max(mw, int(t["max_wave"].to_numpy().max()))
+        return int(d & _M), n, mw
+
+    led_d, led_n, led_mw = combine(
+        ledger_dataset(out_dir)
+        .select_columns(["url_sha1", "rank", "wave", "seq"])
+        .map_batches(led_part, batch_format="pyarrow"),
+        with_wave=True,
+    )
+    img_d, img_n, _ = combine(
+        ray.data.read_parquet(f"{out_dir}/waves", columns=["phash", "w", "h"])
+        .map_batches(img_part, batch_format="pyarrow"),
+        with_wave=False,
+    )
+    return pa.table(
+        {
+            "n_ranks": pa.array([led_n], pa.int64()),
+            "n_waves": pa.array([led_mw + 1], pa.int64()),
+            "n_images": pa.array([img_n], pa.int64()),
+            "ledger_digest": pa.array([led_d], pa.int64()),
+            "image_digest": pa.array([img_d], pa.int64()),
+        }
+    )
+
+
 def wave_histogram(out_dir: str) -> pa.Table:
     """G2 — fetched URLs per wave."""
     ds = grouped_agg(

@@ -101,6 +101,50 @@ def test_lossy_format_crawl_psnr(tmp_path, ray_session):
     assert n_lossy_nonexact > 0  # the gate is exercised non-vacuously
 
 
+def test_crawl_summary_digest(tmp_path, ray_session):
+    """crawl_summary's one-row integer digest equals a recompute from
+    the oracle crawler's ledger/image rows — the digest the driver can
+    hash-check covers real crawl content and order."""
+    import numpy as np
+
+    from lulu_crawler_ray.functions.hll import _mix64
+    from lulu_crawler_ray.pipelines.crawl_queries import crawl_summary
+
+    cfg, n_seeds = CFGS[0], N_SEEDS[0]
+    oracle = run_oracle(seed_urls(cfg, n_seeds), cfg)
+    out = str(tmp_path / "crawl")
+    _engine_outputs(tmp_path, cfg, n_seeds, ray_session, out=out)
+    got = crawl_summary(out)
+
+    M = np.uint64((1 << 63) - 1)
+    with np.errstate(over="ignore"):
+        sha64 = np.array(
+            [int.from_bytes(r["url_sha1"][:8], "big") for r in oracle.ledger],
+            np.uint64,
+        )
+        rank = np.array([r["rank"] for r in oracle.ledger], np.uint64)
+        wave = np.array([r["wave"] for r in oracle.ledger], np.uint64)
+        seq = np.array([r["seq"] for r in oracle.ledger], np.uint64)
+        led = _mix64(sha64 ^ _mix64(rank) ^ _mix64(wave * np.uint64(131) + seq))
+        # per-block partial masking is a no-op only blockwise; recompute
+        # with a single block == engine value because masks compose: the
+        # engine sums 63-bit-masked block partials in uint64 then masks.
+        ph = np.array([r["phash"] for r in oracle.images], np.int64).view(np.uint64)
+        w = np.array([r["w"] for r in oracle.images], np.uint64)
+        h = np.array([r["h"] for r in oracle.images], np.uint64)
+        img = _mix64(ph ^ _mix64(w * np.uint64(131) + h))
+    assert got["n_ranks"][0].as_py() == len(oracle.ledger)
+    assert got["n_images"][0].as_py() == len(oracle.images)
+    assert got["n_waves"][0].as_py() == oracle.metrics["waves"]
+    # wrap-around uint64 sums are associative, so the digest is exactly
+    # block-split invariant — straight equality vs the oracle recompute
+    with np.errstate(over="ignore"):
+        want_led = int(led.sum(dtype=np.uint64) & M)
+        want_img = int(img.sum(dtype=np.uint64) & M)
+    assert got["ledger_digest"][0].as_py() == want_led
+    assert got["image_digest"][0].as_py() == want_img
+
+
 def test_max_urls_truncation(tmp_path, ray_session):
     cfg = CrawlConfig(seed=3, budget=4, max_depth=4, max_urls=30, n_hosts=10, num_shards=2)
     oracle = run_oracle(seed_urls(cfg, 6), cfg)
