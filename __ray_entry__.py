@@ -152,7 +152,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from lulu_crawler_ray.pipelines.minhash_oracle import (
+        minhash_pairs_sql,
+        near_dedup_sql,
+        prep_pipeline_sql,
+    )
+
     return {
+        # minhash family — exact-deterministic end to end, so fully
+        # SQL-checked (splitmix64 via HUGEINT 32-bit-split multiply;
+        # see pipelines/minhash_oracle.py)
+        "t_minhash_pairs": minhash_pairs_sql(),
+        "t_near_dedup": near_dedup_sql(),
+        "t_prep_pipeline": prep_pipeline_sql(),
         "g1_groupby_count": (
             "SELECT l_returnflag, COUNT(*) AS n, CAST(ROUND(SUM(l_quantity)*100,0) AS BIGINT) AS sum_qty "
             "FROM lineitem GROUP BY l_returnflag"
@@ -403,9 +415,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id) "
             "SELECT a, b_ AS b FROM cand WHERE bit_count(xor(ua, ub)) <= 6"
         ),
-        # g4_hll_distinct, t_langid, t_minhash_pairs, t_near_dedup,
-        # e_lsh_ann, img_neardup_pairs, img_stats, crawl_ledger,
-        # crawl_images: approximate / heuristic / non-SQL-expressible
-        # -> rows-only check; correctness covered by pytest oracles
-        # (brute-force, single-threaded crawler, property tests).
+        # g4_hll_distinct, g8_approx_quantile, t_langid, e_lsh_ann,
+        # e_ivf_ann, e_cosine_neardup_blocked: approximate / heuristic
+        # BY DESIGN -> rows-only check; correctness covered by pytest
+        # oracles (error-bound, recall, brute-force equivalence).
+        # crawl_*/img_*/audio/video: non-SQL (synthetic crawl / binary
+        # decode) -> byte-equality vs the single-threaded oracle
+        # crawler and pixel/tone roundtrip pytests.
     }

@@ -1,0 +1,182 @@
+"""DuckDB oracle SQL builders for the MinHash-LSH family.
+
+The engine's minhash stack is exact-deterministic end to end —
+word-3-gram shingles hashed by an md5 prefix (`textstats._h64`),
+splitmix64 signature mixing (`hll._mix64`), FNV-1a band keys
+(`textops.MinHasher`), chained in-bucket candidate pairs, Jaccard
+verify, min-root connected components — so ALL of it is expressible in
+ANSI-ish SQL that DuckDB runs on the same parquet:
+
+* 64-bit wrap-around multiplication (the only non-SQL-native step) is
+  done in HUGEINT via a 32-bit split:
+  ``a*c mod 2^64 = (a_lo*c + ((a_hi*c_lo) mod 2^32)*2^32) mod 2^64``.
+* The 64 permutation seeds are algorithm constants (np RNG, seed=1) and
+  are embedded as a VALUES list, exactly like the engine's actors
+  re-derive them in ``MinHasher.__init__``.
+* Chained pairs (a bucket of n docs emits n-1 consecutive-id pairs, not
+  n^2) come from ``LAG() OVER (PARTITION BY band, bucket ORDER BY
+  doc_id)``.
+* Connected components use the same min-root recursive CTE shape as the
+  ``e_cosine_dedup`` oracle.
+
+These make `t_minhash_pairs`, `t_near_dedup` and the composed
+`t_prep_pipeline` (round-2's only CORRECTNESS failure) hash-checked
+instead of rows-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M64 = 18446744073709551616  # 2^64
+_GOLD = 0x9E3779B97F4A7C15
+_C1 = 0xBF58476D1CE4E5B9
+_C2 = 0x94D049BB133111EB
+_FNV_OFF = 0xCBF29CE484222325
+_FNV_P = 0x100000001B3
+
+
+def _mul64(a_expr: str, c: int) -> str:
+    """(a * c) mod 2^64 in HUGEINT via 32-bit split (no 128-bit overflow)."""
+    c_lo = c % (1 << 32)
+    return (
+        f"((({a_expr}) % 4294967296) * {c} + "
+        f"(((({a_expr}) // 4294967296) * {c_lo}) % 4294967296) * 4294967296) % {_M64}"
+    )
+
+
+def minhash_ctes(corpus: str) -> str:
+    """CTE chain (no WITH keyword) ending in ``cand(a, b)`` — the LSH
+    chained candidate pairs over ``corpus(doc_id, text)`` — plus
+    ``sh(doc_id, shingle)``, the distinct word-3-gram shingle rows.
+    Mirrors MinHasher (NUM_PERM=64, BANDS=16, seed=1) bit for bit."""
+    seeds = np.random.default_rng(1).integers(0, 1 << 63, 64).astype(np.uint64)
+    seed_rows = ", ".join(f"({i}, {int(s)})" for i, s in enumerate(seeds))
+    return f"""seeds(pi, seed) AS (VALUES {seed_rows}),
+mh_lists AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+  FROM {corpus}
+),
+mh_lists2 AS (SELECT doc_id, l, len(l) AS ntok FROM mh_lists),
+mh_grams AS (
+  SELECT doc_id, l[CAST(i AS BIGINT)] || ' ' || l[CAST(i AS BIGINT)+1] || ' ' || l[CAST(i AS BIGINT)+2] AS g
+  FROM mh_lists2 CROSS JOIN LATERAL (SELECT UNNEST(range(1, ntok - 1)) AS i) t
+  WHERE ntok >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(l, ' ') AS g FROM mh_lists2 WHERE ntok >= 1 AND ntok < 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, CAST(CAST('0x' || substr(md5(g),1,16) AS UBIGINT) AS HUGEINT) AS shingle
+  FROM mh_grams
+),
+mh_mixed AS (
+  SELECT doc_id, pi, MIN(x5) AS sig FROM (
+    SELECT doc_id, pi,
+      (xor(shingle, CAST(seed AS HUGEINT)) + {_GOLD}) % {_M64} AS x0,
+      xor(x0, x0 >> 30) AS x1,
+      {_mul64('x1', _C1)} AS x2,
+      xor(x2, x2 >> 27) AS x3,
+      {_mul64('x3', _C2)} AS x4,
+      xor(x4, x4 >> 31) AS x5
+    FROM sh CROSS JOIN seeds
+  ) GROUP BY doc_id, pi
+),
+mh_allsig AS (
+  SELECT d.doc_id, s.pi, COALESCE(m.sig, {_M64 - 1}) AS sig
+  FROM (SELECT DISTINCT doc_id FROM {corpus}) d
+  CROSS JOIN seeds s
+  LEFT JOIN mh_mixed m ON m.doc_id = d.doc_id AND m.pi = s.pi
+),
+mh_folded AS (
+  SELECT doc_id, pi // 4 AS band, sig,
+    ROW_NUMBER() OVER (PARTITION BY doc_id, pi // 4 ORDER BY pi) AS rk
+  FROM mh_allsig
+),
+mh_f1 AS (SELECT doc_id, band, {_mul64(f'xor({_FNV_OFF}, sig)', _FNV_P)} AS h FROM mh_folded WHERE rk = 1),
+mh_f2 AS (SELECT f.doc_id, f.band, {_mul64('xor(f.h, g.sig)', _FNV_P)} AS h
+       FROM mh_f1 f JOIN mh_folded g ON g.doc_id=f.doc_id AND g.band=f.band AND g.rk=2),
+mh_f3 AS (SELECT f.doc_id, f.band, {_mul64('xor(f.h, g.sig)', _FNV_P)} AS h
+       FROM mh_f2 f JOIN mh_folded g ON g.doc_id=f.doc_id AND g.band=f.band AND g.rk=3),
+mh_f4 AS (SELECT f.doc_id, f.band, {_mul64('xor(f.h, g.sig)', _FNV_P)} AS h
+       FROM mh_f3 f JOIN mh_folded g ON g.doc_id=f.doc_id AND g.band=f.band AND g.rk=4),
+mh_chained AS (
+  SELECT band, h, doc_id,
+    LAG(doc_id) OVER (PARTITION BY band, h ORDER BY doc_id) AS prev
+  FROM mh_f4
+),
+cand AS (SELECT DISTINCT prev AS a, doc_id AS b FROM mh_chained WHERE prev IS NOT NULL)"""
+
+
+def survivor_ctes(corpus: str, threshold: float = 0.7) -> str:
+    """minhash_ctes + Jaccard verify + min-root components; ends in
+    ``kept(doc_id)`` — the near-dedup survivors of ``corpus``.
+    jaccard(emptyset, emptyset) = 1.0, matching textstats.jaccard."""
+    return (
+        minhash_ctes(corpus)
+        + f""",
+mh_szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+mh_inter AS (
+  SELECT c.a, c.b, COUNT(*) AS ni
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+ver AS (
+  SELECT c.a, c.b FROM cand c
+  LEFT JOIN mh_szs za ON za.doc_id = c.a
+  LEFT JOIN mh_szs zb ON zb.doc_id = c.b
+  LEFT JOIN mh_inter i ON i.a = c.a AND i.b = c.b
+  WHERE (COALESCE(za.n,0) + COALESCE(zb.n,0) - COALESCE(i.ni,0)) = 0
+     OR CAST(COALESCE(i.ni,0) AS DOUBLE) / (COALESCE(za.n,0) + COALESCE(zb.n,0) - COALESCE(i.ni,0)) >= {threshold}
+),
+edges AS (SELECT a, b FROM ver UNION SELECT b AS a, a AS b FROM ver),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM {corpus}
+  UNION SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node WHERE r.root < e.b
+),
+comp AS (SELECT node, MIN(root) AS root FROM reach GROUP BY node),
+kept AS (SELECT node AS doc_id FROM comp WHERE root = node)"""
+    )
+
+
+def minhash_pairs_sql() -> str:
+    """Oracle for t_minhash_pairs: the distinct chained LSH candidate
+    pairs over the documents table."""
+    return "WITH " + minhash_ctes("documents") + "\nSELECT a, b FROM cand"
+
+
+def near_dedup_sql() -> str:
+    """Oracle for t_near_dedup: near-dedup survivors of documents."""
+    return (
+        "WITH RECURSIVE "
+        + survivor_ctes("documents")
+        + "\nSELECT doc_id FROM kept"
+    )
+
+
+def prep_pipeline_sql(min_tokens: int = 30, max_digit_ratio: float = 0.3) -> str:
+    """Oracle for t_prep_pipeline: quality gate -> exact dedup (min
+    doc_id per text) -> minhash near-dedup over the kept set -> per-lang
+    (n_docs, sum_tokens) summary. Same defaults as textops."""
+    gate = f"""gated AS (
+  SELECT doc_id, text, lang,
+    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+  WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= {min_tokens}
+    AND CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        / GREATEST(length(text), 1) <= {max_digit_ratio}
+),
+exact_kept AS (
+  SELECT g.* FROM gated g JOIN (
+    SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
+  ) w USING (doc_id)
+)"""
+    return (
+        "WITH RECURSIVE "
+        + gate
+        + ",\n"
+        + survivor_ctes("exact_kept")
+        + """
+SELECT e.lang, COUNT(*) AS n_docs, CAST(SUM(e.n_tokens) AS BIGINT) AS sum_tokens
+FROM exact_kept e JOIN kept USING (doc_id)
+GROUP BY e.lang"""
+    )
