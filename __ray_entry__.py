@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_exact_dedup": to.t_exact_dedup,
         "t_group_by_lang": to.t_group_by_lang,
         "t_langid": to.t_langid,
+        "t_stopword": to.t_stopword,
         "t_simhash": to.t_simhash,
         "t_simhash_neardup": to.t_simhash_neardup,
         "t_fingerprint": to.t_fingerprint,
@@ -317,6 +318,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(text) AS n_chars_m, "
             "length(text)-length(regexp_replace(text,'[A-Za-z]','','g')) AS n_alpha, "
             "length(text)-length(regexp_replace(text,'[0-9]','','g')) AS n_digit FROM documents"
+        ),
+        "t_stopword": (
+            "WITH sw(slang, w) AS (VALUES "
+            "('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),"
+            "('en','in'),('en','is'),('en','it'),('en','that'),('en','for'),"
+            "('fr','le'),('fr','la'),('fr','et'),('fr','de'),('fr','un'),"
+            "('fr','une'),('fr','est'),('fr','que'),('fr','pour'),('fr','dans'),"
+            "('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),"
+            "('de','ein'),('de','eine'),('de','zu'),('de','mit'),('de','von'),"
+            "('es','el'),('es','la'),('es','y'),('es','de'),('es','un'),"
+            "('es','una'),('es','es'),('es','que'),('es','por'),('es','en')), "
+            "toks AS (SELECT doc_id, "
+            "CASE WHEN lang IN ('en','fr','de','es') THEN lang ELSE 'en' END AS elang, tok "
+            "FROM (SELECT doc_id, lang, UNNEST(string_split_regex(lower(text), '\\s+')) AS tok "
+            "FROM documents) WHERE tok <> ''), "
+            "agg AS (SELECT t.doc_id, COUNT(*) AS n_tokens, "
+            "SUM(CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END) AS n_stop "
+            "FROM toks t LEFT JOIN sw s ON s.slang = t.elang AND s.w = t.tok "
+            "GROUP BY t.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(a.n_stop, 0) AS BIGINT) AS n_stop, "
+            "CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "t_exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"

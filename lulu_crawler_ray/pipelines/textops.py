@@ -128,6 +128,42 @@ def t_exact_dedup(sf: str):
     )
 
 
+def t_stopword(sf: str):
+    """Per-doc stopword counts against the doc's own language list
+    (fallback en for languages without a list) — the stopword-ratio
+    quality signal as exact integer outputs. Vectorized: one np.isin
+    per language group per batch, per-doc sums via reduceat."""
+    ds = read_table(sf, "documents", ["doc_id", "text", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        tok_lists = [s.lower().split() for s in texts]
+        lens = np.array([len(x) for x in tok_lists], np.int64)
+        n_stop = np.zeros(len(texts), np.int64)
+        eff = np.array(
+            [lg if lg in tx.STOPWORDS else "en" for lg in langs], object
+        )
+        for lg in np.unique(eff):
+            rows = np.flatnonzero(eff == lg)
+            rows = rows[lens[rows] > 0]
+            if not len(rows):
+                continue
+            flat = np.concatenate([np.array(tok_lists[i], object) for i in rows])
+            hit = np.isin(flat, list(tx.STOPWORDS[lg]))
+            starts = np.r_[0, np.cumsum(lens[rows])[:-1]]
+            n_stop[rows] = np.add.reduceat(hit.astype(np.int64), starts)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_stop": pa.array(n_stop),
+                "n_tokens": pa.array(lens),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def t_simhash(sf: str):
     ds = read_table(sf, "documents", ["doc_id", "text"])
 
