@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import images_pipe as im
     from lulu_crawler_ray.pipelines import relational as rl
     from lulu_crawler_ray.pipelines import textops as to
+    from lulu_crawler_ray.pipelines.pq import e_pq_ann as _pq_ann
 
     return {
         # relational surface (SURVEY.md §2.5-2.7)
@@ -130,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn_bruteforce": an.e_knn_bruteforce,
         "e_lsh_ann": an.e_lsh_ann,
         "e_ivf_ann": an.e_ivf_ann,
+        "e_pq_ann": _pq_ann,
         "e_cosine_neardup": an.e_cosine_neardup,
         "e_cosine_neardup_blocked": an.e_cosine_neardup_blocked,
         "e_cosine_dedup": an.e_cosine_dedup,

@@ -722,3 +722,65 @@ def test_g8_approx_quantile_accuracy(ray_session):
     for g in exact:
         tol = rng[g] / 4096 + 0.01
         assert abs(approx[g] - exact[g]) <= 2 * tol, (g, approx[g], exact[g])
+
+
+def test_pq_ann_recall_compression_durability(ray_session):
+    """Product quantization: ADC over the durable codes artifact +
+    exact re-rank reaches near-exact recall; codes are 32x smaller than
+    the raw embedding column; the build runs once and a fresh object
+    loads the sealed artifact without rebuilding."""
+    import glob
+    import os
+
+    from lulu_crawler_ray.pipelines import pq as pqm
+    from lulu_crawler_ray.pipelines import annsearch as an
+
+    pqm._PQ_CACHE.clear()
+    _clear_ann_artifacts()
+    before = pqm.PqIndex.builds
+    exact = an.e_knn_bruteforce(SF).to_pandas()
+    approx = pqm.e_pq_ann(SF).to_pandas()
+    assert list(approx.columns) == ["query_id", "neighbor_id", "rnk"]
+    assert pqm.PqIndex.builds == before + 1
+    _ = pqm.e_pq_ann(SF)  # session cache: no rebuild
+    assert pqm.PqIndex.builds == before + 1
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        assert len(a) == 10
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, f"PQ+rerank recall too low: {recalls}"
+    # compression: M=16 one-byte codes vs 64 float64s = 32x on payload
+    idx = pqm._PQ_CACHE[list(pqm._PQ_CACHE)[0]]
+    n_rows = 500
+    code_payload = idx.m * n_rows
+    raw_payload = 64 * 8 * n_rows
+    assert raw_payload / code_payload == 32.0
+    # the artifact on disk really is code-sized, not corpus-sized
+    codes_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(idx.root, "codes", "*.parquet"))
+    )
+    assert codes_bytes < raw_payload / 4
+    # cross-session-shaped load: fresh object, sealed manifest -> pure load
+    idx2 = pqm.PqIndex(SF, m_subspaces=16, ks=128)
+    assert pqm.PqIndex.builds == before + 1
+    np.testing.assert_allclose(idx2.codebooks, idx.codebooks)
+
+
+def test_pq_adc_only_recall(ray_session):
+    """The pure ADC path (no exact re-rank — nothing but codes is ever
+    read) still recovers most of the exact top-k."""
+    from lulu_crawler_ray.pipelines import pq as pqm
+    from lulu_crawler_ray.pipelines import annsearch as an
+
+    exact = an.e_knn_bruteforce(SF).to_pandas()
+    idx = pqm.pq_index(SF)
+    qids, qm = an.load_queries(SF)
+    approx = idx.query(qids, qm, 10, rerank_expand=0).to_pandas()
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, f"ADC-only recall too low: {recalls}"
