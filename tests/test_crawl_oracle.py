@@ -101,6 +101,26 @@ def test_lossy_format_crawl_psnr(tmp_path, ray_session):
     assert n_lossy_nonexact > 0  # the gate is exercised non-vacuously
 
 
+def test_priority_crawl_matches_oracle(tmp_path, ray_session):
+    """U2 pluggable priority (SURVEY.md §2): a non-default priority
+    function (deep-first within host) flows through BOTH the engine and
+    the oracle, still byte-equal — and genuinely changes crawl order vs
+    the default BFS priority."""
+
+    class DeepFirst(CrawlConfig):
+        def priority(self, depth: int) -> int:
+            return -depth
+
+    base = dict(seed=42, budget=4, max_depth=3, max_urls=1000, n_hosts=20, num_shards=4)
+    cfg = DeepFirst(**base)
+    oracle = run_oracle(seed_urls(cfg, 10), cfg)
+    ledger, seen, images = _engine_outputs(tmp_path, cfg, 10, ray_session)
+    _assert_equal(ledger, seen, images, oracle, cfg)
+    # priority must actually matter: order differs from the default run
+    default_oracle = run_oracle(seed_urls(CrawlConfig(**base), 10), CrawlConfig(**base))
+    assert [r["url"] for r in oracle.ledger] != [r["url"] for r in default_oracle.ledger]
+
+
 def test_crawl_summary_digest(tmp_path, ray_session):
     """crawl_summary's one-row integer digest equals a recompute from
     the oracle crawler's ledger/image rows — the digest the driver can
