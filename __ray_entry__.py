@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_stats": im.img_stats_query,
         "img_resize": im.img_resize_query,
         "img_near_dedup": im.img_near_dedup_query,
+        "img_similar": im.img_similar_query,
         "audio_features": im.audio_features_query,
         "video_frames": im.video_frames_query,
         # flagship crawl outputs (oracle-crawler-verified in pytest)

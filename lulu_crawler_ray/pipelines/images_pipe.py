@@ -434,3 +434,66 @@ def img_stats_query(sf: str):
     return grouped_agg(
         decoded, ["fmt"], [("n", "count", None), ("avg_px", "mean", "mean_px")]
     )
+
+
+def phash_topk(
+    images: ray.data.Dataset, query_ids: list[str], query_ph: np.ndarray, k: int = 5
+) -> pa.Table:
+    """Image similarity SEARCH (not dedup): exact top-k nearest corpus
+    images per query by hamming(phash), e_knn-shaped — broadcast the
+    query hashes (8 B each), stream the corpus phash column (8 B/row;
+    bytes never read), per-block vectorized popcount + partial top-k,
+    tiny driver merge. Ties break by image_id ascending; self excluded."""
+    ref = ray.put((np.asarray(query_ids, object), query_ph.astype(np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids, qph = ray.get(ref)
+        ids = np.asarray(t["image_id"].to_pylist(), object)
+        ph = t["phash"].to_numpy().astype(np.int64)
+        out_q, out_n, out_d = [], [], []
+        for j in range(len(qids)):
+            d = hamming64_vec(ph, np.full(len(ph), qph[j]))
+            keep = np.flatnonzero(ids != qids[j])
+            order = keep[np.lexsort((ids[keep], d[keep]))][:k]
+            out_q.extend([qids[j]] * len(order))
+            out_n.extend(ids[order])
+            out_d.extend(d[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                "neighbor_id": pa.array(out_n, pa.string()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    parts = images.select_columns(["image_id", "phash"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    out = {"query_id": [], "neighbor_id": [], "dist": [], "rnk": []}
+    if not parts.empty:
+        parts = parts.drop_duplicates(["query_id", "neighbor_id"])
+        for qid, g in parts.groupby("query_id"):
+            g = g.sort_values(["dist", "neighbor_id"]).head(k)
+            out["query_id"].extend([qid] * len(g))
+            out["neighbor_id"].extend(g["neighbor_id"])
+            out["dist"].extend(g["dist"])
+            out["rnk"].extend(range(1, len(g) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.string()),
+            "neighbor_id": pa.array(out["neighbor_id"], pa.string()),
+            "dist": pa.array(out["dist"], pa.int64()),
+            "rnk": pa.array(out["rnk"], pa.int64()),
+        }
+    )
+
+
+def img_similar_query(sf: str, k: int = 5, n_queries: int = 3):
+    """queries() entry: phash top-k similarity search — the first
+    n_queries fixture rows query the whole fixture corpus."""
+    n = 600 if "0.1" in sf else 300
+    t = build_image_fixture(n_queries)  # queries = first rows of the fixture
+    ds = fixture_dataset(n)
+    return phash_topk(
+        ds, t["image_id"].to_pylist(), t["phash"].to_numpy().astype(np.int64), k
+    )

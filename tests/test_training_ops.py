@@ -784,3 +784,27 @@ def test_pq_adc_only_recall(ray_session):
         a = set(approx[approx.query_id == q]["neighbor_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6, f"ADC-only recall too low: {recalls}"
+
+
+def test_img_similar_matches_bruteforce(ray_session):
+    """phash top-k search equals a numpy brute-force recompute (dist
+    asc, image_id asc ties, self excluded)."""
+    from lulu_crawler_ray.functions.phash import hamming64_vec
+    from lulu_crawler_ray.pipelines.images_pipe import (
+        build_image_fixture,
+        img_similar_query,
+    )
+
+    got = img_similar_query(SF, k=5).to_pandas()
+    t = build_image_fixture(300)
+    ids = np.asarray(t["image_id"].to_pylist(), object)
+    ph = t["phash"].to_numpy().astype(np.int64)
+    q = build_image_fixture(3)
+    for j in range(3):
+        qid = q["image_id"][j].as_py()
+        d = hamming64_vec(ph, np.full(len(ph), q["phash"][j].as_py()))
+        keep = np.flatnonzero(ids != qid)
+        order = keep[np.lexsort((ids[keep], d[keep]))][:5]
+        sub = got[got.query_id == qid].sort_values("rnk")
+        assert list(sub["neighbor_id"]) == list(ids[order])
+        assert list(sub["dist"]) == list(d[order])
