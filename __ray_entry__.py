@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g5_grouped_stats": rl.g5_grouped_stats,
         "q1_pricing_summary": rl.q1_pricing_summary,
         "q3_shipping_priority": rl.q3_shipping_priority,
+        "q5_local_supplier_volume": rl.q5_local_supplier_volume,
         "j1_anti_join": rl.j1_anti_join,
         "j2_inner_join": rl.j2_inner_join,
         "j3_broadcast_lookup": rl.j3_broadcast_lookup,
@@ -199,6 +200,17 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1996-01-01' "
             "GROUP BY l_orderkey, o_orderdate) t "
             "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
+        ),
+        "q5_local_supplier_volume": (
+            "SELECT n_name, CAST(SUM("
+            "CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4 "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name"
         ),
         "j1_anti_join": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "

@@ -450,6 +450,129 @@ def q3_shipping_priority(sf: str):
     return agg.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(10)
 
 
+def q5_local_supplier_volume(
+    sf: str, region: str = "ASIA", lo: str = "1996-01-01", hi: str = "1997-01-01"
+):
+    """TPC-H Q5 shape — the six-table join: region ⋈ nation ⋈
+    customer ⋈ orders ⋈ lineitem ⋈ supplier with the local-supplier
+    predicate (c_nationkey = s_nationkey), grouped revenue per nation.
+
+    Join strategy by side size: region/nation/customer/supplier are
+    dimension-sized -> broadcast sorted-array lookups folded into the
+    fact scans (ray.put once, searchsorted per batch); ONLY
+    orders ⋈ lineitem — the two fact tables — shuffles, partition
+    count from parquet-footer row totals. Revenue is exact int64:
+    rev_e4 = price_cents * (100 - discount_cents), so the grouped sum
+    needs no float rounding at any corpus size."""
+    from ..sources.testdata import table_rows
+
+    # dimension chain: region -> ASIA nations -> (nationkey -> name)
+    reg = read_table(sf, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"].to_numpy()
+    nat = read_table(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    nat = nat[nat["n_regionkey"].isin(rkey)]
+    nat_keys = nat["n_nationkey"].to_numpy(np.int64)
+    nat_names = nat["n_name"].to_numpy(object)
+
+    cust = read_table(sf, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_keys)]
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    cn = cust["c_nationkey"].to_numpy(np.int64)
+    co = np.argsort(ck, kind="stable")
+    cref = ray.put((ck[co], cn[co]))
+
+    supp = read_table(sf, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_keys)]
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    sn = supp["s_nationkey"].to_numpy(np.int64)
+    so = np.argsort(sk, kind="stable")
+    sref = ray.put((sk[so], sn[so]))
+
+    lo_ts = pa.scalar(np.datetime64(lo, "us"))
+    hi_ts = pa.scalar(np.datetime64(hi, "us"))
+    orders = read_table(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_map(t: pa.Table) -> pa.Table:
+        ks, vs = ray.get(cref)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo_ts), pc.less(t["o_orderdate"], hi_ts)
+            )
+        )
+        keys = t["o_custkey"].to_numpy()
+        if len(ks) == 0 or t.num_rows == 0:
+            hit = np.zeros(len(keys), bool)
+            idx = np.zeros(len(keys), np.intp)
+        else:
+            idx = np.clip(np.searchsorted(ks, keys), 0, len(ks) - 1)
+            hit = ks[idx] == keys
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(hit)),
+                "c_nat": pa.array(vs[idx[hit]], pa.int64()),
+            }
+        )
+
+    orders = orders.map_batches(o_map, batch_format="pyarrow")
+
+    li = read_table(
+        sf, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def l_map(t: pa.Table) -> pa.Table:
+        ks, vs = ray.get(sref)
+        keys = t["l_suppkey"].to_numpy()
+        if len(ks) == 0 or t.num_rows == 0:
+            hit = np.zeros(len(keys), bool)
+            idx = np.zeros(len(keys), np.intp)
+        else:
+            idx = np.clip(np.searchsorted(ks, keys), 0, len(ks) - 1)
+            hit = ks[idx] == keys
+        price_c = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].filter(pa.array(hit)),
+                "s_nat": pa.array(vs[idx[hit]], pa.int64()),
+                "rev_e4": pa.array(rev[hit]),
+            }
+        )
+
+    li = li.map_batches(l_map, batch_format="pyarrow")
+
+    j = shuffle_join(
+        li, orders, "l_orderkey", "o_orderkey",
+        num_partitions=_npart(table_rows(sf, "lineitem") + table_rows(sf, "orders")),
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["s_nat"], t["c_nat"])
+        t = t.filter(m)
+        return pa.table({"nat": t["s_nat"], "rev_e4": t["rev_e4"]})
+
+    j = j.map_batches(local_only, batch_format="pyarrow")
+    agg = grouped_agg(j, ["nat"], [("revenue_e4", "sum", "rev_e4")], round_to=None)
+
+    nref = ray.put((nat_keys, nat_names))
+
+    def name(t: pa.Table) -> pa.Table:
+        ks, names = ray.get(nref)
+        pos = {int(k): n for k, n in zip(ks, names)}
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [pos[int(x)] for x in t["nat"].to_pylist()], pa.string()
+                ),
+                "revenue_e4": pa.array(
+                    t["revenue_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    return agg.map_batches(name, batch_format="pyarrow")
+
+
 def g3_distinct(sf: str):
     ds = read_table(sf, "customer", ["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
