@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_similar": im.img_similar_query,
         "audio_features": im.audio_features_query,
         "video_frames": im.video_frames_query,
+        "video_scenes": im.video_scenes_query,
         # flagship crawl outputs (oracle-crawler-verified in pytest)
         "crawl_ledger": lambda sf: _crawl_outputs(sf, "ledger"),
         "crawl_images": lambda sf: _crawl_outputs(sf, "images"),

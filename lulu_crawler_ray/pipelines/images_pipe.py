@@ -497,3 +497,41 @@ def img_similar_query(sf: str, k: int = 5, n_queries: int = 3):
     return phash_topk(
         ds, t["image_id"].to_pylist(), t["phash"].to_numpy().astype(np.int64), k
     )
+
+
+def video_scenes_query(sf: str):
+    """queries() entry: scene-cut detection through the REAL AVI decode
+    path — videos with planted abrupt content changes; smooth drift
+    stays below the threshold, the planted cuts exceed it."""
+    import ray.data
+
+    from ..stages.multimodal import SceneCutDetector, encode_avi_rgb24
+
+    n_vids = 6 if "0.1" in sf else 3
+    rows = {"media_id": [], "bytes": [], "codec": [], "fps": [], "n_frames": []}
+    for v in range(n_vids):
+        frames = []
+        for k in range(12):
+            scene = k // 6  # planted hard cut at frame 6
+            base = (np.indices((16, 16)).sum(axis=0) * (v + 1) + k) % 64
+            img = (base + scene * 128)[:, :, None].astype(np.uint8).repeat(3, axis=2)
+            frames.append(img % 256)
+        rows["media_id"].append(f"s{v:03d}")
+        rows["bytes"].append(encode_avi_rgb24(frames, fps=6))
+        rows["codec"].append("avi")
+        rows["fps"].append(6.0)
+        rows["n_frames"].append(12)
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "codec": pa.array(rows["codec"]),
+            "fps": pa.array(rows["fps"], pa.float32()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = ds.map_batches(
+        SceneCutDetector, batch_format="pyarrow", batch_size=4, concurrency=2
+    )
+    return out.sort(["media_id", "cut_idx"])

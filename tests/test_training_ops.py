@@ -808,3 +808,25 @@ def test_img_similar_matches_bruteforce(ray_session):
         sub = got[got.query_id == qid].sort_values("rnk")
         assert list(sub["neighbor_id"]) == list(ids[order])
         assert list(sub["dist"]) == list(d[order])
+
+
+def test_video_scene_cuts_exact(ray_session):
+    """Scene-cut detection through real AVI decode: exactly the planted
+    cut (frame 6) per video; smooth drift never crosses the threshold;
+    diff magnitude matches a numpy recompute on the decoded frames."""
+    from lulu_crawler_ray.pipelines.images_pipe import video_scenes_query
+
+    got = video_scenes_query(SF).to_pandas()
+    assert list(got["media_id"]) == ["s000", "s001", "s002"]
+    assert list(got["cut_idx"]) == [6, 6, 6]
+    # recompute the diff for one video
+    from lulu_crawler_ray.stages.multimodal import decode_avi_rgb24, encode_avi_rgb24
+
+    frames = []
+    for k in range(12):
+        scene = k // 6
+        base = (np.indices((16, 16)).sum(axis=0) * 1 + k) % 64
+        frames.append((base + scene * 128)[:, :, None].astype(np.uint8).repeat(3, axis=2) % 256)
+    dec, _ = decode_avi_rgb24(encode_avi_rgb24(frames, fps=6))
+    d = np.abs(np.diff(np.stack(dec).astype(np.int16), axis=0)).mean(axis=(1, 2, 3))
+    assert int(np.rint(d[5] * 10000)) == got[got.media_id == "s000"]["diff_e4"].iloc[0]
