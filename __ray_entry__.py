@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w3_asof_join": rl.w3_asof_join,
         "w4_running_sum": rl.w4_running_sum,
         "w5_range_join": rl.w5_range_join,
+        "w6_hopping_window": rl.w6_hopping_window,
         # text / training-data ops (documents)
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
@@ -321,6 +322,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey "
             "AND o.o_orderdate <= e.ts AND o.o_orderdate > e.ts - INTERVAL 30 DAY "
             "GROUP BY e.event_id"
+        ),
+        "w6_hopping_window": (
+            "WITH hops AS (SELECT UNNEST(range(2)) AS j) "
+            "SELECT user_id, strftime(make_timestamp(("
+            "CAST(floor(epoch(ts) / 1800) AS BIGINT) - j) * 1800 * 1000000), "
+            "'%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n, "
+            "CAST(ROUND(SUM(value)*100,0) AS BIGINT) AS sum_value "
+            "FROM events CROSS JOIN hops GROUP BY 1, 2"
         ),
         "t_token_count": (
             "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE "

@@ -1186,6 +1186,58 @@ def w1_window_agg(sf: str):
     )
 
 
+def w6_hopping_window(sf: str, size_min: int = 60, hop_min: int = 30):
+    """Hopping (sliding) window aggregate — each event lands in
+    size/hop = 2 overlapping windows: per (user, window_start) count +
+    sum(value). The streaming shape: one map_batches EXPLODES each
+    event into its size/hop window memberships (vectorized epoch
+    arithmetic, no per-row Python), then the same pre-aggregated
+    groupby as the tumbling case. Distinct from w1: overlap means the
+    output is NOT a partition of the input."""
+    ds = read_table(sf, "events", ["user_id", "ts", "value"])
+    n_hops = size_min // hop_min
+    hop_us = np.int64(hop_min * 60 * 1_000_000)
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = t["user_id"].to_numpy()
+        val = t["value"].to_numpy()
+        cur = (us // hop_us) * hop_us  # most recent hop boundary <= ts
+        starts = [cur - j * hop_us for j in range(n_hops)]
+        ws = np.concatenate(starts)
+        return pa.table(
+            {
+                "user_id": pa.array(np.tile(uid, n_hops)),
+                "window_start": pa.array(
+                    ws.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "value": pa.array(np.tile(val, n_hops)),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    exploded = exploded.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                # cast to seconds precision first: Arrow's %S appends
+                # fractional digits for sub-second timestamp types
+                "window_start": pc.strftime(
+                    t["window_start"].cast(pa.timestamp("s")),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(
+        exploded,
+        ["user_id", "window_start"],
+        [("n", "count", None), ("sum_value", "sum", "value")],
+    )
+
+
 def _hash_partitioned(ds, key: str, n_parts: int):
     """Attach a hash-partition column so a downstream groupby("__part")
     makes ONE vectorized Python call per partition instead of one per
