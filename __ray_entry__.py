@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m6_filter_project": rl.m6_filter_project,
         "m12_json_extract": rl.m12_json_extract,
         "m13_string_ops": rl.m13_string_ops,
+        "m15_token_explode": rl.m15_token_explode,
+        "g10_mode": rl.g10_mode,
         "m13_date_bucket": rl.m13_date_bucket,
         "w1_window_agg": rl.w1_window_agg,
         "w2_sessionize": rl.w2_sessionize,
@@ -134,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_lsh_ann": an.e_lsh_ann,
         "e_ivf_ann": an.e_ivf_ann,
         "e_pq_ann": _pq_ann,
+        "e_radius_search": an.e_radius_search,
         "e_cosine_neardup": an.e_cosine_neardup,
         "e_cosine_neardup_blocked": an.e_cosine_neardup_blocked,
         "e_cosine_dedup": an.e_cosine_dedup,
@@ -145,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_near_dedup": im.img_near_dedup_query,
         "img_similar": im.img_similar_query,
         "audio_features": im.audio_features_query,
+        "audio_segments": im.audio_segments_query,
         "video_frames": im.video_frames_query,
         "video_scenes": im.video_scenes_query,
         # flagship crawl outputs (oracle-crawler-verified in pytest)
@@ -380,6 +384,24 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rnk "
             "FROM embeddings q, embeddings e "
             "WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) t WHERE rnk <= 10"
+        ),
+        "m15_token_explode": (
+            "SELECT word, COUNT(*) AS n FROM ("
+            "SELECT UNNEST(string_split(p_name, ' ')) AS word FROM part) GROUP BY word"
+        ),
+        "g10_mode": (
+            "SELECT l_returnflag, mode_day, n FROM ("
+            "SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS mode_day, "
+            "COUNT(*) AS n, ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+            "ORDER BY COUNT(*) DESC, strftime(l_shipdate, '%Y-%m-%d')) AS rk "
+            "FROM lineitem GROUP BY 1, 2) WHERE rk = 1"
+        ),
+        "e_radius_search": (
+            "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "CAST(ROUND(list_cosine_similarity(q.embedding, e.embedding)*10000,0) AS BIGINT) AS sim_e4 "
+            "FROM embeddings q, embeddings e "
+            "WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id "
+            "AND list_cosine_similarity(q.embedding, e.embedding) >= 0.25"
         ),
         "e_cosine_neardup": (
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b "

@@ -485,6 +485,38 @@ def e_ivf_ann(sf: str, k: int = 10, n_queries: int = 3, dim: int = 64, nprobe: i
     return ivf_index(sf, dim=dim).query(qids, qm, k, nprobe=nprobe)
 
 
+def e_radius_search(sf: str, threshold: float = 0.25, n_queries: int = 3):
+    """Radius (range) search: ALL corpus vectors within cosine
+    similarity >= threshold of each query — the unbounded-result
+    companion to top-k. Broadcast query matrix, one matmul per block,
+    exact; sim in e4 integer units so the DuckDB comparison is exact."""
+    qids, qm = load_queries(sf, n_queries)
+    ref = ray.put((qids, qm))
+    ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(ref)
+        ids, m = _emb_matrix(t)
+        sims = _normalize(m) @ qm_.T
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            col = sims[:, j]
+            keep = np.flatnonzero((col >= threshold) & (ids != qid))
+            out_q.extend([qid] * len(keep))
+            out_n.extend(ids[keep])
+            # half-away-from-zero to match DuckDB ROUND (sims all > 0 here)
+            out_s.extend(np.floor(col[keep] * 10000 + 0.5).astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim_e4": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pyarrow")
+
+
 def e_cosine_neardup(
     sf: str, threshold: float = 0.45, hot_group_threshold: int = 4096, strict: bool = True
 ):

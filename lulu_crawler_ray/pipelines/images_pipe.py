@@ -535,3 +535,38 @@ def video_scenes_query(sf: str):
         SceneCutDetector, batch_format="pyarrow", batch_size=4, concurrency=2
     )
     return out.sort(["media_id", "cut_idx"])
+
+
+def audio_segments_query(sf: str):
+    """queries() entry: voiced-segment detection (energy VAD) through
+    the REAL WAV decode path — fixtures interleave tone bursts with
+    silence at known frame boundaries."""
+    import ray.data
+
+    from ..stages.multimodal import AudioSegmenter, encode_wav_pcm16
+
+    n_rows = 6 if "0.1" in sf else 3
+    sr = 8000
+    rows = {"media_id": [], "bytes": [], "codec": [], "sample_rate": []}
+    for i in range(n_rows):
+        # 200ms tone, 200ms silence, repeated (i+2) times
+        tone = 0.5 * np.sin(2 * np.pi * (300 + 100 * i) * np.arange(sr // 5) / sr)
+        quiet = np.zeros(sr // 5)
+        pcm = np.concatenate([np.r_[tone, quiet] for _ in range(i + 2)])
+        rows["media_id"].append(f"a{i:03d}")
+        rows["bytes"].append(encode_wav_pcm16(pcm, sample_rate=sr))
+        rows["codec"].append("wav")
+        rows["sample_rate"].append(sr)
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "codec": pa.array(rows["codec"]),
+            "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = ds.map_batches(
+        AudioSegmenter, batch_format="pyarrow", batch_size=4, concurrency=2
+    )
+    return out.sort(["media_id", "seg_idx"])

@@ -1158,6 +1158,67 @@ def m13_string_ops(sf: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def m15_token_explode(sf: str):
+    """flat_map surface: part names explode into (word, count) — one
+    row in, many rows out, then a pre-aggregated grouped count (the
+    word-count shape). Vectorized: one split_pattern + list flatten
+    per batch, no per-row Python."""
+    ds = read_table(sf, "part", ["p_name"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["p_name"], " "))
+        return pa.table({"word": words})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return grouped_agg(exploded, ["word"], [("n", "count", None)])
+
+
+def g10_mode(sf: str):
+    """Grouped MODE with deterministic ties (most frequent l_shipdate
+    day per returnflag; smallest day wins a count tie): a grouped count
+    then one vectorized arg-max pass per partition — the two-level
+    aggregate shape (count per (g, v), then max per g)."""
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_shipdate"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "day": pc.strftime(t["l_shipdate"], format="%Y-%m-%d"),
+            }
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(day, batch_format="pyarrow"),
+        ["l_returnflag", "day"],
+        [("n", "count", None)],
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = df.sort_values(["l_returnflag", "n", "day"], ascending=[True, False, True])
+        top = df.groupby("l_returnflag", as_index=False).first()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(top["l_returnflag"], pa.string()),
+                "mode_day": pa.array(top["day"], pa.string()),
+                "n": pa.array(top["n"].astype(np.int64)),
+            }
+        )
+
+    # the (g, v) count table is group-cardinality-sized; finalize in one
+    # task (the same adaptive rationale as grouped_agg's small path)
+    t = pa.concat_tables(
+        list(counts.iter_batches(batch_format="pyarrow", batch_size=65536))
+        or [pa.table({"l_returnflag": pa.array([], pa.string()),
+                      "day": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})]
+    )
+    return pick(t)
+
+
 def m13_date_bucket(sf: str):
     ds = read_table(sf, "events", ["ts"])
     ds = ds.map_batches(

@@ -830,3 +830,18 @@ def test_video_scene_cuts_exact(ray_session):
     dec, _ = decode_avi_rgb24(encode_avi_rgb24(frames, fps=6))
     d = np.abs(np.diff(np.stack(dec).astype(np.int16), axis=0)).mean(axis=(1, 2, 3))
     assert int(np.rint(d[5] * 10000)) == got[got.media_id == "s000"]["diff_e4"].iloc[0]
+
+
+def test_audio_segments_exact(ray_session):
+    """Energy-VAD segments through real WAV decode: each fixture's
+    tone bursts (200ms on / 200ms off) come back as exactly (i+2)
+    segments with 200ms-aligned boundaries."""
+    from lulu_crawler_ray.pipelines.images_pipe import audio_segments_query
+
+    got = audio_segments_query(SF).to_pandas()
+    for i in range(3):
+        sub = got[got.media_id == f"a{i:03d}"]
+        assert len(sub) == i + 2, sub
+        for j, (_, r) in enumerate(sub.iterrows()):
+            assert r["start_ms"] == j * 400
+            assert r["end_ms"] == j * 400 + 200
