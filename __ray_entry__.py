@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rl.q1_pricing_summary,
         "q3_shipping_priority": rl.q3_shipping_priority,
         "q5_local_supplier_volume": rl.q5_local_supplier_volume,
+        "q6_forecast_revenue": rl.q6_forecast_revenue,
+        "g11_pivot": rl.g11_pivot,
+        "w7_lag_delta": rl.w7_lag_delta,
         "j1_anti_join": rl.j1_anti_join,
         "j2_inner_join": rl.j2_inner_join,
         "j3_broadcast_lookup": rl.j3_broadcast_lookup,
@@ -125,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_group_by_lang": to.t_group_by_lang,
         "t_langid": to.t_langid,
         "t_stopword": to.t_stopword,
+        "t_jaccard_search": to.t_jaccard_search,
         "t_simhash": to.t_simhash,
         "t_simhash_neardup": to.t_simhash_neardup,
         "t_fingerprint": to.t_fingerprint,
@@ -395,6 +399,43 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n, ROW_NUMBER() OVER (PARTITION BY l_returnflag "
             "ORDER BY COUNT(*) DESC, strftime(l_shipdate, '%Y-%m-%d')) AS rk "
             "FROM lineitem GROUP BY 1, 2) WHERE rk = 1"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * "
+            "CAST(ROUND(l_discount*100,0) AS BIGINT)) AS BIGINT) AS revenue_e4, "
+            "COUNT(*) AS n FROM lineitem "
+            "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
+            "AND CAST(ROUND(l_discount*100,0) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24"
+        ),
+        "g11_pivot": (
+            "SELECT l_returnflag, "
+            "SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f, "
+            "SUM(CASE WHEN l_linestatus <> 'F' THEN 1 ELSE 0 END) AS n_o, "
+            "SUM(CASE WHEN l_linestatus = 'F' THEN CAST(ROUND(l_extendedprice*100,0) AS BIGINT) ELSE 0 END) AS price_f_c, "
+            "SUM(CASE WHEN l_linestatus <> 'F' THEN CAST(ROUND(l_extendedprice*100,0) AS BIGINT) ELSE 0 END) AS price_o_c "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "w7_lag_delta": (
+            "SELECT event_id, COALESCE(CAST(epoch_us(ts) - "
+            "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS BIGINT), -1) AS delta_us FROM events"
+        ),
+        "t_jaccard_search": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            "tok AS (SELECT doc_id, UNNEST(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w), "
+            "g AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), "
+            "inter AS (SELECT q.doc_id AS query_id, d.doc_id AS doc_id, COUNT(*) AS i "
+            "FROM g q JOIN g d ON q.gram = d.gram "
+            "WHERE q.doc_id < 3 AND d.doc_id <> q.doc_id GROUP BY 1, 2) "
+            "SELECT query_id, doc_id, jac_e4 FROM ("
+            "SELECT query_id, inter.doc_id AS doc_id, "
+            "CAST(FLOOR(CAST(i AS DOUBLE)/(cq.n + cd.n - i)*10000 + 0.5) AS BIGINT) AS jac_e4 "
+            "FROM inter JOIN cnt cq ON cq.doc_id = inter.query_id "
+            "JOIN cnt cd ON cd.doc_id = inter.doc_id) WHERE jac_e4 >= 120"
         ),
         "e_radius_search": (
             "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "

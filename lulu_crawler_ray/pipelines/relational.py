@@ -573,6 +573,126 @@ def q5_local_supplier_volume(
     return agg.map_batches(name, batch_format="pyarrow")
 
 
+def q6_forecast_revenue(sf: str):
+    """TPC-H Q6 shape — the scan-dominant filter + global aggregate:
+    pruned 4-column read, per-block predicate + partial sum, one final
+    add. Revenue is exact int64 (price_cents * discount_cents = 1e-4
+    units); the discount predicate compares integer cents so there is
+    no float-boundary ambiguity vs the oracle."""
+    ds = read_table(
+        sf, "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)
+            )
+        )
+        disc_c = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        m = (disc_c >= 5) & (disc_c <= 7) & (t["l_quantity"].to_numpy() < 24.0)
+        price_c = np.rint(t["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        rev = int((price_c * disc_c[m]).sum())
+        return pa.table(
+            {
+                "revenue_e4": pa.array([rev], pa.int64()),
+                "n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(
+        parts.map_batches(
+            lambda t: t.append_column("__g", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow",
+        ),
+        ["__g"],
+        [("revenue_e4", "sum", "revenue_e4"), ("n", "sum", "n")],
+        round_to=None,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "revenue_e4": t["revenue_e4"].cast(pa.int64()),
+                "n": t["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def g11_pivot(sf: str):
+    """Pivot via conditional aggregation: per l_returnflag, one count +
+    one exact-cents revenue column per l_linestatus value ('F'/'O') —
+    the SUM(CASE WHEN ...) shape. The conditionals vectorize in the
+    scan; the groupby then carries 4 pre-aggregated numbers per key."""
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def cond(t: pa.Table) -> pa.Table:
+        is_f = pc.equal(t["l_linestatus"], "F").to_numpy(zero_copy_only=False)
+        price_c = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n_f": pa.array(is_f.astype(np.int64)),
+                "n_o": pa.array((~is_f).astype(np.int64)),
+                "price_f_c": pa.array(np.where(is_f, price_c, 0)),
+                "price_o_c": pa.array(np.where(is_f, 0, price_c)),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(cond, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [
+            ("n_f", "sum", "n_f"),
+            ("n_o", "sum", "n_o"),
+            ("price_f_c", "sum", "price_f_c"),
+            ("price_o_c", "sum", "price_o_c"),
+        ],
+        round_to=None,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n_f": t["n_f"].cast(pa.int64()),
+                "n_o": t["n_o"].cast(pa.int64()),
+                "price_f_c": t["price_f_c"].cast(pa.int64()),
+                "price_o_c": t["price_o_c"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def w7_lag_delta(sf: str):
+    """LAG window function: per-user delta (microseconds) between
+    consecutive events ordered by (ts, event_id); first event per user
+    gets -1 (sentinel instead of NULL so the hash compare is
+    null-free). Same partition-vectorized shape as w2/w4: one sort +
+    one diff per PARTITION, never per key."""
+    ds = read_table(sf, "events", ["event_id", "user_id", "ts"])
+
+    def lag_part(t: pa.Table) -> pa.Table:
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+            )
+        )
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        starts = np.r_[True, uid[1:] != uid[:-1]]
+        delta = np.r_[np.int64(0), np.diff(ts)]
+        delta[starts] = -1
+        return pa.table({"event_id": t["event_id"], "delta_us": pa.array(delta)})
+
+    return _hash_partitioned(ds, "user_id", _npart()).map_groups(
+        lag_part, batch_format="pyarrow"
+    )
+
+
 def g3_distinct(sf: str):
     ds = read_table(sf, "customer", ["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))

@@ -253,6 +253,78 @@ def t_fingerprint(sf: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _gram_hashes(words: list[str], n: int = 3) -> np.ndarray:
+    """Distinct 64-bit hashes of the word n-grams of a token list:
+    hash each word once (md5 prefix), then combine the three positional
+    hashes with distinct odd multipliers — vectorized over the gram
+    axis, order-sensitive, deterministic across processes (never
+    builtin hash). Collisions at 64 bits are ~1e-10 for corpus-sized
+    gram sets; at 100 TB you keep the same hashes and accept them."""
+    if len(words) < n:
+        return np.empty(0, np.int64)
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(w.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+            for w in words
+        ),
+        np.uint64,
+        len(words),
+    )
+    g = (
+        hs[:-2] * np.uint64(0x9E3779B97F4A7C15)
+        ^ hs[1:-1] * np.uint64(0xC2B2AE3D27D4EB4F)
+        ^ hs[2:]
+    )
+    return np.unique(g.astype(np.int64))
+
+
+def t_jaccard_search(sf: str, threshold_e4: int = 120, n_queries: int = 3):
+    """N-gram Jaccard text similarity SEARCH: for each query doc
+    (doc_id < n_queries), every corpus doc whose word-3-gram Jaccard
+    similarity rounds to >= threshold_e4 (1e-4 units). The query gram
+    sets broadcast once (ray.put); each batch does one sorted-array
+    np.isin per query — fully streaming, no shuffle, exact. The
+    integer-units threshold compares AFTER rounding on both sides, so
+    there is no float-boundary ambiguity vs the DuckDB oracle."""
+    qt = (
+        read_table(sf, "documents", ["doc_id", "text"])
+        .filter(expr=f"doc_id < {n_queries}")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    qsets = [(int(r.doc_id), _gram_hashes(r.text.split(" "))) for r in qt.itertuples()]
+    qref = ray.put(qsets)
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        out_q, out_d, out_j = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            grams = _gram_hashes(text.split(" "))
+            if len(grams) == 0:
+                continue
+            for qid, qg in qs:
+                if did == qid or len(qg) == 0:
+                    continue
+                i = int(np.isin(grams, qg, assume_unique=True).sum())
+                if i == 0:
+                    continue
+                jac_e4 = int(np.floor(i / (len(qg) + len(grams) - i) * 10000 + 0.5))
+                if jac_e4 >= threshold_e4:
+                    out_q.append(qid)
+                    out_d.append(did)
+                    out_j.append(jac_e4)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "jac_e4": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pyarrow")
+
+
 class MinHasher:
     """Actor-pool stage: permutations drawn once per actor (seeded =>
     identical across actors); emits LSH band rows (band, band_hash,
