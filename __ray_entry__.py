@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": rl.q3_shipping_priority,
         "q5_local_supplier_volume": rl.q5_local_supplier_volume,
         "q6_forecast_revenue": rl.q6_forecast_revenue,
+        "q18_large_orders": rl.q18_large_orders,
+        "j6_left_join": rl.j6_left_join,
         "g11_pivot": rl.g11_pivot,
         "w7_lag_delta": rl.w7_lag_delta,
         "j1_anti_join": rl.j1_anti_join,
@@ -344,8 +346,47 @@ def oracle_sql() -> dict[str, str]:
             "len(string_split_regex(trim(text),'\\s+')) END AS n_tokens FROM documents"
         ),
         "t_bpe_tokens": (
-            "SELECT doc_id, len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS n_bpe_tokens "
+            "SELECT doc_id, len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')) AS n_bpe_tokens "
             "FROM documents"
+        ),
+        "t_langid": (
+            "WITH sw(slang, w) AS (VALUES "
+            "('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),"
+            "('en','in'),('en','is'),('en','it'),('en','that'),('en','for'),"
+            "('fr','le'),('fr','la'),('fr','et'),('fr','de'),('fr','un'),"
+            "('fr','une'),('fr','est'),('fr','que'),('fr','pour'),('fr','dans'),"
+            "('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),"
+            "('de','ein'),('de','eine'),('de','zu'),('de','mit'),('de','von'),"
+            "('es','el'),('es','la'),('es','y'),('es','de'),('es','un'),"
+            "('es','una'),('es','es'),('es','que'),('es','por'),('es','en')), "
+            "toks AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+            "UNNEST(string_split_regex(lower(text), '\\s+')) AS tok FROM documents) "
+            "WHERE tok <> ''), "
+            "votes AS (SELECT t.doc_id, s.slang, COUNT(DISTINCT t.tok) AS v "
+            "FROM toks t JOIN sw s ON s.w = t.tok GROUP BY 1, 2), "
+            "piv AS (SELECT doc_id, "
+            "MAX(CASE WHEN slang='en' THEN v ELSE 0 END) AS en_v, "
+            "MAX(CASE WHEN slang='fr' THEN v ELSE 0 END) AS fr_v, "
+            "MAX(CASE WHEN slang='de' THEN v ELSE 0 END) AS de_v, "
+            "MAX(CASE WHEN slang='es' THEN v ELSE 0 END) AS es_v "
+            "FROM votes GROUP BY 1), "
+            "pred AS (SELECT d.doc_id, "
+            "CASE WHEN COALESCE(en_v,0)=0 AND COALESCE(fr_v,0)=0 AND COALESCE(de_v,0)=0 AND COALESCE(es_v,0)=0 THEN 'und' "
+            "WHEN en_v >= fr_v AND en_v >= de_v AND en_v >= es_v THEN 'en' "
+            "WHEN fr_v >= de_v AND fr_v >= es_v THEN 'fr' "
+            "WHEN de_v >= es_v THEN 'de' ELSE 'es' END AS lang_pred "
+            "FROM documents d LEFT JOIN piv USING (doc_id)), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY 1), "
+            "hits AS (SELECT t.doc_id, COUNT(*) AS h FROM toks t "
+            "JOIN pred p USING (doc_id) JOIN sw s ON s.w = t.tok AND "
+            "s.slang = (CASE WHEN p.lang_pred IN ('en','fr','de','es') THEN p.lang_pred ELSE 'en' END) "
+            "GROUP BY 1) "
+            "SELECT d.doc_id, p.lang_pred, "
+            "CAST(COALESCE(h.h, 0) AS BIGINT) AS stop_hits, "
+            "CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens "
+            "FROM documents d JOIN pred p USING (doc_id) "
+            "LEFT JOIN hits h ON h.doc_id = d.doc_id "
+            "LEFT JOIN cnt c ON c.doc_id = d.doc_id"
         ),
         "t_quality": (
             "SELECT doc_id, length(text) AS n_chars_m, "
@@ -407,6 +448,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
             "AND CAST(ROUND(l_discount*100,0) AS BIGINT) BETWEEN 5 AND 7 "
             "AND l_quantity < 24"
+        ),
+        "j6_left_join": (
+            "SELECT c_custkey, COALESCE(o.n, 0) AS n_urgent FROM customer "
+            "LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders "
+            "WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o "
+            "ON c_custkey = o.o_custkey"
+        ),
+        "q18_large_orders": (
+            "SELECT c_name, o_orderkey, qty FROM ("
+            "SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty "
+            "FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250) big "
+            "JOIN orders ON o_orderkey = big.l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey"
         ),
         "g11_pivot": (
             "SELECT l_returnflag, "

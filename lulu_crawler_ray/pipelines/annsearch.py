@@ -37,7 +37,7 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def load_queries(sf: str, n_queries: int = 3) -> tuple[np.ndarray, np.ndarray]:
     t = (
         read_table(sf, "embeddings", ["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < n_queries)
+        .filter(expr=f"vec_id < {n_queries}")
         .to_pandas()
         .sort_values("vec_id")
     )

@@ -65,14 +65,16 @@ def shuffle_join(
     on: str,
     right_on: str,
     num_partitions: int | None = None,
+    join_type: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner hash-shuffle join with BOTH inputs guarded against
-    zero-row schema-less blocks (see _nonempty). The guard's
-    materialize is not an extra data copy at scale — the hash shuffle
-    materializes both sides through the exchange anyway."""
+    """Hash-shuffle join (inner/left_outer/right_outer/full_outer) with
+    BOTH inputs guarded against zero-row schema-less blocks (see
+    _nonempty). The guard's materialize is not an extra data copy at
+    scale — the hash shuffle materializes both sides through the
+    exchange anyway."""
     return _nonempty(left).join(
         _nonempty(right),
-        join_type="inner",
+        join_type=join_type,
         num_partitions=num_partitions or _npart(),
         on=(on,),
         right_on=(right_on,),
@@ -620,6 +622,102 @@ def q6_forecast_revenue(sf: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def j6_left_join(sf: str):
+    """LEFT OUTER hash-shuffle join: every customer row survives, with
+    its count of URGENT orders or 0 — the preserved-side join surface
+    (j2 inner / j1 anti / j3 broadcast cover the other shapes). The
+    right side pre-aggregates to custkey cardinality before the
+    exchange, so the shuffle carries two int64 columns."""
+    from ..sources.testdata import table_rows
+
+    orders = read_table(sf, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"])
+
+    counts = grouped_agg(
+        orders.map_batches(urgent, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("n", "count", None)],
+        round_to=None,
+    )
+    cust = read_table(sf, "customer", ["c_custkey"])
+    j = shuffle_join(
+        cust, counts, "c_custkey", "o_custkey",
+        num_partitions=_npart(table_rows(sf, "customer")),
+        join_type="left_outer",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"] if "n" in t.column_names else pa.nulls(t.num_rows, pa.int64())
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_urgent": pc.fill_null(pc.cast(n, pa.int64()), 0),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+def q18_large_orders(sf: str, min_qty: int = 250):
+    """TPC-H Q18 shape — HAVING over an aggregated fact feeding a
+    semi-join back into the fact chain: lineitem pre-aggregates to
+    per-order quantity (compact shuffle: two int64 columns), the
+    HAVING filter shrinks it to the query-selective survivor set,
+    which then broadcasts into the orders scan (searchsorted) and a
+    dimension-sized customer-name lookup. Quantities are integral
+    doubles, so the sums are exact int64."""
+    li = read_table(sf, "lineitem", ["l_orderkey", "l_quantity"])
+    per_order = grouped_agg(
+        li, ["l_orderkey"], [("qty", "sum", "l_quantity")], round_to=None
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        qty = np.rint(t["qty"].to_numpy(zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        m = qty > min_qty
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].filter(pa.array(m)),
+                "qty": pa.array(qty[m]),
+            }
+        )
+
+    big = per_order.map_batches(having, batch_format="pyarrow").to_pandas()
+    bk = big["l_orderkey"].to_numpy(np.int64)
+    bo = np.argsort(bk, kind="stable")
+    bref = ray.put((bk[bo], big["qty"].to_numpy(np.int64)[bo]))
+
+    cust = read_table(sf, "customer", ["c_custkey", "c_name"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    co = np.argsort(ck, kind="stable")
+    cref = ray.put((ck[co], cust["c_name"].to_numpy(object)[co]))
+
+    orders = read_table(sf, "orders", ["o_orderkey", "o_custkey"])
+
+    def o_map(t: pa.Table) -> pa.Table:
+        ks, qs = ray.get(bref)
+        cks, cns = ray.get(cref)
+        keys = t["o_orderkey"].to_numpy()
+        if len(ks) == 0 or t.num_rows == 0:
+            hit = np.zeros(len(keys), bool)
+            idx = np.zeros(len(keys), np.intp)
+        else:
+            idx = np.clip(np.searchsorted(ks, keys), 0, len(ks) - 1)
+            hit = ks[idx] == keys
+        custk = t["o_custkey"].to_numpy()[hit]
+        cidx = np.clip(np.searchsorted(cks, custk), 0, max(len(cks) - 1, 0))
+        return pa.table(
+            {
+                "c_name": pa.array(cns[cidx], pa.string()),
+                "o_orderkey": t["o_orderkey"].filter(pa.array(hit)),
+                "qty": pa.array(qs[idx[hit]], pa.int64()),
+            }
+        )
+
+    return orders.map_batches(o_map, batch_format="pyarrow")
 
 
 def g11_pivot(sf: str):

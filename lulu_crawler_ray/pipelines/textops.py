@@ -81,9 +81,12 @@ def t_quality(sf: str):
 
 
 class QualityScorer:
-    """Actor-pool stage (state = stopword tables) — full quality score
-    incl. stopword ratio and language guess. Rows-only check (the
-    heuristics aren't SQL-expressible)."""
+    """Actor-pool stage (state = stopword tables) — language guess +
+    stopword-hit count + token count per doc. All-integer/string output
+    so the whole stage is hash-checkable against a DuckDB list-kernel
+    oracle (the stopword ratio is stop_hits/n_tokens, left to the
+    consumer — emitting the rational directly would re-open the
+    half-even vs half-away rounding boundary)."""
 
     def __init__(self):
         self.stop = tx.STOPWORDS
@@ -91,14 +94,15 @@ class QualityScorer:
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         langs = [tx.langid(s) for s in texts]
+        hits = []
+        for s, lang in zip(texts, langs):
+            sw = self.stop.get(lang, self.stop["en"])
+            hits.append(sum(w.lower() in sw for w in s.split()))
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "lang_pred": pa.array(langs, pa.string()),
-                "stop_ratio": pa.array(
-                    [round(tx.stopword_ratio(s, l), 4) for s, l in zip(texts, langs)],
-                    pa.float64(),
-                ),
+                "stop_hits": pa.array(hits, pa.int64()),
                 "n_tokens": pa.array([tx.token_count(s) for s in texts], pa.int64()),
             }
         )
