@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": rl.q6_forecast_revenue,
         "q18_large_orders": rl.q18_large_orders,
         "j6_left_join": rl.j6_left_join,
+        "j7_full_outer": rl.j7_full_outer,
         "g11_pivot": rl.g11_pivot,
         "w7_lag_delta": rl.w7_lag_delta,
         "j1_anti_join": rl.j1_anti_join,
@@ -454,6 +455,14 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders "
             "WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o "
             "ON c_custkey = o.o_custkey"
+        ),
+        "j7_full_outer": (
+            "SELECT COALESCE(e.user_id, o.o_custkey) AS k, "
+            "COALESCE(e.n, 0) AS n_events, COALESCE(o.n, 0) AS n_urgent "
+            "FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1) e "
+            "FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders "
+            "WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o "
+            "ON e.user_id = o.o_custkey"
         ),
         "q18_large_orders": (
             "SELECT c_name, o_orderkey, qty FROM ("

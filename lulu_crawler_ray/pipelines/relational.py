@@ -662,6 +662,43 @@ def j6_left_join(sf: str):
     return j.map_batches(finalize, batch_format="pyarrow")
 
 
+def j7_full_outer(sf: str):
+    """FULL OUTER hash-shuffle join of two pre-aggregated sides:
+    per-user event counts vs per-custkey URGENT-order counts. Exercises
+    all three row classes (matched, left-only, right-only); Ray/acero
+    coalesces the key columns, so the output key is never null. Both
+    sides aggregate to key cardinality before the exchange."""
+    ev = grouped_agg(
+        read_table(sf, "events", ["user_id"]),
+        ["user_id"],
+        [("n_events", "count", None)],
+        round_to=None,
+    )
+    orders = read_table(sf, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"])
+
+    ou = grouped_agg(
+        orders.map_batches(urgent, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("n_urgent", "count", None)],
+        round_to=None,
+    )
+    j = shuffle_join(ev, ou, "user_id", "o_custkey", join_type="full_outer")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(t["user_id"], pa.int64()),
+                "n_events": pc.fill_null(pc.cast(t["n_events"], pa.int64()), 0),
+                "n_urgent": pc.fill_null(pc.cast(t["n_urgent"], pa.int64()), 0),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
 def q18_large_orders(sf: str, min_qty: int = 250):
     """TPC-H Q18 shape — HAVING over an aggregated fact feeding a
     semi-join back into the fact chain: lineitem pre-aggregates to
