@@ -35,3 +35,35 @@ def test_prep_pipeline_at_32_cpus():
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "PREP_OK" in res.stdout
+
+
+def test_outer_joins_at_32_cpus():
+    """The outer-join entries feed SELECTIVE filters (urgent-orders)
+    into shuffle_join — the exact zero-row-schema-less-block hazard —
+    and additionally exercise acero's left/full-outer key coalescing
+    under many partitions. Row counts are pinned to the sf0.01 oracle
+    values (j6: every customer survives; j7: 150 users ∪ urgent
+    custkeys; q18: 204 HAVING survivors)."""
+    code = textwrap.dedent(f"""
+        import ray
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from lulu_crawler_ray.pipelines.relational import (
+            j6_left_join, j7_full_outer, q18_large_orders)
+        j6 = j6_left_join({SF!r}).to_pandas()
+        assert len(j6) == 1500 and (j6["n_urgent"] >= 0).all(), len(j6)
+        j7 = j7_full_outer({SF!r}).to_pandas()
+        assert len(j7) == 1319 and j7["k"].notna().all(), len(j7)
+        q18 = q18_large_orders({SF!r}).to_pandas()
+        assert len(q18) == 204 and (q18["qty"] > 250).all(), len(q18)
+        print("JOINS_OK")
+        ray.shutdown()
+    """)
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "JOINS_OK" in res.stdout
