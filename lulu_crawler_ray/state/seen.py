@@ -151,12 +151,23 @@ class SeenShard:
         filt, exact = self._ns(ns)
         delta = self._delta.setdefault(ns, [])
         maybe = filt.contains_many_np(keys)
-        pos = [i for i, m in enumerate(maybe) if m]
+        pos = np.flatnonzero(maybe)
         seen = np.zeros(len(keys), bool)
-        if pos:
+        if len(pos):
             seen[pos] = exact.contains_many([keys[i] for i in pos])
+        fresh = [keys[i] for i in np.flatnonzero(~seen)]
+        if len(set(fresh)) == len(fresh):
+            # fast path (the wave dedup upstream sends each key once, but
+            # exactness is VERIFIED here, not assumed): one vectorized
+            # filter insert instead of a per-key add loop — the admit
+            # results are identical because they are decided by `seen`
+            # alone; filter slot layout only moves the FP rate.
+            filt.add_many(fresh)
+            delta.extend(fresh)
+            exact.add_many(fresh)
+            return (~seen).tolist()
         out = []
-        fresh: list[bytes] = []
+        fresh = []
         batch_new: set[bytes] = set()
         for k, s in zip(keys, seen):
             if s or k in batch_new:
