@@ -61,7 +61,11 @@ class CrawlConfig:
     driver_dedup_max: int = 5_000_000
     fetch_batch_size: int = 256
     image_batch_size: int = 128
-    dedup_batch_size: int = 4096
+    # round-3 sweep on the 500k headline crawl (quiesced): 4096 -> 35.5 s,
+    # 16384 -> 28.5 s, 65536 -> 29.4 s; bigger admit calls amortize the
+    # per-RPC overhead until actor-side latency stops overlapping.
+    # Results are batch-size-independent (admits are exact per key).
+    dedup_batch_size: int = 16384
     fetch_concurrency: int = 4
     num_partitions: int = 16
     # hot-domain splitting (SURVEY.md §4.3.2): a host whose per-wave
