@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": rl.q5_local_supplier_volume,
         "q6_forecast_revenue": rl.q6_forecast_revenue,
         "q18_large_orders": rl.q18_large_orders,
+        "q4_order_priority": rl.q4_order_priority,
+        "g12_grouped_corr": rl.g12_grouped_corr,
+        "o6_stratified_sample": rl.o6_stratified_sample,
         "j6_left_join": rl.j6_left_join,
         "j7_full_outer": rl.j7_full_outer,
         "g11_pivot": rl.g11_pivot,
@@ -138,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_minhash_pairs": to.t_minhash_pairs,
         "t_near_dedup": to.t_near_dedup,
         "t_prep_pipeline": to.t_prep_pipeline,
+        "t_tfidf": to.t_tfidf,
         # similarity search (embeddings)
         "e_knn_bruteforce": an.e_knn_bruteforce,
         "e_lsh_ann": an.e_lsh_ann,
@@ -470,6 +474,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250) big "
             "JOIN orders ON o_orderkey = big.l_orderkey "
             "JOIN customer ON c_custkey = o_custkey"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+            "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+            "GROUP BY o_orderpriority"
+        ),
+        "g12_grouped_corr": (
+            "SELECT l_returnflag, CAST(ROUND(corr(l_extendedprice, l_quantity)"
+            "*10000, 0) AS BIGINT) AS corr_e4 FROM lineitem GROUP BY l_returnflag"
+        ),
+        "o6_stratified_sample": (
+            "SELECT l_returnflag, l_orderkey, l_linenumber, h FROM ("
+            "SELECT l_returnflag, l_orderkey, l_linenumber, "
+            "((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 AS h, "
+            "ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY "
+            "((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296, "
+            "l_orderkey, l_linenumber) AS rn FROM lineitem) t WHERE rn <= 5"
+        ),
+        "t_tfidf": (
+            "WITH tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), "
+            "'\\s+')) AS term FROM documents WHERE trim(text) <> ''), "
+            "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY 1, 2), "
+            "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents) "
+            "SELECT doc_id, term, tf, df, rank FROM ("
+            "SELECT t.doc_id, t.term, t.tf, d.df, "
+            "ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY "
+            "t.tf * ln((SELECT n_docs FROM n) * 1.0 / d.df) DESC, t.term) AS rank "
+            "FROM tf t JOIN df d USING (term)) s WHERE rank <= 3"
         ),
         "g11_pivot": (
             "SELECT l_returnflag, "

@@ -1748,3 +1748,144 @@ def g4_hll_distinct(sf: str):
         for r in b["registers"].to_pylist():
             h.merge_registers(r)
     return pa.table({"approx_distinct": pa.array([int(h.count())], pa.int64())})
+
+
+def q4_order_priority(sf: str):
+    """TPC-H Q4 shape — correlated EXISTS decorrelated into a pre-
+    aggregate + join: ``EXISTS (lineitem WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate)`` is equivalent to ``max(l_shipdate)
+    per order > o_orderdate``, so lineitem collapses to one (orderkey,
+    max_shipdate) row per order BEFORE the exchange (the shuffle
+    carries two columns at order cardinality, never the fact table),
+    then an inner hash join against orders and a 5-key grouped count.
+    This is the decorrelation a 100-TB EXISTS needs — per-probe
+    subqueries are not a thing in a batch engine."""
+    li = read_table(sf, "lineitem", ["l_orderkey", "l_shipdate"])
+    per_order = grouped_agg(
+        li, ["l_orderkey"], [("max_ship", "max", "l_shipdate")], round_to=None
+    )
+    orders = read_table(sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    from ..sources.testdata import table_rows
+
+    j = shuffle_join(
+        orders, per_order, "o_orderkey", "l_orderkey",
+        num_partitions=_npart(table_rows(sf, "orders")),
+    )
+
+    def exists_filter(t: pa.Table) -> pa.Table:
+        m = pc.greater(t["max_ship"], t["o_orderdate"])
+        return t.filter(m).select(["o_orderpriority"])
+
+    survivors = j.map_batches(exists_filter, batch_format="pyarrow")
+    return grouped_agg(
+        survivors, ["o_orderpriority"], [("order_count", "count", None)], round_to=None
+    )
+
+
+def g12_grouped_corr(sf: str):
+    """Grouped Pearson correlation corr(l_extendedprice, l_quantity)
+    per returnflag from MERGEABLE CENTERED moments (Chan et al.'s
+    parallel update), not raw power sums: with prices ~1e5 over 6e5
+    rows the naive n*sxy - sx*sy form cancels ~8 significant digits,
+    enough to flip the e4-rounded output vs DuckDB's streaming
+    covariance. Per batch: one pyarrow group_by pass -> per-flag
+    (n, mean_x, mean_y, M2x, M2y, Cxy); partials merge pairwise in a
+    result-sized finalize (rows = flags x batches). Output is
+    CAST(ROUND(corr*10000) AS BIGINT) on both engines."""
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = t["l_extendedprice"].to_numpy()
+        y = t["l_quantity"].to_numpy()
+        order = np.argsort(flags, kind="stable")
+        flags, x, y = flags[order], x[order], y[order]
+        starts = np.r_[True, flags[1:] != flags[:-1]]
+        idx = np.flatnonzero(starts)
+        out = {"flag": [], "n": [], "mx": [], "my": [], "m2x": [], "m2y": [], "cxy": []}
+        bounds = np.r_[idx, len(flags)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            xs, ys = x[s:e], y[s:e]
+            mx, my = xs.mean(), ys.mean()
+            out["flag"].append(flags[s])
+            out["n"].append(int(e - s))
+            out["mx"].append(mx)
+            out["my"].append(my)
+            out["m2x"].append(float(((xs - mx) ** 2).sum()))
+            out["m2y"].append(float(((ys - my) ** 2).sum()))
+            out["cxy"].append(float(((xs - mx) * (ys - my)).sum()))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["flag"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "mx": pa.array(out["mx"], pa.float64()),
+                "my": pa.array(out["my"], pa.float64()),
+                "m2x": pa.array(out["m2x"], pa.float64()),
+                "m2y": pa.array(out["m2y"], pa.float64()),
+                "cxy": pa.array(out["cxy"], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = {"l_returnflag": [], "corr_e4": []}
+    for flag, g in parts.groupby("l_returnflag", sort=True):
+        n = mx = my = m2x = m2y = cxy = 0.0
+        for r in g.itertuples(index=False):
+            # Chan merge of ((n,mx,my,M2x,M2y,Cxy), r)
+            nn = n + r.n
+            dx, dy = r.mx - mx, r.my - my
+            w = n * r.n / nn
+            m2x += r.m2x + dx * dx * w
+            m2y += r.m2y + dy * dy * w
+            cxy += r.cxy + dx * dy * w
+            mx += dx * r.n / nn
+            my += dy * r.n / nn
+            n = nn
+        corr = cxy / np.sqrt(m2x * m2y)
+        rows["l_returnflag"].append(flag)
+        rows["corr_e4"].append(int(np.floor(corr * 10000.0 + 0.5)))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+            "corr_e4": pa.array(rows["corr_e4"], pa.int64()),
+        }
+    )
+
+
+def o6_stratified_sample(sf: str, k: int = 5):
+    """Stratified deterministic sample: k rows per stratum
+    (returnflag), ranked by a Fibonacci-mixed hash of the unique row
+    key — reproducible across engines AND block splits, unlike
+    random_sample. Per batch: a local top-k per stratum combiner (the
+    shuffle-free pattern — candidates are k x strata x blocks, never
+    the table), then one result-sized finalize. The mix constant is
+    2654435761 = floor(2^32/phi); plain ``key % m`` would alias the
+    structured (orderkey*8+line) keys."""
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_orderkey", "l_linenumber"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        key = t["l_orderkey"].to_numpy() * 8 + t["l_linenumber"].to_numpy().astype(np.int64)
+        h = (key * 2654435761) % 4294967296
+        t = t.append_column("h", pa.array(h, pa.int64()))
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("l_returnflag", "ascending"),
+                    ("h", "ascending"),
+                    ("l_orderkey", "ascending"),
+                    ("l_linenumber", "ascending"),
+                ],
+            )
+        )
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        starts = np.r_[True, flags[1:] != flags[:-1]]
+        gid = np.cumsum(starts) - 1
+        pos = np.arange(len(flags)) - np.flatnonzero(starts)[gid]
+        return t.filter(pa.array(pos < k))
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow")
+    t = pa.concat_tables(
+        list(cands.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    return local_topk(t)

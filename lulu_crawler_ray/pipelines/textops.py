@@ -628,3 +628,101 @@ def t_group_by_lang(sf: str):
     return grouped_agg(
         ds, ["lang"], [("n", "count", None), ("sum_chars", "sum", "n_chars")]
     )
+
+
+def t_tfidf(sf: str, k: int = 3):
+    """TF-IDF top-k terms per document — the classic two-exchange
+    shape. Stage 1 needs NO shuffle: each row is a whole document, so
+    per-(doc, term) tf is final within the batch (np.unique per doc on
+    the whitespace tokens — same tokenizer as t_token_count, so the
+    DuckDB oracle tokenizes identically with string_split_regex).
+    Stage 2: df = grouped count over the tf rows keyed by term
+    (grouped_agg pre-aggregates per block, the exchange carries one row
+    per distinct (block, term)). Stage 3: tf JOIN df on term (hash
+    shuffle at vocabulary cardinality on the build side), then
+    hash-partition by doc_id and ONE vectorized sort + run-position
+    pass per partition for the top-k (score = tf * ln(N/df), ties
+    broken by term asc — scores whose doubles tie exactly resolve the
+    same way on both engines). Output is all-integer/string
+    (doc_id, term, tf, df, rank): rank flips at equal doubles are
+    impossible and nothing float is hashed."""
+    from .relational import _hash_partitioned, _npart, grouped_agg, shuffle_join
+    from ..sources.testdata import table_rows
+
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs = [], [], []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = tx.tokens(s)
+            if not toks:
+                continue
+            u, c = np.unique(np.array(toks, object), return_counts=True)
+            doc_ids.append(np.full(len(u), d, np.int64))
+            terms.append(u)
+            tfs.append(c.astype(np.int64))
+        if not doc_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(doc_ids)),
+                "term": pa.array(np.concatenate(terms), pa.string()),
+                "tf": pa.array(np.concatenate(tfs)),
+            }
+        )
+
+    tf = ds.map_batches(tf_batch, batch_format="pyarrow")
+    df = grouped_agg(
+        tf.map_batches(lambda t: t.select(["term"]), batch_format="pyarrow"),
+        ["term"],
+        [("df", "count", None)],
+        round_to=None,
+    ).map_batches(
+        lambda t: pa.table(
+            {"term_r": t["term"], "df": pc.cast(t["df"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    n_docs = table_rows(sf, "documents")
+    j = shuffle_join(tf, df, "term", "term_r")
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        score = t["tf"].to_numpy().astype(np.float64) * np.log(
+            float(n_docs) / t["df"].to_numpy().astype(np.float64)
+        )
+        t = t.append_column("__score", pa.array(score))
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("doc_id", "ascending"),
+                    ("__score", "descending"),
+                    ("term", "ascending"),
+                ],
+            )
+        )
+        d = t["doc_id"].to_numpy()
+        starts = np.r_[True, d[1:] != d[:-1]]
+        gid = np.cumsum(starts) - 1
+        pos = np.arange(len(d)) - np.flatnonzero(starts)[gid]
+        t = t.filter(pa.array(pos < k))
+        keep_pos = pos[pos < k]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "tf": t["tf"],
+                "df": t["df"],
+                "rank": pa.array(keep_pos + 1, pa.int64()),
+            }
+        )
+
+    return _hash_partitioned(j, "doc_id", _npart()).map_groups(
+        topk_part, batch_format="pyarrow"
+    )
