@@ -1864,9 +1864,10 @@ def o6_stratified_sample(sf: str, k: int = 5):
     ds = read_table(sf, "lineitem", ["l_returnflag", "l_orderkey", "l_linenumber"])
 
     def local_topk(t: pa.Table) -> pa.Table:
-        key = t["l_orderkey"].to_numpy() * 8 + t["l_linenumber"].to_numpy().astype(np.int64)
-        h = (key * 2654435761) % 4294967296
-        t = t.append_column("h", pa.array(h, pa.int64()))
+        if "h" not in t.column_names:  # finalize re-runs this on candidates
+            key = t["l_orderkey"].to_numpy() * 8 + t["l_linenumber"].to_numpy().astype(np.int64)
+            h = (key * 2654435761) % 4294967296
+            t = t.append_column("h", pa.array(h, pa.int64()))
         t = t.take(
             pc.sort_indices(
                 t,

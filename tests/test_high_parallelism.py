@@ -67,3 +67,36 @@ def test_outer_joins_at_32_cpus():
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "JOINS_OK" in res.stdout
+
+
+def test_round3_late_ops_at_32_cpus():
+    """q4 (EXISTS-decorrelated join), t_tfidf (vocab-cardinality join +
+    grouped top-k) both shuffle-join downstream of selective stages —
+    the schema-less-empty-block hazard class. o6/g12 ride along as
+    driver-parity smoke. Row counts pinned to the sf0.01 oracle."""
+    code = textwrap.dedent(f"""
+        import ray
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from lulu_crawler_ray.pipelines.relational import (
+            q4_order_priority, g12_grouped_corr, o6_stratified_sample)
+        from lulu_crawler_ray.pipelines.textops import t_tfidf
+        q4 = q4_order_priority({SF!r}).to_pandas()
+        assert len(q4) == 5 and int(q4["order_count"].sum()) > 0, q4
+        tfidf = t_tfidf({SF!r}).to_pandas()
+        assert len(tfidf) == 1500 and (tfidf["rank"] <= 3).all(), len(tfidf)
+        g12 = g12_grouped_corr({SF!r}).to_pandas()
+        assert len(g12) == 3, g12
+        o6 = o6_stratified_sample({SF!r}).to_pandas()
+        assert len(o6) == 15, o6
+        print("LATE_OPS_OK")
+        ray.shutdown()
+    """)
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "LATE_OPS_OK" in res.stdout
