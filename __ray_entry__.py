@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": rl.q4_order_priority,
         "g12_grouped_corr": rl.g12_grouped_corr,
         "o6_stratified_sample": rl.o6_stratified_sample,
+        "w8_dense_rank": rl.w8_dense_rank,
+        "d7_fuzzy_pairs": rl.d7_fuzzy_pairs,
         "j6_left_join": rl.j6_left_join,
         "j7_full_outer": rl.j7_full_outer,
         "g11_pivot": rl.g11_pivot,
@@ -505,6 +507,20 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY "
             "t.tf * ln((SELECT n_docs FROM n) * 1.0 / d.df) DESC, t.term) AS rank "
             "FROM tf t JOIN df d USING (term)) s WHERE rank <= 3"
+        ),
+        "w8_dense_rank": (
+            "SELECT c_custkey, c_mktsegment, "
+            "CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_c, "
+            "DENSE_RANK() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY CAST(ROUND(c_acctbal*100,0) AS BIGINT) DESC) AS drank "
+            "FROM customer"
+        ),
+        "d7_fuzzy_pairs": (
+            "SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key, "
+            "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+            "FROM part a JOIN part b ON a.p_brand = b.p_brand "
+            "AND a.p_partkey < b.p_partkey "
+            "AND levenshtein(a.p_name, b.p_name) <= 2"
         ),
         "g11_pivot": (
             "SELECT l_returnflag, "

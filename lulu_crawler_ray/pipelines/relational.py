@@ -1890,3 +1890,168 @@ def o6_stratified_sample(sf: str, k: int = 5):
         list(cands.iter_batches(batch_format="pyarrow", batch_size=65536))
     ).combine_chunks()
     return local_topk(t)
+
+
+def w8_dense_rank(sf: str):
+    """DENSE_RANK window function: rank customers within their market
+    segment by account balance (integer cents — float order ties are
+    cross-engine ambiguous, cent ties are exact). Hash-partition by
+    segment digest, then ONE vectorized pass per partition: sort by
+    (segment, bal desc), dense rank = cumsum of value-change flags
+    reset at segment starts. Completes the window-function family
+    (w4 running sum, w7 LAG)."""
+    import hashlib as _hl
+
+    ds = read_table(sf, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int.from_bytes(_hl.md5(s.encode()).digest()[:4], "big")
+                for s in t["c_mktsegment"].to_pylist()
+            ],
+            np.int64,
+        )
+        bal_c = np.rint(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "bal_c": pa.array(bal_c),
+                "__k": pa.array(h),
+            }
+        )
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("c_mktsegment", "ascending"), ("bal_c", "descending")],
+            )
+        )
+        seg = np.asarray(t["c_mktsegment"].to_pylist(), dtype=object)
+        bal = t["bal_c"].to_numpy()
+        seg_start = np.r_[True, seg[1:] != seg[:-1]]
+        new_val = np.r_[True, bal[1:] != bal[:-1]] | seg_start
+        # dense rank: running count of distinct values since segment start
+        run = np.cumsum(new_val)
+        base = run[np.flatnonzero(seg_start)]
+        gid = np.cumsum(seg_start) - 1
+        drank = run - base[gid] + 1
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "bal_c": t["bal_c"],
+                "drank": pa.array(drank.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(with_key, batch_format="pyarrow")
+        .groupby("__k")
+        .map_groups(rank_part, batch_format="pyarrow")
+    )
+
+
+def _lev_many(a_codes, a_len, b_codes, b_len):
+    """Levenshtein distance for n string pairs at once: the classic DP,
+    vectorized ACROSS pairs — the (L+1)^2 cell loop is Python, every
+    cell op is an n-vector numpy kernel. a_codes/b_codes are (n, L)
+    uint8 zero-padded; distances read out at (a_len, b_len)."""
+    n, L = a_codes.shape
+    big = np.int32(L + 1)
+    prev = np.tile(np.arange(L + 1, dtype=np.int32), (n, 1))
+    out = np.where(a_len == 0, b_len, 0).astype(np.int32)
+    for i in range(1, L + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        cost = (a_codes[:, i - 1][:, None] != b_codes).astype(np.int32)
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost[:, j - 1],
+            )
+        done = a_len == i
+        if done.any():
+            out[done] = cur[done, b_len[done]]
+        prev = cur
+    return out
+
+
+def d7_fuzzy_pairs(sf: str, max_dist: int = 2):
+    """Fuzzy (edit-distance) self-join: unordered part pairs within a
+    brand whose names are <= max_dist Levenshtein apart. Blocking is
+    (brand, |len diff| <= max_dist) — exact within the block (length
+    difference is a Levenshtein lower bound, so no pair is lost); the
+    all-pairs DP is vectorized across pairs (_lev_many). At 100 TB the
+    brand block itself gets big — the scale path is character-n-gram
+    LSH prefiltering inside the block (the t_near_dedup machinery) with
+    this DP as the exact verify; the blocked shape and the verify
+    kernel are what this op contributes."""
+    import hashlib as _hl
+
+    ds = read_table(sf, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int.from_bytes(_hl.md5(s.encode()).digest()[:4], "big")
+                for s in t["p_brand"].to_pylist()
+            ],
+            np.int64,
+        )
+        return t.append_column("__k", pa.array(h))
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=[("p_brand", "ascending"), ("p_partkey", "ascending")]))
+        brand = np.asarray(t["p_brand"].to_pylist(), dtype=object)
+        names = t["p_name"].to_pylist()
+        keys = t["p_partkey"].to_numpy()
+        L = max((len(s) for s in names), default=0)
+        codes = np.zeros((len(names), L), np.uint8)
+        lens = np.zeros(len(names), np.int32)
+        for r, s in enumerate(names):
+            b = s.encode()
+            codes[r, : len(b)] = np.frombuffer(b, np.uint8)
+            lens[r] = len(b)
+        starts = np.flatnonzero(np.r_[True, brand[1:] != brand[:-1]])
+        bounds = np.r_[starts, len(brand)]
+        ob, oa, obk, od = [], [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            idx = np.arange(lo, hi)
+            ii, jj = np.triu_indices(len(idx), k=1)
+            ii, jj = idx[ii], idx[jj]
+            m = np.abs(lens[ii] - lens[jj]) <= max_dist
+            ii, jj = ii[m], jj[m]
+            if not len(ii):
+                continue
+            d = _lev_many(codes[ii], lens[ii], codes[jj], lens[jj])
+            keep = d <= max_dist
+            ob.append(np.full(int(keep.sum()), brand[lo], object))
+            oa.append(keys[ii[keep]])
+            obk.append(keys[jj[keep]])
+            od.append(d[keep].astype(np.int64))
+        if not oa:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "a_key": pa.array([], pa.int64()),
+                    "b_key": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "p_brand": pa.array(np.concatenate(ob), pa.string()),
+                "a_key": pa.array(np.concatenate(oa)),
+                "b_key": pa.array(np.concatenate(obk)),
+                "dist": pa.array(np.concatenate(od)),
+            }
+        )
+
+    return (
+        ds.map_batches(with_key, batch_format="pyarrow")
+        .groupby("__k")
+        .map_groups(pairs_part, batch_format="pyarrow")
+    )
