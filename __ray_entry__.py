@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o6_stratified_sample": rl.o6_stratified_sample,
         "w8_dense_rank": rl.w8_dense_rank,
         "d7_fuzzy_pairs": rl.d7_fuzzy_pairs,
+        "s8_bucketed_roundtrip": rl.s8_bucketed_roundtrip,
         "j6_left_join": rl.j6_left_join,
         "j7_full_outer": rl.j7_full_outer,
         "g11_pivot": rl.g11_pivot,
@@ -514,6 +515,10 @@ def oracle_sql() -> dict[str, str]:
             "DENSE_RANK() OVER (PARTITION BY c_mktsegment "
             "ORDER BY CAST(ROUND(c_acctbal*100,0) AS BIGINT) DESC) AS drank "
             "FROM customer"
+        ),
+        "s8_bucketed_roundtrip": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(ROUND(l_quantity*100,0) AS BIGINT) AS quantity_c FROM lineitem"
         ),
         "d7_fuzzy_pairs": (
             "SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key, "

@@ -2055,3 +2055,23 @@ def d7_fuzzy_pairs(sf: str, max_dist: int = 2):
         .groupby("__k")
         .map_groups(pairs_part, batch_format="pyarrow")
     )
+
+
+def s8_bucketed_roundtrip(sf: str):
+    """S8 — bucketed resumable sink roundtrip as a driver-checked
+    query: lineitem hash-buckets by orderkey into a sealed
+    bucket=NNNN/ layout (sources/bucketed.py), reads back, and must
+    hash-equal a plain SELECT — proving the sink loses/duplicates
+    nothing and the bucket function is key-total. Fresh dir per call
+    (the resume-skip path is exercised by tests/test_bucketed.py)."""
+    import shutil
+    import tempfile
+
+    from ..sources.bucketed import read_bucketed, write_bucketed
+
+    ds = read_table(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = tempfile.mkdtemp(prefix="lulu-bucketed-")
+    shutil.rmtree(out, ignore_errors=True)
+    write_bucketed(ds, out, "l_orderkey", num_buckets=32)
+    back = read_bucketed(out)
+    return _cents_cols(back, {"l_quantity": "quantity_c"})

@@ -208,3 +208,41 @@ def test_asof_composite_index_vs_bruteforce(n_orders, n_events, n_users, seed):
     for j in range(n_events):
         brute = int(((o_user == e_user[j]) & (o_day <= e_day[j]) & (o_day > e_day[j] - w)).sum())
         assert n[j] == brute
+
+
+@given(
+    st.lists(
+        st.tuples(st.text("abcde ", max_size=12), st.text("abcde ", max_size=12)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_lev_many_matches_reference(pairs):
+    """_lev_many (pair-vectorized DP) == the textbook per-pair DP,
+    including empty strings and unequal lengths."""
+    from lulu_crawler_ray.pipelines.relational import _lev_many
+
+    def ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    enc = [(a.encode(), b.encode()) for a, b in pairs]
+    L = max((max(len(a), len(b)) for a, b in enc), default=0) or 1
+    n = len(enc)
+    ac = np.zeros((n, L), np.uint8)
+    bc = np.zeros((n, L), np.uint8)
+    al = np.zeros(n, np.int32)
+    bl = np.zeros(n, np.int32)
+    for r, (a, b) in enumerate(enc):
+        ac[r, : len(a)] = np.frombuffer(a, np.uint8)
+        bc[r, : len(b)] = np.frombuffer(b, np.uint8)
+        al[r], bl[r] = len(a), len(b)
+    got = _lev_many(ac, al, bc, bl)
+    want = [ref(a, b) for a, b in pairs]
+    assert list(got) == want
