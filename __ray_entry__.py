@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_near_dedup": to.t_near_dedup,
         "t_prep_pipeline": to.t_prep_pipeline,
         "t_tfidf": to.t_tfidf,
+        "t_heavy_hitters": to.t_heavy_hitters,
         # similarity search (embeddings)
         "e_knn_bruteforce": an.e_knn_bruteforce,
         "e_lsh_ann": an.e_lsh_ann,
@@ -515,6 +516,13 @@ def oracle_sql() -> dict[str, str]:
             "DENSE_RANK() OVER (PARTITION BY c_mktsegment "
             "ORDER BY CAST(ROUND(c_acctbal*100,0) AS BIGINT) DESC) AS drank "
             "FROM customer"
+        ),
+        "t_heavy_hitters": (
+            "WITH tok AS (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) "
+            "AS term FROM documents WHERE trim(text) <> ''), "
+            "n AS (SELECT COUNT(*) AS n_tok FROM tok) "
+            "SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok "
+            "GROUP BY term HAVING COUNT(*) * 200 > (SELECT n_tok FROM n)"
         ),
         "s8_bucketed_roundtrip": (
             "SELECT l_orderkey, l_linenumber, "

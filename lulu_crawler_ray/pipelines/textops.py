@@ -726,3 +726,94 @@ def t_tfidf(sf: str, k: int = 3):
     return _hash_partitioned(j, "doc_id", _npart()).map_groups(
         topk_part, batch_format="pyarrow"
     )
+
+
+def t_heavy_hitters(sf: str, phi_inv: int = 200, k: int = 800):
+    """Frequent tokens (freq * phi_inv > n) via the classic two-pass
+    Misra-Gries shape — the sketch exists so the CANDIDATE set, not the
+    vocabulary, crosses the wire. Pass 1 (one scan): per block, exact
+    local counts compress to an MG summary (subtract the (k+1)-th
+    largest count from all — the batch form of k-counter MG; any term
+    with true global freq > n/k provably survives the merged summary,
+    since each block decrements a term by at most block_tokens/k); the
+    block's total token count rides along as a ``term=""`` sentinel row
+    ("" can never be a token — empties are filtered). Pass 2: the <= k
+    merged candidates broadcast via ray.put, each block counts ONLY
+    them, a tiny grouped sum finalizes, and the integer
+    ``cnt * phi_inv > n`` filter makes the output EXACT — the DuckDB
+    HAVING oracle checks it hash-for-hash. k > phi_inv => zero false
+    negatives. Output (term, cnt)."""
+    from .relational import grouped_agg
+
+    ds = read_table(sf, "documents", ["text"])
+
+    def _toks(t: pa.Table):
+        toks = pc.list_flatten(pc.split_pattern_regex(t["text"], r"\s+"))
+        return toks.filter(pc.not_equal(toks, ""))
+
+    def mg_block(t: pa.Table) -> pa.Table:
+        toks = _toks(t)
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        if len(u) > k:
+            # batch Misra-Gries: decrement all by the (k+1)-th largest
+            off = np.partition(c, len(c) - k - 1)[len(c) - k - 1]
+            m = c > off
+            u, c = u[m], c[m] - off
+        return pa.table(
+            {
+                "term": pa.array(np.r_[u, [""]], pa.string()),
+                "resid": pa.array(np.r_[c, [len(toks)]].astype(np.int64)),
+            }
+        )
+
+    sk = grouped_agg(
+        ds.map_batches(mg_block, batch_format="pyarrow"),
+        ["term"],
+        [("resid", "sum", "resid")],
+        round_to=None,
+    ).to_pandas()
+    n_total = int(sk.loc[sk["term"] == "", "resid"].iloc[0])
+    # provable candidate filter: a true heavy hitter (f * phi_inv > n)
+    # has merged resid >= f - n/k > n/phi_inv - n/k, and at most
+    # phi_inv*k/(k-phi_inv) terms can exceed that bound (resid sums
+    # to <= n) — e.g. <= 267 candidates at the defaults, regardless of
+    # vocabulary size. A top-k cap here would NOT be provable: more
+    # than k low-grade residuals can outrank a genuine hitter.
+    bound = n_total / phi_inv - n_total / k
+    cand = sk.loc[(sk["term"] != "") & (sk["resid"] > bound), "term"].to_numpy(object)
+    cref = ray.put(np.sort(cand))
+
+    def exact_block(t: pa.Table) -> pa.Table:
+        cands = ray.get(cref)
+        arr = np.asarray(_toks(t), dtype=object)
+        if len(arr) and len(cands):
+            pos = np.clip(np.searchsorted(cands, arr), 0, len(cands) - 1)
+            hit = cands[pos] == arr
+            u, c = np.unique(arr[hit], return_counts=True)
+        else:
+            u, c = np.array([], object), np.array([], np.int64)
+        return pa.table(
+            {
+                "term": pa.array(u, pa.string()),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(exact_block, batch_format="pyarrow"),
+        ["term"],
+        [("cnt", "sum", "cnt")],
+        round_to=None,
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = cnt * phi_inv > n_total
+        return pa.table(
+            {
+                "term": t["term"].filter(pa.array(m)),
+                "cnt": pa.array(cnt[m]),
+            }
+        )
+
+    return counts.map_batches(having, batch_format="pyarrow")

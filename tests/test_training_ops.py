@@ -845,3 +845,37 @@ def test_audio_segments_exact(ray_session):
         for j, (_, r) in enumerate(sub.iterrows()):
             assert r["start_ms"] == j * 400
             assert r["end_ms"] == j * 400 + 200
+
+
+def test_heavy_hitters_mg_compression_exact(tmp_path, ray_session):
+    """Force the Misra-Gries compression path (vocab >> k) and check
+    the two-pass output is still EXACT: k >= phi_inv guarantees every
+    true heavy hitter survives the per-block decrement, and pass 2
+    recounts candidates exactly."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from lulu_crawler_ray.pipelines.textops import t_heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for d in range(200):
+        # Zipf-ish: low ids much more frequent
+        ids = (rng.pareto(1.2, 40) * 3).astype(int) % 500
+        docs.append(" ".join(vocab[i] for i in ids))
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()), "text": pa.array(docs)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = (
+        t_heavy_hitters(str(tmp_path), phi_inv=10, k=14)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    cnt = collections.Counter(w for d in docs for w in d.split())
+    n = sum(cnt.values())
+    want = sorted((w, c) for w, c in cnt.items() if c * 10 > n)
+    assert list(map(tuple, got[["term", "cnt"]].itertuples(index=False))) == want
+    assert len(want) > 0  # the test is vacuous if nothing is heavy
