@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import relational as rl
     from lulu_crawler_ray.pipelines import textops as to
     from lulu_crawler_ray.pipelines.pq import e_pq_ann as _pq_ann
+    from lulu_crawler_ray.pipelines.graph import x1_pagerank as _pagerank
 
     return {
         # relational surface (SURVEY.md §2.5-2.7)
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w8_dense_rank": rl.w8_dense_rank,
         "d7_fuzzy_pairs": rl.d7_fuzzy_pairs,
         "s8_bucketed_roundtrip": rl.s8_bucketed_roundtrip,
+        "x1_pagerank": _pagerank,
         "j6_left_join": rl.j6_left_join,
         "j7_full_outer": rl.j7_full_outer,
         "g11_pivot": rl.g11_pivot,
@@ -516,6 +518,26 @@ def oracle_sql() -> dict[str, str]:
             "DENSE_RANK() OVER (PARTITION BY c_mktsegment "
             "ORDER BY CAST(ROUND(c_acctbal*100,0) AS BIGINT) DESC) AS drank "
             "FROM customer"
+        ),
+        "x1_pagerank": (
+            "WITH edges AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst "
+            "FROM lineitem), "
+            "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), "
+            "outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), "
+            "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes), "
+            "s0 AS (SELECT e.dst, (r.r * 85) // (100 * o.d) AS c FROM edges e "
+            "JOIN r0 r ON r.node = e.src JOIN outdeg o ON o.src = e.src), "
+            "r1 AS (SELECT n.node, 150000 + COALESCE(SUM(s.c), 0) AS r "
+            "FROM nodes n LEFT JOIN s0 s ON s.dst = n.node GROUP BY n.node), "
+            "s1 AS (SELECT e.dst, (r.r * 85) // (100 * o.d) AS c FROM edges e "
+            "JOIN r1 r ON r.node = e.src JOIN outdeg o ON o.src = e.src), "
+            "r2 AS (SELECT n.node, 150000 + COALESCE(SUM(s.c), 0) AS r "
+            "FROM nodes n LEFT JOIN s1 s ON s.dst = n.node GROUP BY n.node), "
+            "s2 AS (SELECT e.dst, (r.r * 85) // (100 * o.d) AS c FROM edges e "
+            "JOIN r2 r ON r.node = e.src JOIN outdeg o ON o.src = e.src), "
+            "r3 AS (SELECT n.node, 150000 + COALESCE(SUM(s.c), 0) AS r "
+            "FROM nodes n LEFT JOIN s2 s ON s.dst = n.node GROUP BY n.node) "
+            "SELECT node, CAST(r AS BIGINT) AS r3 FROM r3"
         ),
         "t_heavy_hitters": (
             "WITH tok AS (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) "

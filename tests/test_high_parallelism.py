@@ -91,6 +91,9 @@ def test_round3_late_ops_at_32_cpus():
         assert len(g12) == 3, g12
         o6 = o6_stratified_sample({SF!r}).to_pandas()
         assert len(o6) == 15, o6
+        from lulu_crawler_ray.pipelines.graph import x1_pagerank
+        pr = x1_pagerank({SF!r}).to_pandas()
+        assert len(pr) == 1000 and (pr["r3"] >= 150000).all(), len(pr)
         print("LATE_OPS_OK")
         ray.shutdown()
     """)
