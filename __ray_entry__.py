@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w4_running_sum": rl.w4_running_sum,
         "w5_range_join": rl.w5_range_join,
         "w6_hopping_window": rl.w6_hopping_window,
+        "w9_late_data": rl.w9_late_data,
         # text / training-data ops (documents)
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
@@ -518,6 +519,19 @@ def oracle_sql() -> dict[str, str]:
             "DENSE_RANK() OVER (PARTITION BY c_mktsegment "
             "ORDER BY CAST(ROUND(c_acctbal*100,0) AS BIGINT) DESC) AS drank "
             "FROM customer"
+        ),
+        "w9_late_data": (
+            "WITH a AS (SELECT event_id, ts, value, "
+            "event_id + (event_id * 2654435761) % 32 AS ak FROM events), "
+            "w AS (SELECT ts, value, MAX(ts) OVER (ORDER BY ak, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx FROM a), "
+            "f AS (SELECT ts, value, CASE WHEN mx IS NOT NULL AND "
+            "epoch_us(ts) + CAST(900 AS BIGINT)*1000000 < epoch_us(mx) "
+            "THEN 1 ELSE 0 END AS late FROM w) "
+            "SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, COUNT(*) AS n, "
+            "CAST(SUM(late) AS BIGINT) AS n_late, "
+            "CAST(SUM(CASE WHEN late=0 THEN CAST(ROUND(value*100,0) AS BIGINT) "
+            "ELSE 0 END) AS BIGINT) AS sum_ontime_c FROM f GROUP BY 1"
         ),
         "x1_pagerank": (
             "WITH edges AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst "

@@ -2075,3 +2075,104 @@ def s8_bucketed_roundtrip(sf: str):
     write_bucketed(ds, out, "l_orderkey", num_buckets=32)
     back = read_bucketed(out)
     return _cents_cols(back, {"l_quantity": "quantity_c"})
+
+
+@ray.remote(num_cpus=1)
+def _w9_block_max(t: pa.Table) -> int:
+    if t.num_rows == 0:
+        return -(1 << 62)
+    us = t["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+    return int(us.max())
+
+
+@ray.remote(num_cpus=1)
+def _w9_flag_block(t: pa.Table, prefix_us: int, allow_us: int) -> pa.Table:
+    """Within one arrival-ordered block: running max seeded with the
+    prefix max of all earlier blocks; late iff ts + allowance < the
+    strictly-preceding running max."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "hour": pa.array([], pa.string()),
+                "late": pa.array([], pa.int64()),
+                "ontime_c": pa.array([], pa.int64()),
+            }
+        )
+    t = t.take(pc.sort_indices(t, sort_keys=[("ak", "ascending"), ("event_id", "ascending")]))
+    us = t["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+    run = np.maximum.accumulate(us)
+    before = np.r_[prefix_us, np.maximum(run[:-1], prefix_us)]
+    late = (us + allow_us < before).astype(np.int64)
+    val_c = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+    return pa.table(
+        {
+            "hour": pc.strftime(t["ts"], format="%Y-%m-%d %H:00:00"),
+            "late": pa.array(late),
+            "ontime_c": pa.array(val_c * (1 - late)),
+        }
+    )
+
+
+def w9_late_data(sf: str, allow_s: int = 900, jitter: int = 32):
+    """Watermark / late-data semantics (§2.8): events arrive in a
+    deterministic near-time order (arrival key = event_id plus a
+    Fibonacci-hash jitter of < ``jitter`` positions — the harness
+    stream is perfectly time-sorted, real streams are not); the
+    watermark before each row is the max event-time seen strictly
+    earlier in arrival order; a row whose event time lags the
+    watermark by more than ``allow_s`` is late. Late rows are counted
+    but excluded from the per-hour value aggregate — the
+    drop-late-data policy of a streaming tumbling window.
+
+    Distributed shape: a PREFIX-MAX SCAN, the associative-scan
+    pattern — range-partition by arrival key (one sort), then the
+    driver exchanges ONE (max event-time) boundary value per block
+    (O(blocks), never O(rows)) and each block flags its rows with a
+    vectorized seeded running max. No staircase index, no gather:
+    at 10^10 rows the driver holds one int per block. The grouped
+    hour aggregate is the standard pre-aggregated shuffle."""
+    ds = read_table(sf, "events", ["event_id", "ts", "value"])
+
+    def arrival(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        ak = eid + (eid * 2654435761) % jitter
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ak": pa.array(ak.astype(np.int64)),
+                "ts": t["ts"],
+                "value": t["value"],
+            }
+        )
+
+    arranged = (
+        ds.map_batches(arrival, batch_format="pyarrow")
+        .sort(["ak", "event_id"])
+        .materialize()
+    )
+    refs = arranged.to_arrow_refs()
+    maxes = ray.get([_w9_block_max.remote(r) for r in refs])
+    allow_us = allow_s * 1_000_000
+    prefix = -(1 << 62)
+    out = []
+    for r, m in zip(refs, maxes):
+        out.append(_w9_flag_block.remote(r, prefix, allow_us))
+        prefix = max(prefix, m)
+    flagged = ray.data.from_arrow_refs(out)
+    agg = grouped_agg(
+        flagged,
+        ["hour"],
+        [("n", "count", None), ("n_late", "sum", "late"), ("sum_ontime_c", "sum", "ontime_c")],
+        round_to=None,
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "hour": t["hour"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "n_late": pc.cast(t["n_late"], pa.int64()),
+                "sum_ontime_c": pc.cast(t["sum_ontime_c"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -94,6 +94,13 @@ def test_round3_late_ops_at_32_cpus():
         from lulu_crawler_ray.pipelines.graph import x1_pagerank
         pr = x1_pagerank({SF!r}).to_pandas()
         assert len(pr) == 1000 and (pr["r3"] >= 150000).all(), len(pr)
+        # w9's block-boundary prefix scan depends on to_arrow_refs
+        # preserving sort order — many more blocks at 32 CPUs; the late
+        # total is pinned to the sf0.01 oracle value
+        from lulu_crawler_ray.pipelines.relational import w9_late_data
+        w9 = w9_late_data({SF!r}).to_pandas()
+        assert int(w9["n"].sum()) == 10000 and int(w9["n_late"].sum()) == 7014, (
+            int(w9["n"].sum()), int(w9["n_late"].sum()))
         print("LATE_OPS_OK")
         ray.shutdown()
     """)
