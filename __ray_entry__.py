@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w5_range_join": rl.w5_range_join,
         "w6_hopping_window": rl.w6_hopping_window,
         "w9_late_data": rl.w9_late_data,
+        "g13_cube": rl.g13_cube,
+        "g14_grouped_hll": rl.g14_grouped_hll,
         # text / training-data ops (documents)
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
@@ -519,6 +521,12 @@ def oracle_sql() -> dict[str, str]:
             "DENSE_RANK() OVER (PARTITION BY c_mktsegment "
             "ORDER BY CAST(ROUND(c_acctbal*100,0) AS BIGINT) DESC) AS drank "
             "FROM customer"
+        ),
+        "g13_cube": (
+            "SELECT COALESCE(l_returnflag,'') AS l_returnflag, "
+            "COALESCE(l_linestatus,'') AS l_linestatus, COUNT(*) AS n, "
+            "CAST(ROUND(SUM(l_quantity)*100,0) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "w9_late_data": (
             "WITH a AS (SELECT event_id, ts, value, "

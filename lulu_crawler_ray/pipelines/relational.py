@@ -2176,3 +2176,105 @@ def w9_late_data(sf: str, allow_s: int = 900, jitter: int = 32):
         ),
         batch_format="pyarrow",
     )
+
+
+def g13_cube(sf: str):
+    """CUBE(returnflag, linestatus) — g7's rollup plus the
+    per-linestatus grouping set (all four subsets of the key pair).
+    Same shape: each set is one pre-aggregated combiner shuffle over
+    partial rows; '' marks a rolled-up level on both engines."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    spec = [("n", "count", None), ("sum_qty", "sum", "l_quantity")]
+
+    def lift(t: pa.Table, flag_col, status_col) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "l_returnflag": t[flag_col] if flag_col else pa.array([""] * n, pa.string()),
+                "l_linestatus": t[status_col] if status_col else pa.array([""] * n, pa.string()),
+                "n": t["n"],
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    detail = grouped_agg(
+        read_table(sf, "lineitem", cols), ["l_returnflag", "l_linestatus"], spec
+    ).map_batches(lambda t: lift(t, "l_returnflag", "l_linestatus"), batch_format="pyarrow")
+    byflag = grouped_agg(
+        read_table(sf, "lineitem", cols), ["l_returnflag"], spec
+    ).map_batches(lambda t: lift(t, "l_returnflag", None), batch_format="pyarrow")
+    bystatus = grouped_agg(
+        read_table(sf, "lineitem", cols), ["l_linestatus"], spec
+    ).map_batches(lambda t: lift(t, None, "l_linestatus"), batch_format="pyarrow")
+    total = grouped_agg(
+        read_table(sf, "lineitem", cols).map_batches(
+            lambda t: t.append_column("__all", pa.array(np.zeros(t.num_rows, np.int32))),
+            batch_format="pyarrow",
+        ),
+        ["__all"],
+        spec,
+    ).map_batches(lambda t: lift(t, None, None), batch_format="pyarrow")
+    return detail.union(byflag).union(bystatus).union(total)
+
+
+def g14_grouped_hll(sf: str, p: int = 14):
+    """Approximate COUNT(DISTINCT partkey) PER GROUP via mergeable
+    HyperLogLog sketches — g4 is the global form; the grouped form is
+    the 100-TB shape for high-cardinality-per-group distincts (g9's
+    exact grouped distinct shuffles every (group, value) pair; this
+    shuffles one 16 KiB sketch per (group, block)). Per batch: one
+    sketch per group present; merge = register-wise max, grouped by
+    key digest; rows-only driver check, pytest asserts ±3% vs exact."""
+    from ..functions.hll import HyperLogLog
+    import hashlib as _hl
+
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_partkey"])
+
+    def sketch_block(t: pa.Table) -> pa.Table:
+        flags = np.asarray(t["l_returnflag"].to_pylist(), dtype=object)
+        pk = t["l_partkey"].to_numpy().astype(np.uint64)
+        order = np.argsort(flags, kind="stable")
+        flags, pk = flags[order], pk[order]
+        starts = np.flatnonzero(np.r_[True, flags[1:] != flags[:-1]])
+        bounds = np.r_[starts, len(flags)]
+        out_f, out_r, out_k = [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            h = HyperLogLog(p=p)
+            h.add_many(pk[lo:hi])
+            out_f.append(flags[lo])
+            out_r.append(h.registers.tobytes())
+            out_k.append(int.from_bytes(_hl.md5(flags[lo].encode()).digest()[:4], "big"))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out_f, pa.string()),
+                "registers": pa.array(out_r, pa.binary()),
+                "__k": pa.array(out_k, pa.int64()),
+            }
+        )
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        flags = np.asarray(t["l_returnflag"].to_pylist(), dtype=object)
+        order = np.argsort(flags, kind="stable")
+        flags = flags[order]
+        regs = [t["registers"][int(i)].as_py() for i in order]
+        starts = np.flatnonzero(np.r_[True, flags[1:] != flags[:-1]])
+        bounds = np.r_[starts, len(flags)]
+        out_f, out_n = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            h = HyperLogLog(p=p)
+            for r in regs[lo:hi]:
+                h.merge_registers(r)
+            out_f.append(flags[lo])
+            out_n.append(int(h.count()))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out_f, pa.string()),
+                "approx_distinct_parts": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(sketch_block, batch_format="pyarrow")
+        .groupby("__k")
+        .map_groups(merge_part, batch_format="pyarrow")
+    )

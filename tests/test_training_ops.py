@@ -879,3 +879,28 @@ def test_heavy_hitters_mg_compression_exact(tmp_path, ray_session):
     want = sorted((w, c) for w, c in cnt.items() if c * 10 > n)
     assert list(map(tuple, got[["term", "cnt"]].itertuples(index=False))) == want
     assert len(want) > 0  # the test is vacuous if nothing is heavy
+
+
+def test_grouped_hll_accuracy(ray_session):
+    """g14 per-group HLL within ±3% of exact per-group distinct."""
+    import duckdb
+
+    from lulu_crawler_ray.pipelines.relational import g14_grouped_hll
+
+    got = (
+        g14_grouped_hll("/root/testdata/sf0.01")
+        .to_pandas()
+        .set_index("l_returnflag")["approx_distinct_parts"]
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n FROM "
+            "read_parquet('/root/testdata/sf0.01/lineitem.parquet') GROUP BY 1"
+        )
+        .df()
+        .set_index("l_returnflag")["n"]
+    )
+    assert set(got.index) == set(want.index)
+    for k in want.index:
+        assert abs(got[k] - want[k]) / want[k] < 0.03, (k, got[k], want[k])
