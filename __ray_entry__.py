@@ -93,6 +93,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": rl.q6_forecast_revenue,
         "q18_large_orders": rl.q18_large_orders,
         "q4_order_priority": rl.q4_order_priority,
+        "q7_volume_shipping": rl.q7_volume_shipping,
+        "q10_returned_items": rl.q10_returned_items,
+        "q14_promo_effect": rl.q14_promo_effect,
+        "q15_top_supplier": rl.q15_top_supplier,
         "g12_grouped_corr": rl.g12_grouped_corr,
         "o6_stratified_sample": rl.o6_stratified_sample,
         "w8_dense_rank": rl.w8_dense_rank,
@@ -134,6 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w9_late_data": rl.w9_late_data,
         "g13_cube": rl.g13_cube,
         "g14_grouped_hll": rl.g14_grouped_hll,
+        "g15_histogram": rl.g15_histogram,
+        "g16_regr_slope": rl.g16_regr_slope,
+        "d8_semi_join": rl.d8_semi_join,
+        "o7_ntile": rl.o7_ntile,
         # text / training-data ops (documents)
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
@@ -226,6 +234,69 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1996-01-01' "
             "GROUP BY l_orderkey, o_orderdate) t "
             "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
+        ),
+        "q7_volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4 "
+            "FROM lineitem, orders, customer, supplier, nation n1, nation n2 "
+            "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey "
+            "AND c_nationkey = n2.n_nationkey "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR "
+            "(n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name, n_name, revenue_e4 FROM ("
+            "SELECT c_custkey, c_name, n_name, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4 "
+            "FROM customer, orders, lineitem, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "GROUP BY 1, 2, 3) t ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"
+        ),
+        "q14_promo_effect": (
+            # LEFT join: the Ray side counts every in-window lineitem row
+            # in the total (a missing part FK just means not-promo)
+            "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) "
+            "AS promo_revenue_e4, CAST(SUM(rev) AS BIGINT) AS total_revenue_e4 FROM ("
+            "SELECT p_type, CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT)) AS rev "
+            "FROM lineitem LEFT JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01') t"
+        ),
+        "q15_top_supplier": (
+            "WITH r AS (SELECT l_suppkey, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT) AS total_revenue_e4 "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue_e4 FROM r JOIN supplier "
+            "ON l_suppkey = s_suppkey "
+            "WHERE total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM r) "
+            "ORDER BY s_suppkey"
+        ),
+        "g15_histogram": (
+            "SELECT LEAST(CAST(ROUND(o_totalprice*100,0) AS BIGINT) // 5000000, 9) AS bin, "
+            "COUNT(*) AS n FROM orders GROUP BY 1"
+        ),
+        "g16_regr_slope": (
+            "SELECT l_returnflag, CAST(ROUND(REGR_SLOPE(l_extendedprice, l_quantity)*100,0) "
+            "AS BIGINT) AS slope_c FROM lineitem GROUP BY 1"
+        ),
+        "d8_semi_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000 "
+            "AND o_orderpriority = '1-URGENT')"
+        ),
+        "o7_ntile": (
+            "SELECT event_id, event_type, CAST(NTILE(4) OVER "
+            "(PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS tile FROM events"
         ),
         "q5_local_supplier_volume": (
             "SELECT n_name, CAST(SUM("

@@ -2278,3 +2278,494 @@ def g14_grouped_hll(sf: str, p: int = 14):
         .groupby("__k")
         .map_groups(merge_part, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7/Q10/Q14/Q15 shapes — the remaining classic join/aggregate
+# skeletons over the harness tables (no partsupp table exists, so Q2/Q11
+# shapes are out of reach; these four cover bidirectional-pair filters,
+# grouped-top-N over a join, conditional-ratio aggregates and
+# argmax-of-grouped-sum).
+# ---------------------------------------------------------------------------
+
+
+def _nation_key(sf: str, name: str) -> int:
+    nat = read_table(sf, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    return int(nat.loc[nat["n_name"] == name, "n_nationkey"].iloc[0])
+
+
+def q7_volume_shipping(
+    sf: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    lo: str = "1995-01-01",
+    hi: str = "1997-01-01",
+):
+    """TPC-H Q7 shape — bidirectional nation-pair trade volume:
+    lineitem⋈supplier→nation vs orders⋈customer→nation, keeping only
+    (A sells to B) and (B sells to A) flows, grouped by
+    (supp_nation, cust_nation, ship year).
+
+    Scale shape: supplier and customer are dimension-sized -> broadcast
+    sorted-key lookups folded into each fact scan (and both scans also
+    PRE-FILTER to the two nations, so the orderkey shuffle carries only
+    pair-relevant rows — at 100 TB that is a ~ (2/|nations|)^2 volume
+    reduction before the exchange). Only lineitem⋈orders shuffles.
+    Revenue exact int64 e4 units as in q5."""
+    ka, kb = _nation_key(sf, nation_a), _nation_key(sf, nation_b)
+    names = {ka: nation_a, kb: nation_b}
+
+    supp = read_table(sf, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin([ka, kb])]
+    so = np.argsort(supp["s_suppkey"].to_numpy(), kind="stable")
+    sref = ray.put(
+        (supp["s_suppkey"].to_numpy(np.int64)[so], supp["s_nationkey"].to_numpy(np.int64)[so])
+    )
+    cust = read_table(sf, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin([ka, kb])]
+    co = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
+    cref = ray.put(
+        (cust["c_custkey"].to_numpy(np.int64)[co], cust["c_nationkey"].to_numpy(np.int64)[co])
+    )
+
+    lo_ts = pa.scalar(np.datetime64(lo, "us"))
+    hi_ts = pa.scalar(np.datetime64(hi, "us"))
+
+    def _lookup(keys: np.ndarray, ref):
+        ks, vs = ray.get(ref)
+        if len(ks) == 0 or len(keys) == 0:
+            return np.zeros(len(keys), bool), np.zeros(len(keys), np.int64)
+        idx = np.clip(np.searchsorted(ks, keys), 0, len(ks) - 1)
+        hit = ks[idx] == keys
+        return hit, vs[idx]
+
+    li = read_table(
+        sf, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def l_map(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo_ts), pc.less(t["l_shipdate"], hi_ts))
+        )
+        hit, nat = _lookup(t["l_suppkey"].to_numpy(), sref)
+        price_c = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        year = pc.year(t["l_shipdate"]).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].filter(pa.array(hit)),
+                "supp_nat": pa.array(nat[hit]),
+                "l_year": pa.array(year[hit]),
+                "rev_e4": pa.array(rev[hit]),
+            }
+        )
+
+    li = li.map_batches(l_map, batch_format="pyarrow")
+
+    orders = read_table(sf, "orders", ["o_orderkey", "o_custkey"])
+
+    def o_map(t: pa.Table) -> pa.Table:
+        hit, nat = _lookup(t["o_custkey"].to_numpy(), cref)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(hit)),
+                "cust_nat": pa.array(nat[hit]),
+            }
+        )
+
+    orders = orders.map_batches(o_map, batch_format="pyarrow")
+
+    from ..sources.testdata import table_rows
+
+    j = shuffle_join(
+        li, orders, "l_orderkey", "o_orderkey",
+        num_partitions=_npart(table_rows(sf, "lineitem") + table_rows(sf, "orders")),
+    )
+
+    def pair_only(t: pa.Table) -> pa.Table:
+        s = t["supp_nat"].to_numpy()
+        c = t["cust_nat"].to_numpy()
+        m = ((s == ka) & (c == kb)) | ((s == kb) & (c == ka))
+        t = t.filter(pa.array(m))
+        return t.select(["supp_nat", "cust_nat", "l_year", "rev_e4"])
+
+    j = j.map_batches(pair_only, batch_format="pyarrow")
+    agg = grouped_agg(
+        j, ["supp_nat", "cust_nat", "l_year"], [("revenue_e4", "sum", "rev_e4")],
+        round_to=None,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sn = [names[int(x)] for x in t["supp_nat"].to_pylist()]
+        cn = [names[int(x)] for x in t["cust_nat"].to_pylist()]
+        return pa.table(
+            {
+                "supp_nation": pa.array(sn, pa.string()),
+                "cust_nation": pa.array(cn, pa.string()),
+                "l_year": t["l_year"].cast(pa.int64()),
+                "revenue_e4": t["revenue_e4"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q10_returned_items(sf: str, lo: str = "1996-01-01", hi: str = "1996-07-01", k: int = 20):
+    """TPC-H Q10 shape — top-k customers by revenue lost to returns:
+    date-filtered orders ⋈ returnflag-filtered lineitem (the only
+    shuffle), grouped by customer, decorated from broadcast
+    customer/nation dimensions AFTER the aggregate (so names never ride
+    the fact exchange), then a distributed sort + limit(k).
+    Deterministic tiebreak (revenue DESC, c_custkey ASC)."""
+    lo_ts = pa.scalar(np.datetime64(lo, "us"))
+    hi_ts = pa.scalar(np.datetime64(hi, "us"))
+
+    orders = read_table(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo_ts), pc.less(t["o_orderdate"], hi_ts)
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def l_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        price_c = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev_e4": pa.array(price_c * (100 - disc_c))}
+        )
+
+    li = read_table(
+        sf, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(l_map, batch_format="pyarrow")
+
+    from ..sources.testdata import table_rows
+
+    j = shuffle_join(
+        li, orders, "l_orderkey", "o_orderkey",
+        num_partitions=_npart(table_rows(sf, "lineitem") + table_rows(sf, "orders")),
+    )
+    agg = grouped_agg(j, ["o_custkey"], [("revenue_e4", "sum", "rev_e4")], round_to=None)
+
+    cust = read_table(sf, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = read_table(sf, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    o = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
+    dref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(np.int64)[o],
+            cust["c_name"].to_numpy(object)[o],
+            np.array([nname[int(x)] for x in cust["c_nationkey"]], object)[o],
+        )
+    )
+
+    def decorate(t: pa.Table) -> pa.Table:
+        ks, cn, nn = ray.get(dref)
+        keys = t["o_custkey"].to_numpy()
+        idx = np.searchsorted(ks, keys)  # aggregate keys all exist in customer
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"].cast(pa.int64()),
+                "c_name": pa.array(cn[idx], pa.string()),
+                "n_name": pa.array(nn[idx], pa.string()),
+                "revenue_e4": t["revenue_e4"].cast(pa.int64()),
+            }
+        )
+
+    out = agg.map_batches(decorate, batch_format="pyarrow")
+    return out.sort(["revenue_e4", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def q14_promo_effect(sf: str, lo: str = "1996-01-01", hi: str = "1996-02-01"):
+    """TPC-H Q14 shape — conditional-ratio aggregate: share of one
+    month's revenue from PROMO-type parts. part is dimension-sized ->
+    a broadcast sorted-key boolean lookup inside the lineitem scan; the
+    whole query is scan + per-block partial sums + one global add (no
+    shuffle at all). The ratio is returned as its two exact int64 e4
+    terms (promo, total) — cross-engine float division is not hashable."""
+    part = read_table(sf, "part", ["p_partkey", "p_type"]).to_pandas()
+    o = np.argsort(part["p_partkey"].to_numpy(), kind="stable")
+    pref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64)[o],
+            (part["p_type"].to_numpy(object)[o] == "PROMO"),
+        )
+    )
+    lo_ts = pa.scalar(np.datetime64(lo, "us"))
+    hi_ts = pa.scalar(np.datetime64(hi, "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, promo = ray.get(pref)
+        t = t.filter(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo_ts), pc.less(t["l_shipdate"], hi_ts))
+        )
+        keys = t["l_partkey"].to_numpy()
+        if len(keys):
+            idx = np.clip(np.searchsorted(ks, keys), 0, len(ks) - 1)
+            hit = ks[idx] == keys
+            is_promo = np.where(hit, promo[idx], False)
+        else:
+            is_promo = np.zeros(0, bool)
+        price_c = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        return pa.table(
+            {
+                "__g": pa.array([0], pa.int64()),
+                "promo": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    parts = read_table(
+        sf, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(partial, batch_format="pyarrow")
+    agg = grouped_agg(
+        parts, ["__g"], [("promo_revenue_e4", "sum", "promo"), ("total_revenue_e4", "sum", "total")],
+        round_to=None,
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "promo_revenue_e4": t["promo_revenue_e4"].cast(pa.int64()),
+                "total_revenue_e4": t["total_revenue_e4"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q15_top_supplier(sf: str, lo: str = "1996-01-01", hi: str = "1996-04-01"):
+    """TPC-H Q15 shape — argmax of a grouped sum: revenue per supplier
+    over one quarter, keep the supplier(s) achieving the max. The
+    grouped result is supplier-cardinality (small even at 100 TB), so
+    the max+filter finalizes in ONE remote task over the aggregate —
+    the fact scan and grouped sum stay distributed; exact int64 revenue
+    makes the max well-defined (no float-sum order ambiguity)."""
+    lo_ts = pa.scalar(np.datetime64(lo, "us"))
+    hi_ts = pa.scalar(np.datetime64(hi, "us"))
+
+    def l_map(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo_ts), pc.less(t["l_shipdate"], hi_ts))
+        )
+        price_c = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_suppkey": t["l_suppkey"], "rev_e4": pa.array(price_c * (100 - disc_c))}
+        )
+
+    li = read_table(
+        sf, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(l_map, batch_format="pyarrow")
+    agg = grouped_agg(li, ["l_suppkey"], [("total_revenue_e4", "sum", "rev_e4")], round_to=None)
+
+    supp = read_table(sf, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    so = np.argsort(supp["s_suppkey"].to_numpy(), kind="stable")
+    sref = ray.put(
+        (supp["s_suppkey"].to_numpy(np.int64)[so], supp["s_name"].to_numpy(object)[so])
+    )
+
+    @ray.remote
+    def winners(*blocks: pa.Table) -> pa.Table:
+        t = pa.concat_tables(list(blocks)).combine_chunks()
+        rev = t["total_revenue_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = rev == rev.max() if len(rev) else np.zeros(0, bool)
+        t = t.filter(pa.array(m))
+        ks, names = ray.get(sref)
+        keys = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ks, keys)
+        out = pa.table(
+            {
+                "s_suppkey": pa.array(keys),
+                "s_name": pa.array(names[idx], pa.string()),
+                "total_revenue_e4": pa.array(
+                    t["total_revenue_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+        return out.take(pc.sort_indices(out, sort_keys=[("s_suppkey", "ascending")]))
+
+    refs = agg.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([winners.remote(*refs)])
+
+
+def g15_histogram(sf: str, width_c: int = 5_000_000, n_bins: int = 10):
+    """Equi-width histogram of o_totalprice ($50k bins, top bin open):
+    per-batch bin assignment on EXACT integer cents (floor division —
+    no float-boundary ambiguity vs the oracle's BIGINT ``//``), then a
+    pre-aggregated grouped count. Scale shape: the shuffle carries one
+    row per (bin, batch)."""
+    ds = read_table(sf, "orders", ["o_totalprice"])
+
+    def binit(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        b = np.minimum(cents // width_c, n_bins - 1)
+        return pa.table({"bin": pa.array(b)})
+
+    out = grouped_agg(
+        ds.map_batches(binit, batch_format="pyarrow"), ["bin"], [("n", "count", None)]
+    )
+    return out.map_batches(
+        lambda t: pa.table({"bin": t["bin"].cast(pa.int64()), "n": t["n"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def g16_regr_slope(sf: str):
+    """Grouped least-squares slope REGR_SLOPE(l_extendedprice,
+    l_quantity) per returnflag — same mergeable centered moments as
+    g12_grouped_corr (slope = Cxy / M2x; the naive power-sum form
+    cancels ~8 digits at this price magnitude). Output
+    CAST(ROUND(slope*100) AS BIGINT) on both engines."""
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        y = t["l_extendedprice"].to_numpy()
+        x = t["l_quantity"].to_numpy()
+        order = np.argsort(flags, kind="stable")
+        flags, x, y = flags[order], x[order], y[order]
+        starts = np.r_[True, flags[1:] != flags[:-1]]
+        bounds = np.r_[np.flatnonzero(starts), len(flags)]
+        out = {"flag": [], "n": [], "mx": [], "my": [], "m2x": [], "cxy": []}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            xs, ys = x[s:e], y[s:e]
+            mx, my = xs.mean(), ys.mean()
+            out["flag"].append(flags[s])
+            out["n"].append(int(e - s))
+            out["mx"].append(mx)
+            out["my"].append(my)
+            out["m2x"].append(float(((xs - mx) ** 2).sum()))
+            out["cxy"].append(float(((xs - mx) * (ys - my)).sum()))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["flag"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "mx": pa.array(out["mx"], pa.float64()),
+                "my": pa.array(out["my"], pa.float64()),
+                "m2x": pa.array(out["m2x"], pa.float64()),
+                "cxy": pa.array(out["cxy"], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = {"l_returnflag": [], "slope_c": []}
+    for flag, g in parts.groupby("l_returnflag", sort=True):
+        n = mx = my = m2x = cxy = 0.0
+        for r in g.itertuples(index=False):
+            nn = n + r.n
+            dx, dy = r.mx - mx, r.my - my
+            w = n * r.n / nn
+            m2x += r.m2x + dx * dx * w
+            cxy += r.cxy + dx * dy * w
+            mx += dx * r.n / nn
+            my += dy * r.n / nn
+            n = nn
+        rows["l_returnflag"].append(flag)
+        rows["slope_c"].append(int(np.floor(cxy / m2x * 100.0 + 0.5)))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+            "slope_c": pa.array(rows["slope_c"], pa.int64()),
+        }
+    )
+
+
+def d8_semi_join(sf: str):
+    """Customers WITH at least one urgent high-value order — the
+    broadcast SEMI join (complement of j1's anti): distinct filtered
+    key set broadcast once, isin filter inside the scan. The key set is
+    bounded by customer cardinality (dimension-sized); a fact-fact semi
+    would use adaptive_join's shuffle path instead."""
+    custkeys = (
+        read_table(sf, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.greater(t["o_totalprice"], 200000.0),
+                    pc.equal(t["o_orderpriority"], "1-URGENT"),
+                )
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    ref = ray.put(np.sort(np.asarray(custkeys, np.int64)))
+    cust = read_table(sf, "customer", ["c_custkey", "c_name"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        have = ray.get(ref)
+        return t.filter(pa.array(np.isin(t["c_custkey"].to_numpy(), have)))
+
+    return cust.map_batches(semi, batch_format="pyarrow")
+
+
+@ray.remote
+def _o7_block_counts(t: pa.Table):
+    """Per-block (event_type -> row count) over a globally sorted
+    block — types and counts only, never rows."""
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    types, counts = np.unique(et, return_counts=True)
+    return types.tolist(), counts.tolist()
+
+
+@ray.remote
+def _o7_assign(t: pa.Table, off: dict, tot: dict, tiles: int) -> pa.Table:
+    """Assign NTILE(tiles) per group given this block's exclusive
+    per-group prefix offsets (the block-boundary exchange) and the
+    global group totals. NTILE semantics: with n = q*t + r, the first r
+    tiles get q+1 rows."""
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    starts = np.r_[True, et[1:] != et[:-1]]
+    seg = np.cumsum(starts) - 1
+    sp = np.flatnonzero(starts)
+    local = np.arange(len(et), dtype=np.int64) - sp[seg]
+    base = np.array([off[et[i]] for i in sp], np.int64)
+    n_all = np.array([tot[et[i]] for i in sp], np.int64)
+    i = base[seg] + local  # 0-based index within the full group
+    n = n_all[seg]
+    q, r = n // tiles, n % tiles
+    cut = r * (q + 1)
+    lead = i < cut
+    tile = np.where(
+        lead,
+        i // np.maximum(q + 1, 1),
+        r + np.where(q > 0, (i - cut) // np.maximum(q, 1), 0),
+    ) + 1
+    return pa.table(
+        {
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "tile": pa.array(tile.astype(np.int64)),
+        }
+    )
+
+
+def o7_ntile(sf: str, tiles: int = 4):
+    """NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+    — the bucketed-rank window. Distributed shape: one global range
+    sort (the only exchange), then a block-boundary exchange of
+    per-(block, group) COUNTS (tiny: groups x blocks) to give every
+    block its exclusive prefix offset and the group totals; assignment
+    is vectorized per block. No block ever sees another block's rows —
+    the same prefix-scan pattern as w9_late_data."""
+    ds = read_table(sf, "events", ["event_id", "event_type", "value"])
+    blocks = (
+        ds.sort(["event_type", "value", "event_id"]).materialize().to_arrow_refs()
+    )
+    per_block = ray.get([_o7_block_counts.remote(b) for b in blocks])
+    run: dict[str, int] = {}
+    offsets = []
+    for types, counts in per_block:
+        offsets.append({ty: run.get(ty, 0) for ty in types})
+        for ty, c in zip(types, counts):
+            run[ty] = run.get(ty, 0) + int(c)
+    out = [
+        _o7_assign.remote(b, off, run, tiles) for b, off in zip(blocks, offsets)
+    ]
+    return ray.data.from_arrow_refs(out)
