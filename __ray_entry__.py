@@ -80,8 +80,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import textops as to
     from lulu_crawler_ray.pipelines.pq import e_pq_ann as _pq_ann
     from lulu_crawler_ray.pipelines.graph import x1_pagerank as _pagerank
+    from lulu_crawler_ray.pipelines import tpch_extra as tx
 
     return {
+        "q12_priority_lines": tx.q12_priority_lines,
+        "q13_custdist": tx.q13_custdist,
+        "q17_small_qty_revenue": tx.q17_small_qty_revenue,
+        "q22_idle_customers": tx.q22_idle_customers,
         # relational surface (SURVEY.md §2.5-2.7)
         "g1_groupby_count": rl.g1_groupby_count,
         "g3_distinct": rl.g3_distinct,
@@ -198,6 +203,42 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "q12_priority_lines": (
+            "SELECT l_linestatus, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) "
+            "AS BIGINT) AS low_line_count "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_linestatus ORDER BY l_linestatus"
+        ),
+        "q13_custdist": (
+            "SELECT c_count, COUNT(*) AS custdist FROM ("
+            "SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer "
+            "LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+            "GROUP BY c_custkey) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "q17_small_qty_revenue": (
+            "WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' "
+            "AND p_size <= 15), "
+            "ag AS (SELECT l_partkey, SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT)) AS sq, "
+            "COUNT(*) AS cq FROM lineitem JOIN pp ON l_partkey = p_partkey GROUP BY l_partkey) "
+            "SELECT COALESCE(CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT), 0) "
+            "AS small_qty_revenue_c FROM lineitem JOIN ag ON lineitem.l_partkey = ag.l_partkey "
+            "WHERE CAST(ROUND(l_quantity*100,0) AS BIGINT) * 5 * cq < sq"
+        ),
+        "q22_idle_customers": (
+            "WITH st AS (SELECT SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS s, "
+            "COUNT(*) AS c FROM customer WHERE c_nationkey IN (1,3,5,7,9) AND c_acctbal > 0) "
+            "SELECT c_nationkey, COUNT(*) AS numcust, "
+            "CAST(SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS totacctbal_c "
+            "FROM customer, st WHERE c_nationkey IN (1,3,5,7,9) "
+            "AND CAST(ROUND(c_acctbal*100,0) AS BIGINT) * st.c > st.s "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
         # minhash family — exact-deterministic end to end, so fully
         # SQL-checked (splitmix64 via HUGEINT 32-bit-split multiply;
         # see pipelines/minhash_oracle.py)
