@@ -83,6 +83,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
     return {
+        "q2_min_cost_supplier": tx.q2_min_cost_supplier,
+        "q11_important_parts": tx.q11_important_parts,
+        "q16_supplier_cnt": tx.q16_supplier_cnt,
+        "q19_discounted_revenue": tx.q19_discounted_revenue,
         "q12_priority_lines": tx.q12_priority_lines,
         "q13_custdist": tx.q13_custdist,
         "q17_small_qty_revenue": tx.q17_small_qty_revenue,
@@ -203,6 +207,44 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "q2_min_cost_supplier": (
+            "WITH pp AS (SELECT p_partkey FROM part WHERE p_type = 'LARGE' AND p_size <= 20), "
+            "lc AS (SELECT l_partkey, l_suppkey, "
+            "CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS cost_c "
+            "FROM lineitem JOIN pp ON l_partkey = p_partkey), "
+            "m AS (SELECT l_partkey, MIN(cost_c) AS mc FROM lc GROUP BY l_partkey) "
+            "SELECT DISTINCT lc.l_partkey AS p_partkey, lc.l_suppkey AS s_suppkey, "
+            "s_name, lc.cost_c AS cost_c "
+            "FROM lc JOIN m ON lc.l_partkey = m.l_partkey AND lc.cost_c = m.mc "
+            "JOIN supplier ON lc.l_suppkey = s_suppkey ORDER BY 1, 2"
+        ),
+        "q11_important_parts": (
+            "WITH v AS (SELECT l_partkey, "
+            "SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * CAST(l_quantity AS BIGINT)) "
+            "AS value_c FROM lineitem GROUP BY l_partkey) "
+            "SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c FROM v "
+            "WHERE value_c * (SELECT COUNT(*) FROM v) * 5 > (SELECT SUM(value_c) FROM v) * 6 "
+            "ORDER BY value_c DESC, l_partkey"
+        ),
+        "q16_supplier_cnt": (
+            "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#45' AND l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size"
+        ),
+        "q19_discounted_revenue": (
+            "SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT))), 0) AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
+            "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20 "
+            "AND l_quantity BETWEEN 1 AND 11) OR "
+            "(p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+            "AND l_quantity BETWEEN 10 AND 20) OR "
+            "(p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30 "
+            "AND l_quantity BETWEEN 20 AND 30)"
+        ),
         "q12_priority_lines": (
             "SELECT l_linestatus, "
             "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) "

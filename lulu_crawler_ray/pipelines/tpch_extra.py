@@ -295,3 +295,257 @@ def q22_idle_customers(sf: str, nations: tuple[int, ...] = (1, 3, 5, 7, 9)):
         round_to=None,
     )
     return out.sort("c_nationkey")
+
+
+def q2_min_cost_supplier(sf: str, p_type: str = "LARGE", max_size: int = 20):
+    """TPC-H Q2 shape — the correlated-MIN join-back: for each
+    qualifying part, the supplier(s) offering the minimum price (the
+    harness schema has no partsupp, so lineitem IS the part-supplier
+    price relation). Distributed shape: broadcast part set -> grouped
+    MIN per part -> broadcast (part, min) pairs back into a second scan
+    that keeps ALL min-achievers -> distinct (part, supplier, cost)
+    via keys-only grouped_agg -> supplier-name broadcast lookup."""
+    part = read_table(sf, "part", ["p_partkey", "p_type", "p_size"]).to_pandas()
+    part = part[(part["p_type"] == p_type) & (part["p_size"] <= max_size)]
+    pref = ray.put(np.sort(part["p_partkey"].to_numpy(np.int64)))
+
+    def scan(t: pa.Table) -> pa.Table:
+        ks = ray.get(pref)
+        hit, _ = _probe(ks, t["l_partkey"].to_numpy())
+        t = t.filter(pa.array(hit))
+        return pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "s_suppkey": t["l_suppkey"],
+                "cost_c": pa.array(_cents(t["l_extendedprice"])),
+            }
+        )
+
+    li_cols = ["l_partkey", "l_suppkey", "l_extendedprice"]
+    offers = read_table(sf, "lineitem", li_cols).map_batches(scan, batch_format="pyarrow")
+    mins = grouped_agg(
+        offers, ["p_partkey"], [("mc", "min", "cost_c")], round_to=None
+    ).to_pandas()
+    mref = _sorted_ref(
+        mins["p_partkey"].to_numpy(np.int64), mins["mc"].to_numpy(np.int64)
+    )
+
+    def achievers(t: pa.Table) -> pa.Table:
+        ks, mc = ray.get(mref)
+        hit, idx = _probe(ks, t["l_partkey"].to_numpy())
+        cost = _cents(t["l_extendedprice"])
+        keep = hit & (cost == np.where(hit, mc[idx], -1))
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "s_suppkey": t["l_suppkey"],
+                "cost_c": pa.array(cost[keep]),
+            }
+        )
+
+    winners = grouped_agg(
+        read_table(sf, "lineitem", li_cols).map_batches(achievers, batch_format="pyarrow"),
+        ["p_partkey", "s_suppkey", "cost_c"],
+        [("__n", "count", None)],
+        round_to=None,
+    )
+
+    supp = read_table(sf, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sref = _sorted_ref(
+        supp["s_suppkey"].to_numpy(np.int64), supp["s_name"].to_numpy(object)
+    )
+
+    def with_name(t: pa.Table) -> pa.Table:
+        ks, names = ray.get(sref)
+        hit, idx = _probe(ks, t["s_suppkey"].to_numpy())
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"].cast(pa.int64()),
+                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                "s_name": pa.array(np.where(hit, names[idx], None), pa.string()),
+                "cost_c": t["cost_c"].cast(pa.int64()),
+            }
+        )
+
+    return winners.map_batches(with_name, batch_format="pyarrow").sort(
+        ["p_partkey", "s_suppkey"]
+    )
+
+
+def q11_important_parts(sf: str, num: int = 6, den: int = 5):
+    """TPC-H Q11 shape — HAVING vs a global scalar subquery: per-part
+    inventory value (price_cents x integer quantity summed over
+    lineitems) kept only where the part's value exceeds num/den (1.2x)
+    of the GLOBAL AVERAGE — scale-invariant selectivity, exact integer
+    cross-multiplication (value * n * den > total * num). The global
+    (total, n) is a one-row aggregate over the per-part values (never
+    the driver: the value table can be part-cardinality at 100 TB, so
+    the threshold filter runs as a broadcast-scalar map over the value
+    dataset)."""
+    li = read_table(sf, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def vmap(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "v": pa.array(_cents(t["l_extendedprice"]) * qty),
+            }
+        )
+
+    vals = grouped_agg(
+        li.map_batches(vmap, batch_format="pyarrow"),
+        ["l_partkey"],
+        [("value_c", "sum", "v")],
+        round_to=None,
+    ).materialize()
+    st = (
+        grouped_agg(
+            vals.map_batches(
+                lambda t: pa.table(
+                    {
+                        "__g": pa.array([0], pa.int64()),
+                        "s": pa.array(
+                            [int(t["value_c"].to_numpy(zero_copy_only=False).sum())],
+                            pa.int64(),
+                        ),
+                        "n": pa.array([t.num_rows], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["__g"],
+            [("s", "sum", "s"), ("n", "sum", "n")],
+            round_to=None,
+        )
+        .to_pandas()
+    )
+    total, n_parts = int(st["s"].iloc[0]), int(st["n"].iloc[0])
+    # v > total*num/(n*den) ⟺ v > floor(total*num/(n*den)) for integer v
+    # (exact for both divisible and non-divisible cases); the floor is
+    # computed in Python big ints so nothing overflows at any corpus size
+    thr = (total * num) // (max(n_parts, 1) * den)
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["value_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(v > thr))
+        return pa.table(
+            {"l_partkey": t["l_partkey"], "value_c": t["value_c"].cast(pa.int64())}
+        )
+
+    return vals.map_batches(keep, batch_format="pyarrow").sort(
+        ["value_c", "l_partkey"], descending=[True, False]
+    )
+
+
+def q16_supplier_cnt(sf: str, excl_brand: str = "Brand#45"):
+    """TPC-H Q16 shape — COUNT(DISTINCT supplier) per part attribute
+    with a NOT-IN exclusion subquery (suppliers with negative balance
+    stand in for the spec's complaint filter; lineitem is the
+    part-supplier relation). Distinct-ing happens in two pre-aggregated
+    stages: keys-only groupby over (brand, size, suppkey) — the shuffle
+    carries distinct triples only — then a grouped count."""
+    part = read_table(sf, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part[part["p_brand"] != excl_brand]
+    pref = _sorted_ref(
+        part["p_partkey"].to_numpy(np.int64),
+        part["p_brand"].to_numpy(object),
+        part["p_size"].to_numpy(np.int64),
+    )
+    bad = read_table(sf, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bref = ray.put(np.sort(bad.loc[bad["s_acctbal"] < 0, "s_suppkey"].to_numpy(np.int64)))
+
+    def triples(t: pa.Table) -> pa.Table:
+        ks, brands, sizes = ray.get(pref)
+        hit, idx = _probe(ks, t["l_partkey"].to_numpy())
+        sk = t["l_suppkey"].to_numpy()
+        bad_ks = ray.get(bref)
+        keep = hit & ~np.isin(sk, bad_ks)
+        return pa.table(
+            {
+                "p_brand": pa.array(brands[idx[keep]], pa.string()),
+                "p_size": pa.array(sizes[idx[keep]], pa.int64()),
+                "l_suppkey": pa.array(sk[keep]),
+            }
+        ).group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([])
+
+    li = read_table(sf, "lineitem", ["l_partkey", "l_suppkey"])
+    dedup = grouped_agg(
+        li.map_batches(triples, batch_format="pyarrow"),
+        ["p_brand", "p_size", "l_suppkey"],
+        [("__n", "count", None)],
+        round_to=None,
+    )
+    out = grouped_agg(
+        dedup, ["p_brand", "p_size"], [("supplier_cnt", "count", None)], round_to=None
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "p_size": t["p_size"].cast(pa.int64()),
+                "supplier_cnt": t["supplier_cnt"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["supplier_cnt", "p_brand", "p_size"], descending=[True, False, False])
+
+
+_Q19_RULES = (
+    ("Brand#12", 1, 20, 100, 1100),
+    ("Brand#23", 1, 25, 1000, 2000),
+    ("Brand#34", 1, 30, 2000, 3000),
+)
+
+
+def q19_discounted_revenue(sf: str):
+    """TPC-H Q19 shape — the disjunctive multi-predicate join: revenue
+    over (brand, size-range, quantity-range) OR-branches. The part side
+    folds to a broadcast partkey -> branch-class array (0 = no branch);
+    the lineitem scan applies each branch's quantity window vectorized
+    — no row ever consults more than one searchsorted probe. Quantity
+    bounds compare in exact cents."""
+    part = read_table(sf, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    cls = np.zeros(len(part), np.int64)
+    for i, (brand, lo_sz, hi_sz, _, _) in enumerate(_Q19_RULES, start=1):
+        m = (
+            (part["p_brand"] == brand)
+            & (part["p_size"] >= lo_sz)
+            & (part["p_size"] <= hi_sz)
+        ).to_numpy()
+        cls = np.where(m & (cls == 0), i, cls)
+    keep = cls > 0
+    pref = _sorted_ref(part["p_partkey"].to_numpy(np.int64)[keep], cls[keep])
+    qlo = np.array([0] + [r[3] for r in _Q19_RULES], np.int64)
+    qhi = np.array([-1] + [r[4] for r in _Q19_RULES], np.int64)
+
+    def rev(t: pa.Table) -> pa.Table:
+        ks, kcls = ray.get(pref)
+        hit, idx = _probe(ks, t["l_partkey"].to_numpy())
+        # guard the empty-broadcast case: kcls[idx] on a 0-length array
+        # raises even under np.where
+        c = np.where(hit, kcls[idx], 0) if len(ks) else np.zeros(len(hit), np.int64)
+        qc = _cents(t["l_quantity"])
+        m = (qc >= qlo[c]) & (qc <= qhi[c]) & (c > 0)
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        r = price_c * (100 - disc_c)
+        return pa.table(
+            {
+                "__g": pa.array([0], pa.int64()),
+                "rev": pa.array([int(r[m].sum())], pa.int64()),
+            }
+        )
+
+    li = read_table(sf, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    out = grouped_agg(
+        li.map_batches(rev, batch_format="pyarrow"),
+        ["__g"],
+        [("revenue_e4", "sum", "rev")],
+        round_to=None,
+    )
+    return out.map_batches(
+        lambda t: pa.table({"revenue_e4": t["revenue_e4"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
