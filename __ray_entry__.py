@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "q2_min_cost_supplier": tx.q2_min_cost_supplier,
+        "q8_market_share": tx.q8_market_share,
+        "q9_product_type_profit": tx.q9_product_type_profit,
+        "q20_part_promotion": tx.q20_part_promotion,
+        "q21_last_shipper": tx.q21_last_shipper,
         "q11_important_parts": tx.q11_important_parts,
         "q16_supplier_cnt": tx.q16_supplier_cnt,
         "q19_discounted_revenue": tx.q19_discounted_revenue,
@@ -207,6 +211,56 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "q8_market_share": (
+            "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(SUM(CASE WHEN s_nationkey = 7 THEN "
+            "CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT)) ELSE 0 END) AS BIGINT) "
+            "AS nation_rev_e4, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT) AS total_rev_e4 "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA' "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1 ORDER BY 1"
+        ),
+        "q9_product_type_profit": (
+            "SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT) AS profit_e4 "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE p_name LIKE '%widget%' GROUP BY 1, 2 ORDER BY n_name, o_year DESC"
+        ),
+        "q20_part_promotion": (
+            "WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'), "
+            "d AS (SELECT l_suppkey, l_partkey, "
+            "SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT)) AS sq "
+            "FROM lineitem JOIN pp ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1, 2), "
+            "p AS (SELECT l_partkey, SUM(sq) AS tq, COUNT(*) AS ns FROM d GROUP BY 1) "
+            "SELECT DISTINCT s_suppkey, s_name FROM d "
+            "JOIN p ON d.l_partkey = p.l_partkey JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE d.sq * p.ns * 2 > p.tq * 3 ORDER BY s_suppkey"
+        ),
+        "q21_last_shipper": (
+            "WITH l AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS mx_sk "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderstatus = 'F' GROUP BY 1, 2), "
+            "m AS (SELECT l_orderkey, COUNT(*) AS ns, MAX(mx_sk) AS mx FROM l GROUP BY 1), "
+            "a AS (SELECT l.l_orderkey, l.l_suppkey FROM l "
+            "JOIN m ON l.l_orderkey = m.l_orderkey WHERE l.mx_sk = m.mx AND m.ns >= 2), "
+            "c AS (SELECT l_orderkey, COUNT(*) AS na, MAX(l_suppkey) AS sk FROM a GROUP BY 1) "
+            "SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+            "FROM c JOIN supplier ON sk = s_suppkey WHERE na = 1 GROUP BY 1, 2 "
+            "ORDER BY numwait DESC, s_suppkey LIMIT 20"
+        ),
         "q2_min_cost_supplier": (
             "WITH pp AS (SELECT p_partkey FROM part WHERE p_type = 'LARGE' AND p_size <= 20), "
             "lc AS (SELECT l_partkey, l_suppkey, "

@@ -549,3 +549,331 @@ def q19_discounted_revenue(sf: str):
         lambda t: pa.table({"revenue_e4": t["revenue_e4"].cast(pa.int64())}),
         batch_format="pyarrow",
     )
+
+
+def q8_market_share(
+    sf: str,
+    region: str = "ASIA",
+    nationkey: int = 7,
+    lo: str = "1996-01-01",
+    hi: str = "1998-01-01",
+):
+    """TPC-H Q8 shape — market share: of all revenue flowing to
+    customers in a region over two years, the fraction supplied by one
+    nation, per order-year. Emitted as EXACT integer (numerator,
+    denominator) columns per year instead of a float ratio — a share
+    division is one driver-side scalar op the caller can do, while the
+    hash check stays ulp-free. Join plan: region->nation->customer
+    chain folds to a broadcast custkey set; supplier->nation folds to
+    a broadcast is-target flag; ONLY lineitem ⋈ orders (the two fact
+    tables) shuffles."""
+    reg = read_table(sf, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"].to_numpy()
+    nat = read_table(sf, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    nat_keys = nat.loc[nat["n_regionkey"].isin(rkey), "n_nationkey"].to_numpy(np.int64)
+
+    cust = read_table(sf, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cref = ray.put(
+        np.sort(cust.loc[cust["c_nationkey"].isin(nat_keys), "c_custkey"].to_numpy(np.int64))
+    )
+    supp = read_table(sf, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sref = _sorted_ref(
+        supp["s_suppkey"].to_numpy(np.int64),
+        (supp["s_nationkey"] == nationkey).to_numpy().astype(np.int64),
+    )
+
+    lo_ts = pa.scalar(np.datetime64(lo, "us"))
+    hi_ts = pa.scalar(np.datetime64(hi, "us"))
+
+    def o_map(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo_ts), pc.less(t["o_orderdate"], hi_ts)
+            )
+        )
+        ks = ray.get(cref)
+        hit, _ = _probe(ks, t["o_custkey"].to_numpy())
+        t = t.filter(pa.array(hit))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = read_table(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        o_map, batch_format="pyarrow"
+    )
+
+    def l_map(t: pa.Table) -> pa.Table:
+        ks, is_tgt = ray.get(sref)
+        hit, idx = _probe(ks, t["l_suppkey"].to_numpy())
+        tgt = np.where(hit, is_tgt[idx], 0) if len(ks) else np.zeros(len(hit), np.int64)
+        rev = _cents(t["l_extendedprice"]) * (100 - _cents(t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev": pa.array(rev),
+                "nrev": pa.array(rev * tgt),
+            }
+        )
+
+    li = read_table(
+        sf, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(l_map, batch_format="pyarrow")
+    joined = shuffle_join(
+        li, orders, "l_orderkey", "o_orderkey", num_partitions=_npart(table_rows(sf, "lineitem"))
+    )
+    out = grouped_agg(
+        joined,
+        ["o_year"],
+        [("nation_rev_e4", "sum", "nrev"), ("total_rev_e4", "sum", "rev")],
+        round_to=None,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_year": t["o_year"].cast(pa.int64()),
+                "nation_rev_e4": t["nation_rev_e4"].cast(pa.int64()),
+                "total_rev_e4": t["total_rev_e4"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("o_year")
+
+
+def q9_product_type_profit(sf: str, name_word: str = "widget"):
+    """TPC-H Q9 shape — profit per (supplier nation, order year) over
+    parts whose name contains a word (the harness schema has no
+    partsupp supplycost, so profit is the discounted revenue). Part
+    match and supplier->nation-name both broadcast; lineitem ⋈ orders
+    shuffles for the order year."""
+    part = read_table(sf, "part", ["p_partkey", "p_name"]).to_pandas()
+    pref = ray.put(
+        np.sort(
+            part.loc[
+                part["p_name"].str.contains(name_word, regex=False), "p_partkey"
+            ].to_numpy(np.int64)
+        )
+    )
+    nat = read_table(sf, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nref = _sorted_ref(
+        nat["n_nationkey"].to_numpy(np.int64), nat["n_name"].to_numpy(object)
+    )
+    supp = read_table(sf, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sref = _sorted_ref(
+        supp["s_suppkey"].to_numpy(np.int64), supp["s_nationkey"].to_numpy(np.int64)
+    )
+
+    def l_map(t: pa.Table) -> pa.Table:
+        pks = ray.get(pref)
+        hit, _ = _probe(pks, t["l_partkey"].to_numpy())
+        t = t.filter(pa.array(hit))
+        sks, snat = ray.get(sref)
+        shit, sidx = _probe(sks, t["l_suppkey"].to_numpy())
+        natk = np.where(shit, snat[sidx], -1) if len(sks) else np.full(t.num_rows, -1, np.int64)
+        rev = _cents(t["l_extendedprice"]) * (100 - _cents(t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "natk": pa.array(natk.astype(np.int64)),
+                "profit": pa.array(rev),
+            }
+        )
+
+    li = read_table(
+        sf,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(l_map, batch_format="pyarrow")
+
+    orders = read_table(sf, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_join(
+        li, orders, "l_orderkey", "o_orderkey", num_partitions=_npart(table_rows(sf, "lineitem"))
+    )
+    agg = grouped_agg(
+        joined, ["natk", "o_year"], [("profit_e4", "sum", "profit")], round_to=None
+    )
+
+    def with_nation(t: pa.Table) -> pa.Table:
+        ks, names = ray.get(nref)
+        hit, idx = _probe(ks, t["natk"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "n_name": pa.array(np.where(hit, names[idx], None), pa.string()),
+                "o_year": t["o_year"].cast(pa.int64()),
+                "profit_e4": t["profit_e4"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(with_nation, batch_format="pyarrow").sort(
+        ["n_name", "o_year"], descending=[False, True]
+    )
+
+
+def q20_part_promotion(
+    sf: str, name_word: str = "gear", lo: str = "1996-01-01", hi: str = "1997-01-01"
+):
+    """TPC-H Q20 shape — the nested-aggregate semi-join: suppliers who
+    shipped MORE than 1.5x the per-supplier average quantity of some
+    name-matched part in the window (the spec's 0.5*availqty threshold
+    has no partsupp to live on; 1.5x the part's mean keeps the
+    same two-level-aggregate + semi-join structure). Per-(supplier,
+    part) sums shuffle once; the per-part (total, n_suppliers) roll-up
+    is matching-part-cardinality and broadcasts back; the exceed
+    comparison is exact integer cross-multiplication."""
+    part = read_table(sf, "part", ["p_partkey", "p_name"]).to_pandas()
+    pref = ray.put(
+        np.sort(
+            part.loc[
+                part["p_name"].str.contains(name_word, regex=False), "p_partkey"
+            ].to_numpy(np.int64)
+        )
+    )
+    lo_ts = pa.scalar(np.datetime64(lo, "us"))
+    hi_ts = pa.scalar(np.datetime64(hi, "us"))
+
+    def scan(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo_ts), pc.less(t["l_shipdate"], hi_ts))
+        )
+        ks = ray.get(pref)
+        hit, _ = _probe(ks, t["l_partkey"].to_numpy())
+        t = t.filter(pa.array(hit))
+        return pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "l_partkey": t["l_partkey"],
+                "qc": pa.array(_cents(t["l_quantity"])),
+            }
+        )
+
+    li = read_table(sf, "lineitem", ["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"])
+    d = grouped_agg(
+        li.map_batches(scan, batch_format="pyarrow"),
+        ["l_suppkey", "l_partkey"],
+        [("sq", "sum", "qc")],
+        round_to=None,
+    ).materialize()
+    per_part = grouped_agg(
+        d, ["l_partkey"], [("tq", "sum", "sq"), ("ns", "count", None)], round_to=None
+    ).to_pandas()
+    aref = _sorted_ref(
+        per_part["l_partkey"].to_numpy(np.int64),
+        per_part["tq"].to_numpy(np.int64),
+        per_part["ns"].to_numpy(np.int64),
+    )
+
+    def exceeders(t: pa.Table) -> pa.Table:
+        ks, tq, ns = ray.get(aref)
+        hit, idx = _probe(ks, t["l_partkey"].to_numpy(zero_copy_only=False))
+        sq = t["sq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = hit & (sq * np.where(hit, ns[idx], 0) * 2 > np.where(hit, tq[idx], 0) * 3)
+        return pa.table({"s_suppkey": t["l_suppkey"].filter(pa.array(keep)).cast(pa.int64())})
+
+    winners = grouped_agg(
+        d.map_batches(exceeders, batch_format="pyarrow"),
+        ["s_suppkey"],
+        [("__n", "count", None)],
+        round_to=None,
+    )
+    supp = read_table(sf, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sref = _sorted_ref(
+        supp["s_suppkey"].to_numpy(np.int64), supp["s_name"].to_numpy(object)
+    )
+
+    def with_name(t: pa.Table) -> pa.Table:
+        ks, names = ray.get(sref)
+        hit, idx = _probe(ks, t["s_suppkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                "s_name": pa.array(np.where(hit, names[idx], None), pa.string()),
+            }
+        )
+
+    return winners.map_batches(with_name, batch_format="pyarrow").sort("s_suppkey")
+
+
+def q21_last_shipper(sf: str, k: int = 20):
+    """TPC-H Q21 shape — the double-correlated EXISTS / NOT-EXISTS:
+    per finished ('F') multi-supplier order, the supplier who alone
+    shipped the LAST item (EXISTS another supplier in the order;
+    NOT EXISTS another supplier tying the max shipdate), counted per
+    supplier. Everything runs at order cardinality: per-(order,
+    supplier) max-shipdate roll-up, per-order (count, max) roll-up, one
+    order-keyed shuffle join, then two tiny grouped counts. The k-row
+    final sort is on (numwait DESC, s_suppkey) — a total order, so the
+    LIMIT boundary is deterministic on both engines."""
+    ofilt = read_table(sf, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    li = read_table(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    lj = shuffle_join(
+        li, ofilt, "l_orderkey", "o_orderkey", num_partitions=_npart(table_rows(sf, "lineitem"))
+    )
+    d = grouped_agg(
+        lj, ["l_orderkey", "l_suppkey"], [("mx_sk", "max", "l_shipdate")], round_to=None
+    ).materialize()
+    per_order = grouped_agg(
+        d, ["l_orderkey"], [("ns", "count", None), ("mx", "max", "mx_sk")], round_to=None
+    ).map_batches(
+        lambda t: pa.table(
+            {"okey": t["l_orderkey"], "ns": t["ns"].cast(pa.int64()), "mx": t["mx"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j = shuffle_join(
+        d, per_order, "l_orderkey", "okey", num_partitions=_npart(table_rows(sf, "orders"))
+    )
+
+    def achievers(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["mx_sk"], t["mx"]), pc.greater_equal(t["ns"], pa.scalar(2, pa.int64()))
+        )
+        t = t.filter(keep)
+        return pa.table({"l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"]})
+
+    a = grouped_agg(
+        j.map_batches(achievers, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("na", "count", None), ("sk", "max", "l_suppkey")],
+        round_to=None,
+    )
+    solo = a.map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.filter(pc.equal(t["na"], pa.scalar(1, pa.int64())))["sk"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    counts = grouped_agg(solo, ["s_suppkey"], [("numwait", "count", None)], round_to=None)
+    supp = read_table(sf, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sref = _sorted_ref(
+        supp["s_suppkey"].to_numpy(np.int64), supp["s_name"].to_numpy(object)
+    )
+
+    def with_name(t: pa.Table) -> pa.Table:
+        ks, names = ray.get(sref)
+        hit, idx = _probe(ks, t["s_suppkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                "s_name": pa.array(np.where(hit, names[idx], None), pa.string()),
+                "numwait": t["numwait"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        counts.map_batches(with_name, batch_format="pyarrow")
+        .sort(["numwait", "s_suppkey"], descending=[True, False])
+        .limit(k)
+    )
