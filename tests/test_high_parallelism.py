@@ -110,3 +110,37 @@ def test_round3_late_ops_at_32_cpus():
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "LATE_OPS_OK" in res.stdout
+
+
+def test_tpch_extra_at_32_cpus():
+    """All 12 round-3 TPC-H shapes in one 32-CPU process — q8/q9/q12/
+    q21 shuffle-join downstream of selective filters (the schema-less
+    empty-block hazard class); the rest ride along as driver parity.
+    Row counts pinned to the sf0.01 DuckDB oracle."""
+    code = textwrap.dedent(f"""
+        import ray
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from lulu_crawler_ray.pipelines import tpch_extra as tx
+        expect = {{
+            "q2_min_cost_supplier": 121, "q8_market_share": 2,
+            "q9_product_type_profit": 175, "q11_important_parts": 380,
+            "q12_priority_lines": 2, "q13_custdist": 20,
+            "q16_supplier_cnt": 988, "q17_small_qty_revenue": 1,
+            "q19_discounted_revenue": 1, "q20_part_promotion": 82,
+            "q21_last_shipper": 20, "q22_idle_customers": 5,
+        }}
+        for name, n in expect.items():
+            got = getattr(tx, name)({SF!r}).to_pandas()
+            assert len(got) == n, (name, len(got), n)
+        print("TPCH_EXTRA_OK")
+        ray.shutdown()
+    """)
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "TPCH_EXTRA_OK" in res.stdout
