@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
     return {
+        "t_decontaminate": to.t_decontaminate,
+        "t_repetition": to.t_repetition,
         "q2_min_cost_supplier": tx.q2_min_cost_supplier,
         "q8_market_share": tx.q8_market_share,
         "q9_product_type_profit": tx.q9_product_type_profit,
@@ -211,6 +213,41 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "t_decontaminate": (
+            "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "
+            "FROM documents)), "
+            "grams AS (SELECT doc_id, l[CAST(i AS BIGINT)] || ' ' || "
+            "l[CAST(i AS BIGINT)+1] || ' ' || l[CAST(i AS BIGINT)+2] AS g "
+            "FROM d2 CROSS JOIN LATERAL (SELECT UNNEST(range(1, ntok - 1)) AS i) t "
+            "WHERE ntok >= 3 UNION ALL "
+            "SELECT doc_id, array_to_string(l, ' ') AS g FROM d2 "
+            "WHERE ntok >= 1 AND ntok < 3), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "CAST(CAST('0x' || substr(md5(g),1,16) AS UBIGINT) AS HUGEINT) AS h FROM grams), "
+            "bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0) "
+            "SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM sh s "
+            "JOIN bench b ON s.h = b.h WHERE s.doc_id % 10 <> 0 GROUP BY 1 ORDER BY 1"
+        ),
+        "t_repetition": (
+            "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "
+            "FROM documents)), "
+            "grams AS (SELECT doc_id, l[CAST(i AS BIGINT)] || ' ' || "
+            "l[CAST(i AS BIGINT)+1] AS g "
+            "FROM d2 CROSS JOIN LATERAL (SELECT UNNEST(range(1, ntok)) AS i) t "
+            "WHERE ntok >= 2 UNION ALL "
+            "SELECT doc_id, array_to_string(l, ' ') AS g FROM d2 "
+            "WHERE ntok >= 1 AND ntok < 2), "
+            "agg AS (SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT g) AS nd "
+            "FROM grams GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(a.ng, 0) AS BIGINT) AS n_grams, "
+            "CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_distinct, "
+            "CAST(CASE WHEN (COALESCE(a.ng,0) - COALESCE(a.nd,0)) * 20 > "
+            "COALESCE(a.ng,0) THEN 1 ELSE 0 END AS BIGINT) AS flagged "
+            "FROM (SELECT DISTINCT doc_id FROM documents) d "
+            "LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY 1"
+        ),
         "q8_market_share": (
             "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
             "CAST(SUM(CASE WHEN s_nationkey = 7 THEN "

@@ -817,3 +817,84 @@ def t_heavy_hitters(sf: str, phi_inv: int = 200, k: int = 800):
         )
 
     return counts.map_batches(having, batch_format="pyarrow")
+
+
+def t_decontaminate(sf: str, bench_mod: int = 10, k: int = 3):
+    """Train/benchmark DECONTAMINATION — the GPT-3-style n-gram overlap
+    check: flag every corpus document sharing a word-k-gram with the
+    benchmark set (here: doc_id % bench_mod == 0 plays the held-out
+    benchmark). Scale shape: the benchmark gram-hash set is SMALL by
+    definition (test sets are thousands of docs, not billions), so it
+    reduces through a distinct-hash shuffle and broadcasts once via
+    ray.put; the 100-TB corpus side is a single streaming map_batches
+    probing a sorted uint64 array. Output (doc_id, n_hits) for
+    contaminated docs only — exact int64, DuckDB-hash-checked (the
+    oracle joins on the identical md5-prefix shingle hash)."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = ids % bench_mod == 0
+        hs: set[int] = set()
+        for s in t.filter(pa.array(keep))["text"].to_pylist():
+            hs.update(tx.shingles(s, k))
+        return pa.table({"h": pa.array(sorted(hs), pa.uint64())})
+
+    bench = ds.map_batches(bench_hashes, batch_format="pyarrow").unique("h")
+    # Dataset.unique returns a plain Python collection (set here)
+    bref = ray.put(np.sort(np.fromiter(bench, np.uint64, count=len(bench))))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bh = ray.get(bref)
+        ids = t["doc_id"].to_numpy()
+        out_id, out_n = [], []
+        for did, s in zip(ids, t["text"].to_pylist()):
+            if did % bench_mod == 0:
+                continue
+            sh = np.fromiter(tx.shingles(s, k), np.uint64)
+            if len(sh) == 0 or len(bh) == 0:
+                continue
+            idx = np.clip(np.searchsorted(bh, sh), 0, len(bh) - 1)
+            n = int((bh[idx] == sh).sum())
+            if n:
+                out_id.append(int(did))
+                out_n.append(n)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()), "n_hits": pa.array(out_n, pa.int64())}
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow").sort("doc_id")
+
+
+def t_repetition(sf: str, num: int = 1, den: int = 20):
+    """Gopher-style REPETITION quality filter: per-doc duplicate
+    word-bigram fraction, flagged when (n_grams - n_distinct) exceeds
+    num/den (5%) of n_grams — exact integer cross-multiplication, all
+    four output columns int64 and DuckDB-hash-checked. Pure streaming
+    map (no shuffle): the canonical cheap pre-filter ahead of the
+    expensive MinHash/SimHash dedup stages in a training-data prep
+    pipeline."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n_g, n_d, flag = [], [], []
+        for s in t["text"].to_pylist():
+            toks = s.split()
+            if len(toks) < 2:
+                grams = [" ".join(toks)] if toks else []
+            else:
+                grams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+            ng, nd = len(grams), len(set(grams))
+            n_g.append(ng)
+            n_d.append(nd)
+            flag.append(int((ng - nd) * den > ng * num))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(n_g, pa.int64()),
+                "n_distinct": pa.array(n_d, pa.int64()),
+                "flagged": pa.array(flag, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
