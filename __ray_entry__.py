@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "t_decontaminate": to.t_decontaminate,
         "t_repetition": to.t_repetition,
+        "t_pack": to.t_pack,
+        "t_sample_mix": to.t_sample_mix,
         "q2_min_cost_supplier": tx.q2_min_cost_supplier,
         "q8_market_share": tx.q8_market_share,
         "q9_product_type_profit": tx.q9_product_type_profit,
@@ -213,6 +215,23 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "t_pack": (
+            "WITH tk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents), "
+            "s AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_tok "
+            "FROM tk) SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, "
+            "CAST(start_tok AS BIGINT) AS start_tok, "
+            "CAST(start_tok // 256 AS BIGINT) AS chunk_id FROM s ORDER BY doc_id"
+        ),
+        "t_sample_mix": (
+            "SELECT doc_id, source FROM documents WHERE "
+            "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS UBIGINT) "
+            "AS BIGINT) % 100 < CASE "
+            "WHEN source IN ('src0','src1','src2','src3','src4') THEN 80 "
+            "WHEN source IN ('src5','src6','src7','src8','src9') THEN 50 "
+            "ELSE 20 END ORDER BY doc_id"
+        ),
         "t_decontaminate": (
             "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "

@@ -898,3 +898,102 @@ def t_repetition(sf: str, num: int = 1, den: int = 20):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+@ray.remote(num_cpus=1)
+def _pack_block_sum(t: pa.Table) -> int:
+    return int(t["n_tok"].to_numpy(zero_copy_only=False).sum()) if t.num_rows else 0
+
+
+@ray.remote(num_cpus=1)
+def _pack_assign(t: pa.Table, prefix: int, window: int) -> pa.Table:
+    """Within one doc_id-sorted block: exclusive running token offset
+    seeded with the total of all earlier blocks; chunk = offset //
+    window."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+            }
+        )
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    n = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    start = prefix + np.r_[0, np.cumsum(n)[:-1]]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_tok": pa.array(n),
+            "start_tok": pa.array(start),
+            "chunk_id": pa.array(start // window),
+        }
+    )
+
+
+def t_pack(sf: str, window: int = 256):
+    """Token-budget SEQUENCE PACKING — the pretraining step that
+    concatenates the corpus in a canonical order and slices it into
+    fixed-size token windows: every doc gets its global start offset
+    and the chunk it begins in. The global running sum is a distributed
+    PREFIX SCAN (the w9 pattern): one doc_id range-partition sort, then
+    a block-boundary exchange of per-block token TOTALS (O(blocks),
+    never O(rows)); offset assignment is vectorized per block. Exact
+    int64 output, DuckDB-hash-checked against SUM() OVER (ORDER BY
+    doc_id)."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pa.array(
+                    [tx.token_count(s) for s in t["text"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    blocks = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .sort("doc_id")
+        .materialize()
+        .to_arrow_refs()
+    )
+    sums = ray.get([_pack_block_sum.remote(b) for b in blocks])
+    prefixes = np.r_[0, np.cumsum(sums)[:-1]].astype(np.int64)
+    out = [
+        _pack_assign.remote(b, int(p), window) for b, p in zip(blocks, prefixes)
+    ]
+    return ray.data.from_arrow_refs(out)
+
+
+_MIX_RATES = (
+    (("src0", "src1", "src2", "src3", "src4"), 80),
+    (("src5", "src6", "src7", "src8", "src9"), 50),
+)
+_MIX_DEFAULT = 20
+
+
+def t_sample_mix(sf: str):
+    """Training-MIX construction: deterministic per-source sampling
+    rates (80% high-quality sources, 50% mid, 20% tail) via an
+    md5-prefix residue of doc_id — reproducible across engines and
+    resumable reruns, unlike random_sample. Pure streaming filter (no
+    shuffle); the identical md5 arithmetic runs in the DuckDB oracle,
+    so the sampled id set hash-matches exactly."""
+    import hashlib as _hl
+
+    ds = read_table(sf, "documents", ["doc_id", "source"])
+    rate_of = {s: r for srcs, r in _MIX_RATES for s in srcs}
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        srcs = t["source"].to_pylist()
+        keep = np.zeros(len(ids), bool)
+        for i, (did, s) in enumerate(zip(ids, srcs)):
+            h = int.from_bytes(_hl.md5(str(did).encode()).digest()[:4], "big") % 100
+            keep[i] = h < rate_of.get(s, _MIX_DEFAULT)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
