@@ -135,6 +135,15 @@ def test_tpch_extra_at_32_cpus():
         for name, n in expect.items():
             got = getattr(tx, name)({SF!r}).to_pandas()
             assert len(got) == n, (name, len(got), n)
+        # round-3 training ops: t_pack's prefix scan depends on
+        # to_arrow_refs preserving the doc_id sort order (more blocks at
+        # 32 CPUs); decontaminate broadcasts through a distinct shuffle
+        from lulu_crawler_ray.pipelines import textops as to
+        pk = to.t_pack({SF!r}).to_pandas().sort_values("doc_id")
+        assert len(pk) == 500 and (pk["start_tok"].to_numpy()[1:] ==
+            (pk["start_tok"] + pk["n_tok"]).to_numpy()[:-1]).all()
+        assert len(to.t_decontaminate({SF!r}).to_pandas()) == 426
+        assert len(to.t_sample_mix({SF!r}).to_pandas()) == 200
         print("TPCH_EXTRA_OK")
         ray.shutdown()
     """)
