@@ -71,7 +71,19 @@ def q12_priority_lines(sf: str, lo: str = "1996-01-01", hi: str = "1997-01-01"):
         t = t.filter(
             pc.and_(pc.greater_equal(t["l_shipdate"], lo_ts), pc.less(t["l_shipdate"], hi_ts))
         )
-        return t.select(["l_orderkey", "l_linestatus"])
+        # per-batch combiner BEFORE the join: lineitems of one order are
+        # adjacent in generation order, so counting per (orderkey,
+        # linestatus) inside the batch shrinks the join's shuffle ~4x
+        out = (
+            t.select(["l_orderkey", "l_linestatus"])
+            .group_by(["l_orderkey", "l_linestatus"])
+            .aggregate([([], "count_all")])
+        )
+        # rename BY NAME (aggregate-column ordering varies across
+        # pyarrow versions)
+        return out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        )
 
     li = read_table(sf, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"]).map_batches(
         l_map, batch_format="pyarrow"
@@ -82,11 +94,12 @@ def q12_priority_lines(sf: str, lo: str = "1996-01-01", hi: str = "1997-01-01"):
 
     def flags(t: pa.Table) -> pa.Table:
         h = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "l_linestatus": t["l_linestatus"],
-                "hi": pa.array(h),
-                "lo": pa.array(1 - h),
+                "hi": pa.array(h * n),
+                "lo": pa.array((1 - h) * n),
             }
         )
 
