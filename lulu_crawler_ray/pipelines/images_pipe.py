@@ -570,3 +570,63 @@ def audio_segments_query(sf: str):
         AudioSegmenter, batch_format="pyarrow", batch_size=4, concurrency=2
     )
     return out.sort(["media_id", "seg_idx"])
+
+
+def img_prep_pipeline_query(sf: str, min_pixels: int = 48 * 48, max_aspect_x100: int = 250):
+    """Composed image-curation pipeline (the image-side analogue of
+    t_prep_pipeline — what a LAION-style dataset build runs end to
+    end): decode-VALIDATE every row (M8/M10) -> resolution + aspect
+    GATE (w*h >= min_pixels, max/min side <= 2.5, exact integer
+    cross-multiplication) -> phash NEAR-DEDUP (J4 band join + D3
+    components, keep min image_id) -> one-row integer DIGEST the driver
+    can rows-check and pytest pins exactly. Every stage is a streaming
+    map over the table; only the near-dedup's band groupby shuffles,
+    and it carries (band, phash, id) — never bytes."""
+    n = 600 if "0.1" in sf else 300
+    ds = fixture_dataset(n)
+
+    def validate_gate(t: pa.Table) -> pa.Table:
+        ok = []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            ok.append(img.shape == (t["h"][i].as_py(), t["w"][i].as_py(), 3))
+        w = t["w"].to_numpy().astype(np.int64)
+        h = t["h"].to_numpy().astype(np.int64)
+        keep = (
+            np.array(ok)
+            & (w * h >= min_pixels)
+            & (np.maximum(w, h) * 100 <= np.minimum(w, h) * max_aspect_x100)
+        )
+        return t.filter(pa.array(keep))
+
+    gated = ds.map_batches(validate_gate, batch_format="pyarrow").materialize()
+    n_gated = gated.count()
+    kept = near_dedup_images(gated, max_hamming=10).materialize()
+
+    def digest(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xor = np.bitwise_xor.reduce(ph) if len(ph) else 0
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "sum_w": pa.array([int(t["w"].to_numpy().sum())], pa.int64()),
+                "sum_h": pa.array([int(t["h"].to_numpy().sum())], pa.int64()),
+                "phash_xor": pa.array([int(xor)], pa.int64()),
+            }
+        )
+
+    parts = kept.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_in": pa.array([n], pa.int64()),
+            "n_gated": pa.array([n_gated], pa.int64()),
+            "n_kept": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+            "sum_w": pa.array([int(parts["sum_w"].sum())], pa.int64()),
+            "sum_h": pa.array([int(parts["sum_h"].sum())], pa.int64()),
+            "phash_xor": pa.array(
+                [int(np.bitwise_xor.reduce(parts["phash_xor"].to_numpy().astype(np.int64)))
+                 if len(parts) else 0],
+                pa.int64(),
+            ),
+        }
+    )

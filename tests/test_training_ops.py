@@ -904,3 +904,20 @@ def test_grouped_hll_accuracy(ray_session):
     assert set(got.index) == set(want.index)
     for k in want.index:
         assert abs(got[k] - want[k]) / want[k] < 0.03, (k, got[k], want[k])
+
+
+def test_img_prep_pipeline_golden(ray_session):
+    """Composed image-curation pipeline: validate -> resolution/aspect
+    gate -> phash near-dedup -> integer digest, pinned to the exact
+    deterministic fixture values (any kernel drift breaks the xor)."""
+    from lulu_crawler_ray.pipelines.images_pipe import img_prep_pipeline_query
+
+    t = img_prep_pipeline_query("/root/testdata/sf0.001").to_pydict()
+    assert t == {
+        "n_in": [300],
+        "n_gated": [171],
+        "n_kept": [170],
+        "sum_w": [13696],
+        "sum_h": [13440],
+        "phash_xor": [8130959070006389008],
+    }
