@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_decontaminate": to.t_decontaminate,
         "t_repetition": to.t_repetition,
         "t_pack": to.t_pack,
+        "e_gram_topk": an.e_gram_topk,
         "t_sample_mix": to.t_sample_mix,
         "q2_min_cost_supplier": tx.q2_min_cost_supplier,
         "q8_market_share": tx.q8_market_share,
@@ -216,6 +217,14 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "e_gram_topk": (
+            "WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+            "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v "
+            "FROM embeddings) "
+            "SELECT qa.i AS a, qb.i AS b, CAST(SUM(qa.v * qb.v) AS BIGINT) AS g "
+            "FROM u qa JOIN u qb ON qa.vec_id = qb.vec_id AND qa.i < qb.i "
+            "GROUP BY 1, 2 ORDER BY ABS(g) DESC, a, b LIMIT 20"
+        ),
         "t_pack": (
             "WITH tk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents), "

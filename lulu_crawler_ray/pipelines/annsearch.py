@@ -645,3 +645,63 @@ def e_label_centroids(sf: str):
             ),
         }
     )
+
+
+def e_gram_topk(sf: str, k: int = 20):
+    """Distributed GRAM-MATRIX computation — the building block of PCA
+    / whitening over an embedding corpus: G[a,b] = Σ_i q_ia * q_ib on
+    micro-unit-quantized components (rint(x*1e6) int64), so every
+    partial product and the grouped sum are EXACT integers and the
+    DuckDB unnest-self-join oracle hash-matches. Scale shape: each
+    batch folds its rows into ONE dim x dim int64 matmul (numpy, exact
+    for int64), the shuffle carries dim^2 rows per block — never the
+    vectors; top-k |off-diagonal| finalizes in one task over the
+    4096-row aggregate. (The eigen-step of PCA is a driver-side 64x64
+    solve on this output.)"""
+    from .relational import grouped_agg
+
+    ds = read_table(sf, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"ij": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.rint(m * 1_000_000).astype(np.int64)
+        g = q.T @ q
+        d = g.shape[0]
+        return pa.table(
+            {
+                "ij": pa.array(np.arange(d * d, dtype=np.int64)),
+                "v": pa.array(g.ravel()),
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["ij"],
+        [("v", "sum", "v")],
+        round_to=None,
+    )
+
+    @ray.remote
+    def topk(*blocks: pa.Table) -> pa.Table:
+        t = pa.concat_tables(list(blocks)).combine_chunks()
+        ij = t["ij"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = int(np.sqrt(len(ij)))
+        a, b = ij // d, ij % d
+        keep = a < b
+        a, b, v = a[keep], b[keep], v[keep]
+        order = np.lexsort((b, a, -np.abs(v)))[:k]
+        return pa.table(
+            {
+                "a": pa.array(a[order] + 1),  # 1-based like SQL subscripts
+                "b": pa.array(b[order] + 1),
+                "g": pa.array(v[order]),
+            }
+        )
+
+    refs = agg.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([topk.remote(*refs)])
