@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import textops as to
     from lulu_crawler_ray.pipelines.pq import e_pq_ann as _pq_ann
     from lulu_crawler_ray.pipelines.graph import x1_pagerank as _pagerank
+    from lulu_crawler_ray.pipelines.kmeans import e_kmeans_int as _kmeans
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
     return {
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_repetition": to.t_repetition,
         "t_pack": to.t_pack,
         "e_gram_topk": an.e_gram_topk,
+        "e_kmeans_int": _kmeans,
         "t_sample_mix": to.t_sample_mix,
         "q2_min_cost_supplier": tx.q2_min_cost_supplier,
         "q8_market_share": tx.q8_market_share,
@@ -210,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
     from lulu_crawler_ray.pipelines.minhash_oracle import (
         minhash_pairs_sql,
         near_dedup_sql,
@@ -404,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash family — exact-deterministic end to end, so fully
         # SQL-checked (splitmix64 via HUGEINT 32-bit-split multiply;
         # see pipelines/minhash_oracle.py)
+        "e_kmeans_int": kmeans_sql(),
         "t_minhash_pairs": minhash_pairs_sql(),
         "t_near_dedup": near_dedup_sql(),
         "t_prep_pipeline": prep_pipeline_sql(),

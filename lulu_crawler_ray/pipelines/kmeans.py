@@ -1,0 +1,152 @@
+"""Bit-reproducible distributed k-means over the embeddings table —
+the integer-PageRank trick applied to clustering: components quantize
+to micro-units SHIFTED into the positive domain (q' = rint(x*1e6) +
+1e6; the shift cancels inside every distance difference), centroid
+updates use floor division on positive sums (where DuckDB's truncating
+``//`` equals numpy's floor ``//``), and ties break to the lowest
+centroid id — so every synchronous iteration is exactly reproducible
+and the unrolled-iteration DuckDB oracle hash-matches bit for bit.
+Float k-means (e_ivf_ann's internal spherical k-means) converges
+faster per flop but its block-order float sums are only
+recall-testable; this op is the exactness-contract variant.
+
+Scale shape per iteration: centroids (k x dim ints) broadcast via
+ray.put; ONE streaming pass computes assignments and folds each batch
+into k x dim partial sums + k counts (the shuffle carries k*(dim+1)
+rows per block, never vectors); the new centroids are a
+k*dim-row aggregate. The embeddings dataset materializes once and is
+reused across iterations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..sources.testdata import read_table
+
+OFFSET = 1_000_000
+SCALE = 1_000_000
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    return (np.rint(m.astype(np.float64) * SCALE) + OFFSET).astype(np.int64)
+
+
+def e_kmeans_int(sf: str, k: int = 4, iters: int = 3):
+    """queries() entry: k-means with integer-exact semantics; returns
+    one row per cluster (cid, n_members, c_sum) after ``iters``
+    assignment+update rounds — n_members from the LAST assignment,
+    c_sum = Σ_d centroid_d in the shifted integer domain."""
+    from .relational import grouped_agg
+
+    ds = read_table(sf, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    seed = (
+        ds.map_batches(
+            lambda t: t.filter(pa.compute.less(t["vec_id"], k)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cent = _quantize(np.array(seed["embedding"].tolist()))
+    dim = cent.shape[1]
+
+    def make_pass(cent_ref, count_only: bool):
+        def par(t: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            if t.num_rows == 0:
+                return pa.table(
+                    {"key": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+                )
+            q = _quantize(np.array(t["embedding"].to_pylist()))
+            # n x k exact int distances (dim-summed); ties -> lowest cid
+            d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            keys, svals = [], []
+            for j in range(k):
+                rows = q[a == j]
+                keys.append(np.int64(k * dim + j))  # count slot
+                svals.append(np.int64(len(rows)))
+                if not count_only and len(rows):
+                    keys.extend((np.arange(dim, dtype=np.int64) + j * dim).tolist())
+                    svals.extend(rows.sum(axis=0).tolist())
+            return pa.table(
+                {"key": pa.array(keys, pa.int64()), "s": pa.array(svals, pa.int64())}
+            )
+
+        return par
+
+    for it in range(iters):
+        cref = ray.put(cent)
+        last = it == iters - 1
+        agg = grouped_agg(
+            ds.map_batches(make_pass(cref, count_only=False), batch_format="pyarrow"),
+            ["key"],
+            [("s", "sum", "s")],
+            round_to=None,
+        ).to_pandas()
+        lut = dict(zip(agg["key"].astype(np.int64), agg["s"].astype(np.int64)))
+        counts = np.array([lut.get(k * dim + j, 0) for j in range(k)], np.int64)
+        new = cent.copy()
+        for j in range(k):
+            if counts[j] > 0:
+                s = np.array([lut.get(j * dim + d_, 0) for d_ in range(dim)], np.int64)
+                new[j] = s // counts[j]
+        if last:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "cid": pa.array(np.arange(k, dtype=np.int64)),
+                        "n_members": pa.array(counts),
+                        "c_sum": pa.array(new.sum(axis=1).astype(np.int64)),
+                    }
+                )
+            )
+        cent = new
+
+
+def kmeans_sql(k: int = 4, iters: int = 3) -> str:
+    """Unrolled-iteration DuckDB oracle for e_kmeans_int (the
+    minhash_oracle/pagerank pattern: the whole iterative algorithm as
+    one CTE chain, exact because every quantity is a positive int)."""
+    ctes = [
+        "u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+        f"CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {SCALE}, 0) AS BIGINT) "
+        f"+ {OFFSET} AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, i, v AS cv FROM u WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"d{it} AS (SELECT u.vec_id, c.cid, "
+            "SUM((u.v - c.cv) * (u.v - c.cv)) AS dist "
+            f"FROM u JOIN {prev} c ON u.i = c.i GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn "
+            f"FROM d{it}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT a.cid, u.i, SUM(u.v) // COUNT(*) AS cv "
+            f"FROM u JOIN a{it} a USING (vec_id) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT p.cid, p.i, COALESCE(m.cv, p.cv) AS cv "
+            f"FROM {prev} p LEFT JOIN m{it} m ON m.cid = p.cid AND m.i = p.i)"
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"nn AS (SELECT cid, COUNT(*) AS n FROM a{iters} GROUP BY 1)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT c.cid, CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_members, "
+        f"CAST(SUM(c.cv) AS BIGINT) AS c_sum FROM {prev} c "
+        "LEFT JOIN nn ON nn.cid = c.cid GROUP BY c.cid, nn.n ORDER BY c.cid"
+    )
