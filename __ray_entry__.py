@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_decontaminate": to.t_decontaminate,
         "t_repetition": to.t_repetition,
         "t_pack": to.t_pack,
+        "t_lm_score": to.t_lm_score,
         "e_gram_topk": an.e_gram_topk,
         "e_kmeans_int": _kmeans,
         "t_sample_mix": to.t_sample_mix,
@@ -220,6 +221,22 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "t_lm_score": (
+            "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "
+            "FROM documents)), "
+            "grams AS (SELECT doc_id, l[CAST(i AS BIGINT)] || ' ' || "
+            "l[CAST(i AS BIGINT)+1] AS g "
+            "FROM d2 CROSS JOIN LATERAL (SELECT UNNEST(range(1, ntok)) AS i) t "
+            "WHERE ntok >= 2), "
+            "model AS (SELECT g, COUNT(*) AS n FROM grams GROUP BY 1), "
+            "sc AS (SELECT gr.doc_id, COUNT(*) AS nb, SUM(m.n) AS fam "
+            "FROM grams gr JOIN model m ON gr.g = m.g GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(COALESCE(sc.fam, 0) AS BIGINT) AS familiarity "
+            "FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id) "
+            "ORDER BY doc_id"
+        ),
         "e_gram_topk": (
             "WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
             "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v "

@@ -997,3 +997,69 @@ def t_sample_mix(sf: str):
         return t.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
+
+
+def t_lm_score(sf: str):
+    """Statistical language-model QUALITY SCORING — the two-pass
+    train-then-score shape every count-based filter (KenLM-style
+    perplexity gates) runs: pass 1 trains the model = corpus-wide
+    bigram counts (per-batch combiner, then one grouped sum — the
+    shuffle carries distinct-per-block bigram hashes, never text);
+    pass 2 broadcasts the model (vocab^2-bounded, i.e. model-sized, not
+    corpus-sized) and scores each doc with its bigrams' total corpus
+    frequency ("familiarity") — an exact-integer stand-in for the
+    float log-prob sum, so the whole stage is DuckDB-hash-checked.
+    Output (doc_id, n_bigrams, familiarity)."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def _doc_bigram_hashes(s: str) -> np.ndarray:
+        toks = s.split()
+        if len(toks) < 2:
+            return np.zeros(0, np.uint64)
+        grams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+        return np.fromiter((tx._h64(g.encode()) for g in grams), np.uint64, len(grams))
+
+    def counts(t: pa.Table) -> pa.Table:
+        hs: dict[int, int] = {}
+        for s in t["text"].to_pylist():
+            for h in _doc_bigram_hashes(s):
+                hs[int(h)] = hs.get(int(h), 0) + 1
+        return pa.table(
+            {
+                "h": pa.array(list(hs.keys()), pa.uint64()),
+                "n": pa.array(list(hs.values()), pa.int64()),
+            }
+        )
+
+    model = grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["h"],
+        [("n", "sum", "n")],
+        round_to=None,
+    ).to_pandas()
+    mk = model["h"].to_numpy(np.uint64)
+    mv = model["n"].to_numpy(np.int64)
+    o = np.argsort(mk, kind="stable")
+    mref = ray.put((mk[o], mv[o]))
+
+    def score(t: pa.Table) -> pa.Table:
+        ks, vs = ray.get(mref)
+        nb, fam = [], []
+        for s in t["text"].to_pylist():
+            hs = _doc_bigram_hashes(s)
+            nb.append(len(hs))
+            if len(hs) == 0 or len(ks) == 0:
+                fam.append(0)
+                continue
+            idx = np.clip(np.searchsorted(ks, hs), 0, len(ks) - 1)
+            hit = ks[idx] == hs
+            fam.append(int(vs[idx[hit]].sum()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "familiarity": pa.array(fam, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
