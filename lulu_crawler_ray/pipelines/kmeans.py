@@ -55,7 +55,7 @@ def e_kmeans_int(sf: str, k: int = 4, iters: int = 3):
     cent = _quantize(np.array(seed["embedding"].tolist()))
     dim = cent.shape[1]
 
-    def make_pass(cent_ref, count_only: bool):
+    def make_pass(cent_ref):
         def par(t: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
             if t.num_rows == 0:
@@ -71,7 +71,7 @@ def e_kmeans_int(sf: str, k: int = 4, iters: int = 3):
                 rows = q[a == j]
                 keys.append(np.int64(k * dim + j))  # count slot
                 svals.append(np.int64(len(rows)))
-                if not count_only and len(rows):
+                if len(rows):
                     keys.extend((np.arange(dim, dtype=np.int64) + j * dim).tolist())
                     svals.extend(rows.sum(axis=0).tolist())
             return pa.table(
@@ -84,7 +84,7 @@ def e_kmeans_int(sf: str, k: int = 4, iters: int = 3):
         cref = ray.put(cent)
         last = it == iters - 1
         agg = grouped_agg(
-            ds.map_batches(make_pass(cref, count_only=False), batch_format="pyarrow"),
+            ds.map_batches(make_pass(cref), batch_format="pyarrow"),
             ["key"],
             [("s", "sum", "s")],
             round_to=None,

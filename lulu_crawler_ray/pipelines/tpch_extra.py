@@ -47,6 +47,15 @@ def _cents(col) -> np.ndarray:
     return np.rint(col.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
 
 
+def _np_col(df, name: str, dtype=np.int64) -> np.ndarray:
+    """Column as numpy, robust to the EMPTY grouped_agg to_pandas()
+    frame: an aggregate with zero rows loses its columns entirely, so
+    df[name] would KeyError on a legal empty dimension filter."""
+    if name not in df.columns:
+        return np.zeros(0, dtype)
+    return df[name].to_numpy(dtype)
+
+
 def q12_priority_lines(sf: str, lo: str = "1996-01-01", hi: str = "1997-01-01"):
     """TPC-H Q12 shape — fact ⋈ fact with a CASE pivot: lineitems
     shipped in the window, joined to their order's priority, counted
@@ -199,16 +208,17 @@ def q17_small_qty_revenue(sf: str, brand: str = "Brand#23", max_size: int = 15):
         round_to=None,
     ).to_pandas()
     aref = _sorted_ref(
-        agg["l_partkey"].to_numpy(np.int64),
-        agg["sq"].to_numpy(np.int64),
-        agg["cq"].to_numpy(np.int64),
+        _np_col(agg, "l_partkey"), _np_col(agg, "sq"), _np_col(agg, "cq")
     )
 
     def pass2(t: pa.Table) -> pa.Table:
         ks, sq, cq = ray.get(aref)
         hit, idx = _probe(ks, t["l_partkey"].to_numpy())
         qc = _cents(t["l_quantity"])
-        small = hit & (qc * 5 * np.where(hit, cq[idx], 0) < np.where(hit, sq[idx], 0))
+        if len(ks):
+            small = hit & (qc * 5 * np.where(hit, cq[idx], 0) < np.where(hit, sq[idx], 0))
+        else:
+            small = np.zeros(len(hit), bool)
         price_c = _cents(t["l_extendedprice"])
         return pa.table(
             {
@@ -293,11 +303,10 @@ def q22_idle_customers(sf: str, nations: tuple[int, ...] = (1, 3, 5, 7, 9)):
         keep = bal * cnt > sum_c
         have = ray.get(href)
         keep &= ~np.isin(t["c_custkey"].to_numpy(), have)
-        t = t.filter(pa.array(keep))
         return pa.table(
             {
-                "c_nationkey": t["c_nationkey"],
-                "bal_c": pa.array(_cents(t["c_acctbal"])),
+                "c_nationkey": t["c_nationkey"].filter(pa.array(keep)),
+                "bal_c": pa.array(bal[keep]),
             }
         )
 
@@ -339,15 +348,16 @@ def q2_min_cost_supplier(sf: str, p_type: str = "LARGE", max_size: int = 20):
     mins = grouped_agg(
         offers, ["p_partkey"], [("mc", "min", "cost_c")], round_to=None
     ).to_pandas()
-    mref = _sorted_ref(
-        mins["p_partkey"].to_numpy(np.int64), mins["mc"].to_numpy(np.int64)
-    )
+    mref = _sorted_ref(_np_col(mins, "p_partkey"), _np_col(mins, "mc"))
 
     def achievers(t: pa.Table) -> pa.Table:
         ks, mc = ray.get(mref)
         hit, idx = _probe(ks, t["l_partkey"].to_numpy())
         cost = _cents(t["l_extendedprice"])
-        keep = hit & (cost == np.where(hit, mc[idx], -1))
+        if len(ks):
+            keep = hit & (cost == np.where(hit, mc[idx], -1))
+        else:
+            keep = np.zeros(len(hit), bool)
         t = t.filter(pa.array(keep))
         return pa.table(
             {
@@ -399,7 +409,10 @@ def q11_important_parts(sf: str, num: int = 6, den: int = 5):
     li = read_table(sf, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
 
     def vmap(t: pa.Table) -> pa.Table:
-        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        # rint, not truncating astype: the oracle CASTs to BIGINT and
+        # quantities are integral by contract — rint keeps both sides
+        # identical even if a generator ever emits 12.999999...
+        qty = np.rint(t["l_quantity"].to_numpy()).astype(np.int64)
         return pa.table(
             {
                 "l_partkey": t["l_partkey"],
@@ -780,16 +793,17 @@ def q20_part_promotion(
         d, ["l_partkey"], [("tq", "sum", "sq"), ("ns", "count", None)], round_to=None
     ).to_pandas()
     aref = _sorted_ref(
-        per_part["l_partkey"].to_numpy(np.int64),
-        per_part["tq"].to_numpy(np.int64),
-        per_part["ns"].to_numpy(np.int64),
+        _np_col(per_part, "l_partkey"), _np_col(per_part, "tq"), _np_col(per_part, "ns")
     )
 
     def exceeders(t: pa.Table) -> pa.Table:
         ks, tq, ns = ray.get(aref)
         hit, idx = _probe(ks, t["l_partkey"].to_numpy(zero_copy_only=False))
         sq = t["sq"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = hit & (sq * np.where(hit, ns[idx], 0) * 2 > np.where(hit, tq[idx], 0) * 3)
+        if len(ks):
+            keep = hit & (sq * np.where(hit, ns[idx], 0) * 2 > np.where(hit, tq[idx], 0) * 3)
+        else:
+            keep = np.zeros(len(hit), bool)
         return pa.table({"s_suppkey": t["l_suppkey"].filter(pa.array(keep)).cast(pa.int64())})
 
     winners = grouped_agg(

@@ -62,3 +62,17 @@ def test_max_urls_one(tmp_path, ray_session):
     assert res["metrics"]["ranks"] == 1 == len(oracle.ledger)
     led = pads.dataset(f"{out}/ledger", format="parquet").to_table()
     assert led["url"].to_pylist() == [oracle.ledger[0]["url"]]
+
+
+def test_tpch_extra_empty_dimension_filters(ray_session):
+    """A legal-but-empty dimension filter must produce the oracle's
+    defined result (0-row set, or one zero row for the scalar
+    aggregate), not crash on the column-less empty aggregate frame
+    (code-review finding: _np_col + empty-broadcast guards)."""
+    from lulu_crawler_ray.pipelines import tpch_extra as tx
+
+    sf = "/root/testdata/sf0.001"
+    q17 = tx.q17_small_qty_revenue(sf, brand="Brand#99").to_pandas()
+    assert q17["small_qty_revenue_c"].tolist() == [0]
+    assert len(tx.q2_min_cost_supplier(sf, p_type="NOPE").to_pandas()) == 0
+    assert len(tx.q20_part_promotion(sf, name_word="zzz").to_pandas()) == 0
