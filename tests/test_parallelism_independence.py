@@ -54,3 +54,41 @@ def test_distributed_hot_split_path_parallelism_independent(tmp_path):
     h2 = _run(2, str(tmp_path / "d2"), extra)
     h8 = _run(8, str(tmp_path / "d8"), extra)
     assert h2 == h8
+
+
+def _run_queries_hash(ncpu: int) -> str:
+    """Hash of the concatenated, canonically-sorted outputs of the
+    round-3 iterative/prefix-scan ops — the ones whose determinism
+    depends on block structure (kmeans iterations, gram-matrix fold,
+    pack's prefix scan, lm-score's broadcast model)."""
+    code = textwrap.dedent(f"""
+        import hashlib, ray
+        ray.init(address="local", num_cpus={ncpu}, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from lulu_crawler_ray.pipelines.kmeans import e_kmeans_int
+        from lulu_crawler_ray.pipelines.annsearch import e_gram_topk
+        from lulu_crawler_ray.pipelines.textops import t_pack, t_lm_score
+        sf = "/root/testdata/sf0.01"
+        h = hashlib.sha256()
+        for fn in (e_kmeans_int, e_gram_topk, t_pack, t_lm_score):
+            df = fn(sf).to_pandas()
+            df = df[sorted(df.columns)].sort_values(list(sorted(df.columns)))
+            h.update(df.to_csv(index=False).encode())
+        print("QHASH", h.hexdigest())
+        ray.shutdown()
+    """)
+    out_text = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True,
+        timeout=420,
+    ).stdout
+    return [l for l in out_text.splitlines() if l.startswith("QHASH")][0]
+
+
+def test_iterative_ops_parallelism_independent():
+    """e_kmeans_int / e_gram_topk / t_pack / t_lm_score are exact-
+    integer contracts: 2 CPUs and 16 CPUs (different block counts,
+    different partial-fold orders) must produce byte-identical
+    results."""
+    assert _run_queries_hash(2) == _run_queries_hash(16)
