@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w8_dense_rank": rl.w8_dense_rank,
         "d7_fuzzy_pairs": rl.d7_fuzzy_pairs,
         "s8_bucketed_roundtrip": rl.s8_bucketed_roundtrip,
+        "s9_jsonl_roundtrip": rl.s9_jsonl_roundtrip,
+        "s10_csv_roundtrip": rl.s10_csv_roundtrip,
         "x1_pagerank": _pagerank,
         "j6_left_join": rl.j6_left_join,
         "j7_full_outer": rl.j7_full_outer,
@@ -862,6 +864,12 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT COUNT(*) AS n_tok FROM tok) "
             "SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok "
             "GROUP BY term HAVING COUNT(*) * 200 > (SELECT n_tok FROM n)"
+        ),
+        "s9_jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source FROM documents"
+        ),
+        "s10_csv_roundtrip": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders"
         ),
         "s8_bucketed_roundtrip": (
             "SELECT l_orderkey, l_linenumber, "

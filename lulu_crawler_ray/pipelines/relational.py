@@ -2769,3 +2769,47 @@ def o7_ntile(sf: str, tiles: int = 4):
         _o7_assign.remote(b, off, run, tiles) for b, off in zip(blocks, offsets)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+def s9_jsonl_roundtrip(sf: str):
+    """S9 — JSONL sink/source roundtrip: documents write as JSON-lines
+    shards (the interchange format most text-corpus tooling speaks),
+    read back, and must hash-equal a plain SELECT over the parquet
+    original — proving the sink escapes/encodes losslessly and the
+    reader re-types int64/string columns exactly. Fresh dir per call."""
+    import shutil
+    import tempfile
+
+    ds = read_table(sf, "documents", ["doc_id", "text", "lang", "source"])
+    out = tempfile.mkdtemp(prefix="lulu-jsonl-")
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_json(out)
+    back = ray.data.read_json(out)
+    return back.map_batches(
+        lambda t: t.select(["doc_id", "text", "lang", "source"]),
+        batch_format="pyarrow",
+    )
+
+
+def s10_csv_roundtrip(sf: str):
+    """S10 — CSV sink/source roundtrip over the numeric orders columns
+    (timestamps/floats excluded: CSV re-parsing of those is
+    representation-lossy by design; int columns roundtrip exactly)."""
+    import shutil
+    import tempfile
+
+    ds = read_table(sf, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    out = tempfile.mkdtemp(prefix="lulu-csv-")
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_csv(out)
+    back = ray.data.read_csv(out)
+    return back.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "o_orderstatus": t["o_orderstatus"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
