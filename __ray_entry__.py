@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g1_groupby_count": rl.g1_groupby_count,
         "g3_distinct": rl.g3_distinct,
         "g4_hll_distinct": rl.g4_hll_distinct,
+        "g18_hll_registers": rl.g18_hll_registers,
         "g5_grouped_stats": rl.g5_grouped_stats,
         "q1_pricing_summary": rl.q1_pricing_summary,
         "q3_shipping_priority": rl.q3_shipping_priority,
@@ -217,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
     from lulu_crawler_ray.pipelines.minhash_oracle import (
+        hll_registers_sql,
         minhash_pairs_sql,
         near_dedup_sql,
         prep_pipeline_sql,
@@ -427,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         # SQL-checked (splitmix64 via HUGEINT 32-bit-split multiply;
         # see pipelines/minhash_oracle.py)
         "e_kmeans_int": kmeans_sql(),
+        "g18_hll_registers": hll_registers_sql(),
         "t_minhash_pairs": minhash_pairs_sql(),
         "t_near_dedup": near_dedup_sql(),
         "t_prep_pipeline": prep_pipeline_sql(),

@@ -180,3 +180,32 @@ SELECT e.lang, COUNT(*) AS n_docs, CAST(SUM(e.n_tokens) AS BIGINT) AS sum_tokens
 FROM exact_kept e JOIN kept USING (doc_id)
 GROUP BY e.lang"""
     )
+
+
+def hll_registers_sql(p: int = 12) -> str:
+    """Oracle for g18_hll_registers: the HLL register state as exact
+    integers — splitmix64 (same x0..x5 HUGEINT chain as the minhash
+    CTEs, no seed xor), bucket = top-p bits, rank = 65 - bitlength of
+    (h << p | low-ones) via DuckDB's minimal-length bin(). DISTINCT
+    first is free: registers are max-folds, idempotent over
+    duplicates."""
+    m = 1 << p
+    shift = 1 << (64 - p)
+    return f"""WITH hv AS (SELECT DISTINCT l_partkey FROM lineitem),
+hx AS (
+  SELECT
+    (CAST(l_partkey AS HUGEINT) + {_GOLD}) % {_M64} AS x0,
+    xor(x0, x0 >> 30) AS x1,
+    {_mul64('x1', _C1)} AS x2,
+    xor(x2, x2 >> 27) AS x3,
+    {_mul64('x3', _C2)} AS x4,
+    xor(x4, x4 >> 31) AS x5
+  FROM hv
+),
+rr AS (
+  SELECT x5 // {shift} AS idx,
+    65 - length(bin(CAST(({_mul64('x5', m)} + {m - 1}) AS UBIGINT))) AS rank
+  FROM hx
+),
+reg AS (SELECT idx, MAX(rank) AS r FROM rr GROUP BY idx)
+SELECT CAST(SUM(r) AS BIGINT) AS reg_sum, CAST(COUNT(*) AS BIGINT) AS n_nonzero FROM reg"""

@@ -2813,3 +2813,36 @@ def s10_csv_roundtrip(sf: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def g18_hll_registers(sf: str, p: int = 12):
+    """G18 — the HLL sketch's REGISTER STATE as an exact-integer
+    contract: g4's ±2% estimate can't cross-check against SQL, but the
+    registers themselves (splitmix64 hash -> top-p bucket -> max
+    leading-zero rank) are a deterministic integer function of the
+    value set, so (Σ registers, #nonzero) hash-check against a DuckDB
+    oracle that reproduces the hash in HUGEINT. Proves the 10^10-scale
+    distinct sketch bit-for-bit, not just within tolerance; mergeable
+    elementwise-max partials per batch, one tiny driver fold."""
+    from ..functions.hll import HyperLogLog
+
+    ds = read_table(sf, "lineitem", ["l_partkey"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(p=p)
+        h.add_many(t["l_partkey"].to_numpy().astype(np.uint64))
+        return pa.table({"registers": pa.array([h.registers.tobytes()], pa.binary())})
+
+    h = HyperLogLog(p=p)
+    for b in ds.map_batches(sketch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=1024
+    ):
+        for r in b["registers"].to_pylist():
+            h.merge_registers(r)
+    reg = h.registers
+    return pa.table(
+        {
+            "reg_sum": pa.array([int(reg.sum())], pa.int64()),
+            "n_nonzero": pa.array([int((reg > 0).sum())], pa.int64()),
+        }
+    )
