@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g3_distinct": rl.g3_distinct,
         "g4_hll_distinct": rl.g4_hll_distinct,
         "g18_hll_registers": rl.g18_hll_registers,
+        "w10_funnel": rl.w10_funnel,
         "g5_grouped_stats": rl.g5_grouped_stats,
         "q1_pricing_summary": rl.q1_pricing_summary,
         "q3_shipping_priority": rl.q3_shipping_priority,
@@ -430,6 +431,22 @@ def oracle_sql() -> dict[str, str]:
         # see pipelines/minhash_oracle.py)
         "e_kmeans_int": kmeans_sql(),
         "g18_hll_registers": hll_registers_sql(),
+        "w10_funnel": (
+            "WITH v AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts > v.t "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts > c.t "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT u.user_id, CAST(CASE WHEN p.user_id IS NOT NULL THEN 3 "
+            "WHEN c.user_id IS NOT NULL THEN 2 "
+            "WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_depth "
+            "FROM (SELECT DISTINCT user_id FROM events) u "
+            "LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) "
+            "LEFT JOIN p USING (user_id) ORDER BY user_id"
+        ),
         "t_minhash_pairs": minhash_pairs_sql(),
         "t_near_dedup": near_dedup_sql(),
         "t_prep_pipeline": prep_pipeline_sql(),

@@ -2846,3 +2846,81 @@ def g18_hll_registers(sf: str, p: int = 12):
             "n_nonzero": pa.array([int((reg > 0).sum())], pa.int64()),
         }
     )
+
+
+def _ts_us(col) -> np.ndarray:
+    return col.cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+
+
+def w10_funnel(sf: str, steps: tuple[str, ...] = ("view", "click", "purchase")):
+    """W10 — FUNNEL analysis (the event-analytics staple): per user,
+    how deep into the ordered step sequence view -> click -> purchase
+    they progressed, each step strictly AFTER the previous one in event
+    time. Greedy-earliest is exact for existence (taking the earliest
+    qualifying event at each step never forecloses a deeper match), so
+    the funnel decomposes into ONE pre-aggregated grouped MIN per step
+    — each pass filters on the broadcast previous-step time (user ->
+    ts sorted arrays, the j3 pattern; per-user state is user-table-
+    sized, the same budget every funnel engine carries). No sort, no
+    row shuffle: the shuffle carries one (user, min_ts) row per block
+    per step."""
+    ds = read_table(sf, "events", ["user_id", "ts", "event_type"])
+
+    def step_pass(step: str, prev_ref):
+        def f(t: pa.Table) -> pa.Table:
+            t2 = t.filter(pc.equal(t["event_type"], step))
+            if t2.num_rows == 0:
+                return pa.table(
+                    {"user_id": pa.array([], pa.int64()), "ts_us": pa.array([], pa.int64())}
+                )
+            us = _ts_us(t2["ts"])
+            uid = t2["user_id"].to_numpy()
+            if prev_ref is not None:
+                ks, pt = ray.get(prev_ref)
+                if len(ks) == 0:
+                    return pa.table(
+                        {"user_id": pa.array([], pa.int64()), "ts_us": pa.array([], pa.int64())}
+                    )
+                idx = np.clip(np.searchsorted(ks, uid), 0, len(ks) - 1)
+                keep = (ks[idx] == uid) & (us > pt[idx])
+                uid, us = uid[keep], us[keep]
+            return pa.table(
+                {"user_id": pa.array(uid, pa.int64()), "ts_us": pa.array(us, pa.int64())}
+            )
+
+        agg = grouped_agg(
+            ds.map_batches(f, batch_format="pyarrow"),
+            ["user_id"],
+            [("t", "min", "ts_us")],
+            round_to=None,
+        ).to_pandas()
+        uk = agg["user_id"].to_numpy(np.int64) if "user_id" in agg.columns else np.zeros(0, np.int64)
+        tv = agg["t"].to_numpy(np.int64) if "t" in agg.columns else np.zeros(0, np.int64)
+        o = np.argsort(uk, kind="stable")
+        return ray.put((uk[o], tv[o]))
+
+    refs = []
+    prev = None
+    for s in steps:
+        prev = step_pass(s, prev)
+        refs.append(prev)
+
+    users = grouped_agg(
+        ds.map_batches(lambda t: t.select(["user_id"]), batch_format="pyarrow"),
+        ["user_id"],
+        [("__n", "count", None)],
+        round_to=None,
+    )
+
+    def depth(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        d = np.zeros(len(uid), np.int64)
+        for i, r in enumerate(refs, start=1):
+            ks = ray.get(r)[0]  # broadcast once per actor, not per task
+            if len(ks):
+                d = np.where(np.isin(uid, ks), i, d)
+        return pa.table(
+            {"user_id": pa.array(uid, pa.int64()), "funnel_depth": pa.array(d)}
+        )
+
+    return users.map_batches(depth, batch_format="pyarrow").sort("user_id")
