@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import textops as to
     from lulu_crawler_ray.pipelines.pq import e_pq_ann as _pq_ann
     from lulu_crawler_ray.pipelines.graph import x1_pagerank as _pagerank
+    from lulu_crawler_ray.pipelines.graph import x2_triangles as _triangles
     from lulu_crawler_ray.pipelines.kmeans import e_kmeans_int as _kmeans
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
@@ -128,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s9_jsonl_roundtrip": rl.s9_jsonl_roundtrip,
         "s10_csv_roundtrip": rl.s10_csv_roundtrip,
         "x1_pagerank": _pagerank,
+        "x2_triangles": _triangles,
         "j6_left_join": rl.j6_left_join,
         "j7_full_outer": rl.j7_full_outer,
         "g11_pivot": rl.g11_pivot,
@@ -431,6 +433,14 @@ def oracle_sql() -> dict[str, str]:
         # see pipelines/minhash_oracle.py)
         "e_kmeans_int": kmeans_sql(),
         "g18_hll_registers": hll_registers_sql(),
+        "x2_triangles": (
+            "WITH raw AS (SELECT (l_orderkey % 1000) AS s, (l_partkey % 1000) AS d "
+            "FROM lineitem WHERE (l_orderkey + l_partkey) % 13 = 0), "
+            "e AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v "
+            "FROM raw WHERE s <> d) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e e1 "
+            "JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v"
+        ),
         "w10_funnel": (
             "WITH v AS (SELECT user_id, MIN(ts) AS t FROM events "
             "WHERE event_type = 'view' GROUP BY 1), "
