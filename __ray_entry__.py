@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g4_hll_distinct": rl.g4_hll_distinct,
         "g18_hll_registers": rl.g18_hll_registers,
         "w10_funnel": rl.w10_funnel,
+        "g19_string_agg": rl.g19_string_agg,
+        "m16_unpivot": rl.m16_unpivot,
         "g5_grouped_stats": rl.g5_grouped_stats,
         "q1_pricing_summary": rl.q1_pricing_summary,
         "q3_shipping_priority": rl.q3_shipping_priority,
@@ -433,6 +435,21 @@ def oracle_sql() -> dict[str, str]:
         # see pipelines/minhash_oracle.py)
         "e_kmeans_int": kmeans_sql(),
         "g18_hll_registers": hll_registers_sql(),
+        "g19_string_agg": (
+            "SELECT c_mktsegment, STRING_AGG(CAST(c_custkey AS VARCHAR), ',' "
+            "ORDER BY c_custkey) AS top_custkeys FROM ("
+            "SELECT c_mktsegment, c_custkey, ROW_NUMBER() OVER "
+            "(PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn FROM customer) t "
+            "WHERE rn <= 3 GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "m16_unpivot": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "measure, CAST(ROUND(val*100,0) AS BIGINT) AS value_c FROM ("
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "
+            "l_quantity AS val FROM lineitem UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t"
+        ),
         "x2_triangles": (
             "WITH raw AS (SELECT (l_orderkey % 1000) AS s, (l_partkey % 1000) AS d "
             "FROM lineitem WHERE (l_orderkey + l_partkey) % 13 = 0), "

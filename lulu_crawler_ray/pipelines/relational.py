@@ -2924,3 +2924,94 @@ def w10_funnel(sf: str, steps: tuple[str, ...] = ("view", "click", "purchase")):
         )
 
     return users.map_batches(depth, batch_format="pyarrow").sort("user_id")
+
+
+def g19_string_agg(sf: str, k: int = 3):
+    """G19 — grouped STRING_AGG / collect-list with a deterministic
+    order contract: per market segment, the k smallest custkeys as a
+    CSV string. Composition: grouped top-k (per-batch partial top-k
+    combiner — the o5 pattern — so the shuffle carries k rows per
+    (segment, block)) then a tiny per-group stringify. List-shaped
+    aggregation results stay bounded (k per group) — the only
+    string-agg that makes sense at 100 TB."""
+    ds = read_table(sf, "customer", ["c_mktsegment", "c_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("c_mktsegment", "ascending"), ("c_custkey", "ascending")]
+            )
+        )
+        seg = np.asarray(t["c_mktsegment"].to_pylist(), dtype=object)
+        keys = t["c_custkey"].to_numpy()
+        out_s, out_k = [], []
+        if len(seg):
+            change = np.r_[True, seg[1:] != seg[:-1]]
+            grp = np.cumsum(change) - 1
+            starts = np.flatnonzero(change)
+            for gi, st in enumerate(starts):
+                en = starts[gi + 1] if gi + 1 < len(starts) else len(seg)
+                take = min(k, en - st)
+                out_s.extend([seg[st]] * take)
+                out_k.extend(keys[st : st + take].tolist())
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(out_s, pa.string()),
+                "c_custkey": pa.array(out_k, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    @ray.remote
+    def finalize(*blocks: pa.Table) -> pa.Table:
+        t = pa.concat_tables(list(blocks)).combine_chunks()
+        df = t.to_pandas().sort_values(["c_mktsegment", "c_custkey"])
+        rows_s, rows_v = [], []
+        for seg, g in df.groupby("c_mktsegment", sort=True):
+            rows_s.append(seg)
+            rows_v.append(",".join(str(x) for x in g["c_custkey"].head(k)))
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(rows_s, pa.string()),
+                "top_custkeys": pa.array(rows_v, pa.string()),
+            }
+        )
+
+    refs = parts.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([finalize.remote(*refs)])
+
+
+_M16_MEASURES = ("l_quantity", "l_discount", "l_tax")
+
+
+def m16_unpivot(sf: str):
+    """M16 — UNPIVOT (wide -> long melt): each lineitem row explodes
+    into one (orderkey, linenumber, measure, value_c) row per measure
+    column. Pure streaming map (the inverse of g11's pivot); exact
+    centi-unit values."""
+    cols = ["l_orderkey", "l_linenumber", *list(_M16_MEASURES)]
+    ds = read_table(sf, "lineitem", cols)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok = t["l_orderkey"].to_numpy()
+        ln = t["l_linenumber"].to_numpy().astype(np.int64)
+        out_ok = np.tile(ok, len(_M16_MEASURES))
+        out_ln = np.tile(ln, len(_M16_MEASURES))
+        names = np.repeat(np.array(_M16_MEASURES, object), n)
+        vals = np.concatenate([_cents_arr(t[m]) for m in _M16_MEASURES])
+        return pa.table(
+            {
+                "l_orderkey": pa.array(out_ok),
+                "l_linenumber": pa.array(out_ln),
+                "measure": pa.array(names, pa.string()),
+                "value_c": pa.array(vals),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def _cents_arr(col) -> np.ndarray:
+    return np.rint(col.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
