@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_repetition": to.t_repetition,
         "t_pack": to.t_pack,
         "t_lm_score": to.t_lm_score,
+        "t_prep_v2": to.t_prep_v2,
         "e_gram_topk": an.e_gram_topk,
         "e_kmeans_int": _kmeans,
         "t_sample_mix": to.t_sample_mix,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         minhash_pairs_sql,
         near_dedup_sql,
         prep_pipeline_sql,
+        prep_v2_sql,
     )
 
     return {
@@ -435,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         # see pipelines/minhash_oracle.py)
         "e_kmeans_int": kmeans_sql(),
         "g18_hll_registers": hll_registers_sql(),
+        "t_prep_v2": prep_v2_sql(),
         "g19_string_agg": (
             "SELECT c_mktsegment, STRING_AGG(CAST(c_custkey AS VARCHAR), ',' "
             "ORDER BY c_custkey) AS top_custkeys FROM ("

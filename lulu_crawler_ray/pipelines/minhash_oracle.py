@@ -209,3 +209,47 @@ rr AS (
 ),
 reg AS (SELECT idx, MAX(rank) AS r FROM rr GROUP BY idx)
 SELECT CAST(SUM(r) AS BIGINT) AS reg_sum, CAST(COUNT(*) AS BIGINT) AS n_nonzero FROM reg"""
+
+
+def prep_v2_sql(min_tokens: int = 10, bench_mod: int = 10, window: int = 256) -> str:
+    """Oracle for t_prep_v2 — the full corpus-prep DAG as ONE SQL
+    statement: repetition+length gate, 3-gram benchmark
+    decontamination (same md5-prefix hash as the engine), exact dedup,
+    the minhash survivor chain (survivor_ctes), and the packing prefix
+    scan. Same defaults as textops.t_prep_v2."""
+    head = f"""pv_d2 AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l FROM documents),
+pv_d3 AS (SELECT doc_id, text, l, len(l) AS ntok FROM pv_d2),
+pv_big AS (
+  SELECT doc_id, l[CAST(i AS BIGINT)] || ' ' || l[CAST(i AS BIGINT)+1] AS g
+  FROM pv_d3 CROSS JOIN LATERAL (SELECT UNNEST(range(1, ntok)) AS i) t WHERE ntok >= 2
+  UNION ALL SELECT doc_id, array_to_string(l, ' ') FROM pv_d3 WHERE ntok >= 1 AND ntok < 2),
+pv_rep AS MATERIALIZED (SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT g) AS nd FROM pv_big GROUP BY 1),
+pv_gated AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.ntok FROM pv_d3 d LEFT JOIN pv_rep r USING (doc_id)
+  WHERE d.ntok >= {min_tokens}
+    AND (COALESCE(r.ng, 0) - COALESCE(r.nd, 0)) * 20 <= COALESCE(r.ng, 0)),
+pv_tri AS (
+  SELECT doc_id, l[CAST(i AS BIGINT)] || ' ' || l[CAST(i AS BIGINT)+1] || ' ' || l[CAST(i AS BIGINT)+2] AS g
+  FROM pv_d3 CROSS JOIN LATERAL (SELECT UNNEST(range(1, ntok - 1)) AS i) t WHERE ntok >= 3
+  UNION ALL SELECT doc_id, array_to_string(l, ' ') FROM pv_d3 WHERE ntok >= 1 AND ntok < 3),
+pv_sh3 AS MATERIALIZED (SELECT DISTINCT doc_id, CAST(CAST('0x' || substr(md5(g),1,16) AS UBIGINT) AS HUGEINT) AS h FROM pv_tri),
+pv_bench AS MATERIALIZED (SELECT DISTINCT h FROM pv_sh3 WHERE doc_id % {bench_mod} = 0),
+pv_contam AS MATERIALIZED (SELECT DISTINCT s.doc_id FROM pv_sh3 s JOIN pv_bench b ON s.h = b.h
+              WHERE s.doc_id % {bench_mod} <> 0),
+pv_decon AS MATERIALIZED (SELECT g.* FROM pv_gated g WHERE g.doc_id % {bench_mod} <> 0
+             AND g.doc_id NOT IN (SELECT doc_id FROM pv_contam)),
+exact_kept2 AS MATERIALIZED (SELECT d.* FROM pv_decon d JOIN (
+  SELECT MIN(doc_id) AS doc_id FROM pv_decon GROUP BY text) w USING (doc_id)),
+"""
+    tail = f""",
+pv_surv AS MATERIALIZED (SELECT e.doc_id, e.ntok FROM exact_kept2 e JOIN kept USING (doc_id)),
+pv_packed AS (SELECT doc_id, SUM(ntok) OVER (ORDER BY doc_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS start_tok FROM pv_surv)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_in,
+  CAST((SELECT COUNT(*) FROM pv_gated) AS BIGINT) AS n_gate,
+  CAST((SELECT COUNT(*) FROM pv_decon) AS BIGINT) AS n_decon,
+  CAST((SELECT COUNT(*) FROM exact_kept2) AS BIGINT) AS n_exact,
+  CAST((SELECT COUNT(*) FROM pv_surv) AS BIGINT) AS n_near,
+  CAST((SELECT COALESCE(SUM(ntok), 0) FROM pv_surv) AS BIGINT) AS total_tokens,
+  CAST((SELECT COUNT(DISTINCT start_tok // {window}) FROM pv_packed) AS BIGINT) AS n_chunks"""
+    return "WITH RECURSIVE " + head + survivor_ctes("exact_kept2") + tail

@@ -1063,3 +1063,143 @@ def t_lm_score(sf: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def t_prep_v2(sf: str, min_tokens: int = 10, bench_mod: int = 10, window: int = 256):
+    """The FULL corpus-prep DAG v2 — every stage a real pipeline runs,
+    composed end to end WITH a bit-exact DuckDB oracle (t_prep_pipeline
+    plus the round-3 additions):
+
+        repetition + length gate  (dup-bigram frac <= 5%, >= min_tokens)
+        -> benchmark DECONTAMINATION (drop held-out docs + any doc
+           sharing a 3-gram with them)
+        -> exact dedup (min doc_id per content hash)
+        -> MinHash near-dedup (LSH -> Jaccard verify -> components)
+        -> sequence PACKING of the survivors (prefix scan, fixed window)
+        -> one-row integer funnel summary
+
+    Output (n_in, n_gate, n_decon, n_exact, n_near, total_tokens,
+    n_chunks) — each count is a stage boundary, so a single hash check
+    pins the whole DAG. Scale shape: gates/decontamination are
+    streaming maps over a broadcast hash set; dedups are the verified
+    adaptive-join machinery; packing is the O(blocks) boundary
+    exchange."""
+    from ..sources.testdata import table_rows
+    from .relational import adaptive_join
+
+    docs = read_table(sf, "documents", ["doc_id", "text"]).materialize()
+    n_in = table_rows(sf, "documents")
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        keep, ntoks = [], []
+        for s in texts:
+            toks = s.split()
+            n = len(toks)
+            if n < 2:
+                grams = [" ".join(toks)] if toks else []
+            else:
+                grams = [toks[i] + " " + toks[i + 1] for i in range(n - 1)]
+            ng, nd = len(grams), len(set(grams))
+            keep.append(n >= min_tokens and (ng - nd) * 20 <= ng)
+            ntoks.append(n)
+        m = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(m),
+                "text": t["text"].filter(m),
+                "n_tok": pa.array(np.array(ntoks, np.int64)[np.array(keep)]),
+            }
+        )
+
+    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
+    n_gate = gated.count()
+
+    # benchmark 3-gram hash set from the FULL corpus (the held-out set
+    # is independent of the gates), broadcast once
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        hs: set[int] = set()
+        for did, s in zip(ids, t["text"].to_pylist()):
+            if did % bench_mod == 0:
+                hs.update(tx.shingles(s, 3))
+        return pa.table({"h": pa.array(sorted(hs), pa.uint64())})
+
+    bench = docs.map_batches(bench_hashes, batch_format="pyarrow").unique("h")
+    bref = ray.put(np.sort(np.fromiter(bench, np.uint64, count=len(bench))))
+
+    def decon(t: pa.Table) -> pa.Table:
+        bh = ray.get(bref)
+        ids = t["doc_id"].to_numpy()
+        keep = np.ones(len(ids), bool)
+        for i, (did, s) in enumerate(zip(ids, t["text"].to_pylist())):
+            if did % bench_mod == 0:
+                keep[i] = False
+                continue
+            if len(bh):
+                sh = np.fromiter(tx.shingles(s, 3), np.uint64)
+                if len(sh):
+                    idx = np.clip(np.searchsorted(bh, sh), 0, len(bh) - 1)
+                    keep[i] = not bool((bh[idx] == sh).any())
+        return t.filter(pa.array(keep))
+
+    decon_ds = gated.map_batches(decon, batch_format="pyarrow").materialize()
+    n_decon = decon_ds.count()
+
+    def h(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()), "doc_id": t["doc_id"]})
+
+    winners = (
+        decon_ds.map_batches(h, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    )
+    exact_kept = adaptive_join(decon_ds, winners, "doc_id", "doc_id").materialize()
+    n_exact = exact_kept.count()
+
+    survivors = near_dedup_minhash(exact_kept.select_columns(["doc_id", "text"]))
+    surv = adaptive_join(exact_kept, survivors, "doc_id", "doc_id").materialize()
+    n_near = surv.count()
+
+    # pack the survivors: prefix scan over doc_id order; n_chunks =
+    # distinct start//window, counted with an O(blocks) boundary merge
+    blocks = (
+        surv.select_columns(["doc_id", "n_tok"]).sort("doc_id").materialize().to_arrow_refs()
+    )
+    sums = ray.get([_pack_block_sum.remote(b) for b in blocks])
+    total_tokens = int(sum(sums))
+    prefixes = np.r_[0, np.cumsum(sums)[:-1]].astype(np.int64)
+
+    @ray.remote(num_cpus=1)
+    def chunk_span(t: pa.Table, prefix: int) -> tuple[int, int, int]:
+        if t.num_rows == 0:
+            return (-1, -1, 0)
+        t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+        n = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = prefix + np.r_[0, np.cumsum(n)[:-1]]
+        ch = start // window
+        return (int(ch[0]), int(ch[-1]), int(len(np.unique(ch))))
+
+    spans = ray.get(
+        [chunk_span.remote(b, int(p)) for b, p in zip(blocks, prefixes)]
+    )
+    n_chunks, prev_last = 0, None
+    for first, last, nd in spans:
+        if nd == 0:
+            continue
+        n_chunks += nd - (1 if prev_last is not None and first == prev_last else 0)
+        prev_last = last
+    return pa.table(
+        {
+            "n_in": pa.array([n_in], pa.int64()),
+            "n_gate": pa.array([n_gate], pa.int64()),
+            "n_decon": pa.array([n_decon], pa.int64()),
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "n_near": pa.array([n_near], pa.int64()),
+            "total_tokens": pa.array([total_tokens], pa.int64()),
+            "n_chunks": pa.array([n_chunks], pa.int64()),
+        }
+    )
