@@ -144,6 +144,14 @@ def test_tpch_extra_at_32_cpus():
             (pk["start_tok"] + pk["n_tok"]).to_numpy()[:-1]).all()
         assert len(to.t_decontaminate({SF!r}).to_pandas()) == 426
         assert len(to.t_sample_mix({SF!r}).to_pandas()) == 200
+        # t_prep_v2 composes gate -> decontaminate -> both dedups ->
+        # pack: the round-2 CORRECTNESS failure was exactly a composed
+        # pipeline whose selective stages fed schema-less empty blocks
+        # into joins at 32 CPUs — pin the oracle-verified funnel here
+        pv = to.t_prep_v2({SF!r}).to_pydict()
+        assert pv == {{"n_in": [500], "n_gate": [398], "n_decon": [23],
+                      "n_exact": [23], "n_near": [23],
+                      "total_tokens": [496], "n_chunks": [2]}}, pv
         print("TPCH_EXTRA_OK")
         ray.shutdown()
     """)
