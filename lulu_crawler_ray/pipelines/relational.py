@@ -2916,7 +2916,7 @@ def w10_funnel(sf: str, steps: tuple[str, ...] = ("view", "click", "purchase")):
         uid = t["user_id"].to_numpy()
         d = np.zeros(len(uid), np.int64)
         for i, r in enumerate(refs, start=1):
-            ks = ray.get(r)[0]  # broadcast once per actor, not per task
+            ks = ray.get(r)[0]  # zero-copy plasma read of the shared step table
             if len(ks):
                 d = np.where(np.isin(uid, ks), i, d)
         return pa.table(

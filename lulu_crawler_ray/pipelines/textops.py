@@ -1091,7 +1091,6 @@ def t_prep_v2(sf: str, min_tokens: int = 10, bench_mod: int = 10, window: int = 
     n_in = table_rows(sf, "documents")
 
     def gate(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
         texts = t["text"].to_pylist()
         keep, ntoks = [], []
         for s in texts:
