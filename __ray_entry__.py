@@ -934,10 +934,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "g11_pivot": (
             "SELECT l_returnflag, "
-            "SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f, "
-            "SUM(CASE WHEN l_linestatus <> 'F' THEN 1 ELSE 0 END) AS n_o, "
-            "SUM(CASE WHEN l_linestatus = 'F' THEN CAST(ROUND(l_extendedprice*100,0) AS BIGINT) ELSE 0 END) AS price_f_c, "
-            "SUM(CASE WHEN l_linestatus <> 'F' THEN CAST(ROUND(l_extendedprice*100,0) AS BIGINT) ELSE 0 END) AS price_o_c "
+            "CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
+            "CAST(SUM(CASE WHEN l_linestatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, "
+            "CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(ROUND(l_extendedprice*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS price_f_c, "
+            "CAST(SUM(CASE WHEN l_linestatus <> 'F' THEN CAST(ROUND(l_extendedprice*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS price_o_c "
             "FROM lineitem GROUP BY l_returnflag"
         ),
         "w7_lag_delta": (

@@ -46,6 +46,18 @@ def fixture_dataset(n_rows: int, seed: int = 42, parallelism: int = 8) -> ray.da
     return ray.data.from_arrow(build_image_fixture(n_rows, seed)).repartition(parallelism)
 
 
+def _is_big_sf(sf: str) -> bool:
+    """True iff the TRAILING sfN.NN path component is sf0.1 — a parent
+    dir that merely contains '0.1' (e.g. .../v0.1/sf0.001) must not
+    silently select the big fixture (ADVICE r3)."""
+    import os
+    import re
+
+    leaf = os.path.basename(os.path.normpath(sf))
+    m = re.fullmatch(r"sf([0-9.]+)", leaf)
+    return bool(m) and float(m.group(1)) >= 0.1
+
+
 def _bucket_pairs(
     ids: np.ndarray, ph: np.ndarray, max_hamming: int, hot_threshold: int
 ) -> pd.DataFrame:
@@ -281,7 +293,7 @@ class ImageTransform:
 def img_neardup_pairs_query(sf: str):
     """queries() entry: J4 band join over a deterministic fixture
     (size scaled loosely by sf dir name; content independent of sf)."""
-    n = 600 if "0.1" in sf else 300
+    n = 600 if _is_big_sf(sf) else 300
     ds = fixture_dataset(n)
     return phash_near_pairs(ds, max_hamming=10).sort(["a", "b"])
 
@@ -290,7 +302,7 @@ def img_resize_query(sf: str):
     """queries() entry: the decode->resize->re-encode transform stage
     (multimodal actor-pool shape) over the fixture table; returns the
     transformed metadata (bytes verified by decode in the stage)."""
-    n = 600 if "0.1" in sf else 300
+    n = 600 if _is_big_sf(sf) else 300
     ds = fixture_dataset(n)
     out = ds.map_batches(
         ImageTransform, batch_format="pyarrow", batch_size=64, concurrency=2
@@ -304,7 +316,7 @@ def img_resize_query(sf: str):
 def img_near_dedup_query(sf: str):
     """queries() entry: D3 end-to-end — J4 pairs -> components -> keep
     min image_id per cluster over the deterministic fixture."""
-    n = 600 if "0.1" in sf else 300
+    n = 600 if _is_big_sf(sf) else 300
     ds = fixture_dataset(n)
     kept = near_dedup_images(ds, max_hamming=10)
     return kept.map_batches(
@@ -320,7 +332,7 @@ def audio_features_query(sf: str):
 
     from ..stages.multimodal import AUDIO_SCHEMA, AudioFeatureExtractor, encode_wav_pcm16
 
-    n = 60 if "0.1" in sf else 30
+    n = 60 if _is_big_sf(sf) else 30
     sr = 8000
     rows = {"media_id": [], "bytes": [], "codec": [], "sample_rate": [], "n_channels": []}
     t_axis = np.arange(sr, dtype=np.float32) / sr
@@ -369,7 +381,7 @@ def video_frames_query(sf: str):
 
     from ..stages.multimodal import VIDEO_SCHEMA, VideoFrameSampler, encode_avi_rgb24
 
-    n_vids = 6 if "0.1" in sf else 3
+    n_vids = 6 if _is_big_sf(sf) else 3
     rows = {"media_id": [], "bytes": [], "codec": [], "fps": [], "n_frames": []}
     for v in range(n_vids):
         frames = [
@@ -413,7 +425,7 @@ def img_stats_query(sf: str):
     fixture table (real decode per row — M8/M10 exercised end-to-end)."""
     from .relational import grouped_agg
 
-    n = 600 if "0.1" in sf else 300
+    n = 600 if _is_big_sf(sf) else 300
     ds = fixture_dataset(n)
 
     def px(t: pa.Table) -> pa.Table:
@@ -491,7 +503,7 @@ def phash_topk(
 def img_similar_query(sf: str, k: int = 5, n_queries: int = 3):
     """queries() entry: phash top-k similarity search — the first
     n_queries fixture rows query the whole fixture corpus."""
-    n = 600 if "0.1" in sf else 300
+    n = 600 if _is_big_sf(sf) else 300
     t = build_image_fixture(n_queries)  # queries = first rows of the fixture
     ds = fixture_dataset(n)
     return phash_topk(
@@ -507,7 +519,7 @@ def video_scenes_query(sf: str):
 
     from ..stages.multimodal import SceneCutDetector, encode_avi_rgb24
 
-    n_vids = 6 if "0.1" in sf else 3
+    n_vids = 6 if _is_big_sf(sf) else 3
     rows = {"media_id": [], "bytes": [], "codec": [], "fps": [], "n_frames": []}
     for v in range(n_vids):
         frames = []
@@ -545,7 +557,7 @@ def audio_segments_query(sf: str):
 
     from ..stages.multimodal import AudioSegmenter, encode_wav_pcm16
 
-    n_rows = 6 if "0.1" in sf else 3
+    n_rows = 6 if _is_big_sf(sf) else 3
     sr = 8000
     rows = {"media_id": [], "bytes": [], "codec": [], "sample_rate": []}
     for i in range(n_rows):
@@ -582,7 +594,7 @@ def img_prep_pipeline_query(sf: str, min_pixels: int = 48 * 48, max_aspect_x100:
     can rows-check and pytest pins exactly. Every stage is a streaming
     map over the table; only the near-dedup's band groupby shuffles,
     and it carries (band, phash, id) — never bytes."""
-    n = 600 if "0.1" in sf else 300
+    n = 600 if _is_big_sf(sf) else 300
     ds = fixture_dataset(n)
 
     def validate_gate(t: pa.Table) -> pa.Table:

@@ -32,7 +32,17 @@ SCALE = 1_000_000
 
 
 def _quantize(m: np.ndarray) -> np.ndarray:
-    return (np.rint(m.astype(np.float64) * SCALE) + OFFSET).astype(np.int64)
+    q = (np.rint(m.astype(np.float64) * SCALE) + OFFSET).astype(np.int64)
+    # The bit-parity contract with DuckDB's truncating // only holds in
+    # the nonnegative domain; a component < -OFFSET/SCALE (= -1.0) would
+    # silently diverge (numpy floor-div vs SQL trunc-div). Fail loudly
+    # instead (ADVICE r3).
+    if q.size and int(q.min()) < 0:
+        raise ValueError(
+            f"e_kmeans_int: embedding component below -{OFFSET / SCALE} "
+            "breaks the nonnegative quantized-domain contract"
+        )
+    return q
 
 
 def e_kmeans_int(sf: str, k: int = 4, iters: int = 3):

@@ -2057,20 +2057,32 @@ def d7_fuzzy_pairs(sf: str, max_dist: int = 2):
     )
 
 
+def _roundtrip_dir(name: str, sf: str) -> str:
+    """Fixed per-(query, sf) scratch dir for sink/source roundtrips.
+    Deterministic path means repeated bench/test runs overwrite one
+    directory instead of leaking a fresh mkdtemp per call (ADVICE r3);
+    callers rmtree it before writing so resume-skip can't alias."""
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(sf.encode()).hexdigest()[:8]
+    return os.path.join("/tmp", f"lulu-rt-{name}-{tag}")
+
+
 def s8_bucketed_roundtrip(sf: str):
     """S8 — bucketed resumable sink roundtrip as a driver-checked
     query: lineitem hash-buckets by orderkey into a sealed
     bucket=NNNN/ layout (sources/bucketed.py), reads back, and must
     hash-equal a plain SELECT — proving the sink loses/duplicates
-    nothing and the bucket function is key-total. Fresh dir per call
-    (the resume-skip path is exercised by tests/test_bucketed.py)."""
+    nothing and the bucket function is key-total. Fixed dir per
+    (query, sf), overwritten per call (the resume-skip path is
+    exercised by tests/test_bucketed.py)."""
     import shutil
-    import tempfile
 
     from ..sources.bucketed import read_bucketed, write_bucketed
 
     ds = read_table(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
-    out = tempfile.mkdtemp(prefix="lulu-bucketed-")
+    out = _roundtrip_dir("bucketed", sf)
     shutil.rmtree(out, ignore_errors=True)
     write_bucketed(ds, out, "l_orderkey", num_buckets=32)
     back = read_bucketed(out)
@@ -2776,12 +2788,12 @@ def s9_jsonl_roundtrip(sf: str):
     shards (the interchange format most text-corpus tooling speaks),
     read back, and must hash-equal a plain SELECT over the parquet
     original — proving the sink escapes/encodes losslessly and the
-    reader re-types int64/string columns exactly. Fresh dir per call."""
+    reader re-types int64/string columns exactly. Fixed dir per (query,
+    sf), overwritten per call."""
     import shutil
-    import tempfile
 
     ds = read_table(sf, "documents", ["doc_id", "text", "lang", "source"])
-    out = tempfile.mkdtemp(prefix="lulu-jsonl-")
+    out = _roundtrip_dir("jsonl", sf)
     shutil.rmtree(out, ignore_errors=True)
     ds.write_json(out)
     back = ray.data.read_json(out)
@@ -2796,10 +2808,9 @@ def s10_csv_roundtrip(sf: str):
     (timestamps/floats excluded: CSV re-parsing of those is
     representation-lossy by design; int columns roundtrip exactly)."""
     import shutil
-    import tempfile
 
     ds = read_table(sf, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
-    out = tempfile.mkdtemp(prefix="lulu-csv-")
+    out = _roundtrip_dir("csv", sf)
     shutil.rmtree(out, ignore_errors=True)
     ds.write_csv(out)
     back = ray.data.read_csv(out)

@@ -634,7 +634,11 @@ def q8_market_share(
     def l_map(t: pa.Table) -> pa.Table:
         ks, is_tgt = ray.get(sref)
         hit, idx = _probe(ks, t["l_suppkey"].to_numpy())
-        tgt = np.where(hit, is_tgt[idx], 0) if len(ks) else np.zeros(len(hit), np.int64)
+        # Inner-join semantics: a suppkey absent from supplier drops the
+        # row entirely (matching the oracle's JOIN supplier), rather
+        # than zero-flagging it into the denominator (ADVICE r3).
+        t = t.filter(pa.array(hit))
+        tgt = is_tgt[idx[hit]] if len(ks) else np.zeros(0, np.int64)
         rev = _cents(t["l_extendedprice"]) * (100 - _cents(t["l_discount"]))
         return pa.table(
             {
@@ -697,7 +701,10 @@ def q9_product_type_profit(sf: str, name_word: str = "widget"):
         t = t.filter(pa.array(hit))
         sks, snat = ray.get(sref)
         shit, sidx = _probe(sks, t["l_suppkey"].to_numpy())
-        natk = np.where(shit, snat[sidx], -1) if len(sks) else np.full(t.num_rows, -1, np.int64)
+        # Inner-join semantics: drop suppkeys absent from supplier
+        # (matches the oracle's JOIN supplier; ADVICE r3).
+        t = t.filter(pa.array(shit))
+        natk = snat[sidx[shit]] if len(sks) else np.zeros(0, np.int64)
         rev = _cents(t["l_extendedprice"]) * (100 - _cents(t["l_discount"]))
         return pa.table(
             {

@@ -55,7 +55,10 @@ def test_query_vs_duckdb(ray_session, con, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+    # check_dtype=True after _normalize (ints coerced to int64, datetimes to
+    # str) catches exactly the driver-hash failure class: an engine int64
+    # column vs an oracle HUGEINT→float64 column (g11_pivot, round 3).
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=False, rtol=0, atol=1e-9)
 
 
 def test_rows_only_queries_run(ray_session):
