@@ -1,0 +1,496 @@
+"""Baseline JFIF (JPEG) codec, pure numpy + stdlib — no PIL/libjpeg in
+this environment, so the most-hit web-image codec is implemented from
+the public ITU-T T.81 spec: 8-bit baseline sequential DCT, Huffman
+entropy coding with the Annex K tables, quality-scaled Annex K quant
+tables (libjpeg's 5000/q formula), JFIF markers.
+
+Encoder writes 4:4:4 (1x1 sampling, simplest interchange form);
+decoder accepts ANY sampling factors up to 2x2 (so real-web 4:2:0
+files decode too), multiple DQT/DHT segments, and DRI restart
+markers. Progressive (SOF2), arithmetic coding, and 12-bit precision
+raise NotImplementedError — they are declared seams, like the other
+compressed codecs in stages/multimodal.py.
+
+The per-block math is vectorized (all 8x8 blocks DCT'd in one einsum);
+only the entropy coder is a Python loop, which is inherent to Huffman
+bit-serial decode and acceptable for an actor-pool decode stage."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------- tables (Annex K)
+_QL = np.array([  # luminance quant, natural (row-major) order
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int32).reshape(8, 8)
+
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int32).reshape(8, 8)
+
+_ZZ = np.array([  # zigzag: index i of natural order -> position in zigzag
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+_UNZZ = np.argsort(_ZZ)
+
+# (bits-per-length[1..16], values) — standard Huffman tables, Annex K.3
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# DCT-II basis, orthonormal (C @ x @ C.T). C[k,n] = a(k) cos((2n+1)k pi/16)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = (np.sqrt(1 / 8) if _k == 0 else 0.5) * np.cos((2 * _n + 1) * _k * np.pi / 16)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = int(min(max(quality, 1), 100))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_QL * scale + 50) // 100, 1, 255).astype(np.int32)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255).astype(np.int32)
+    return ql, qc
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical Huffman per T.81 C.2."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(h, w) float -> (nby, nbx, 8, 8) with edge padding."""
+    h, w = plane.shape
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+    return p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+
+
+def encode_jpeg_baseline(img: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) gray) -> baseline JFIF bytes,
+    4:4:4, standard Huffman tables."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg_baseline: 1 or 3 channels")
+    f = img.astype(np.float64)
+    if nc == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        comps = [f[..., 0]]
+
+    ql, qc = _quality_tables(quality)
+    qts = [ql] + ([qc] if nc == 3 else [])
+    enc_dc = [_huff_encode_table(*_DC_L), _huff_encode_table(*_DC_C)]
+    enc_ac = [_huff_encode_table(*_AC_L), _huff_encode_table(*_AC_C)]
+
+    # quantized zigzag coefficients per component, all blocks vectorized
+    qcoef = []
+    for ci, plane in enumerate(comps):
+        blk = _blocks_of(plane) - 128.0
+        F = np.einsum("km,ijmn,ln->ijkl", _C, blk, _C)
+        q = qts[min(ci, 1)]
+        Z = np.rint(F / q).astype(np.int64)
+        flat = Z.reshape(-1, 64)[:, _ZZ]  # natural -> zigzag
+        qcoef.append(flat)
+
+    bw = _BitWriter()
+    nblocks = qcoef[0].shape[0]
+    pred = [0] * nc
+    for bi in range(nblocks):
+        for ci in range(nc):
+            ti = min(ci, 1)
+            z = qcoef[ci][bi]
+            diff = int(z[0]) - pred[ci]
+            pred[ci] = int(z[0])
+            s, bits = _magnitude(diff)
+            code, ln = enc_dc[ti][s]
+            bw.write(code, ln)
+            if s:
+                bw.write(bits, s)
+            run = 0
+            last_nz = np.flatnonzero(z[1:])
+            last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+            for k in range(1, last + 1):
+                v = int(z[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[ti][0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s, bits = _magnitude(v)
+                code, ln = enc_ac[ti][(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(bits, s)
+                run = 0
+            if last < 63:
+                code, ln = enc_ac[ti][0x00]  # EOB
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    out = bytearray()
+    out += b"\xFF\xD8"  # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(qts):
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(x) for x in q.reshape(-1)[_ZZ])
+    # SOF0
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, min(ci, 1)])  # 1x1 sampling, qtable id
+    # DHT
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_L), (1, 0, _AC_L), (0, 1, _DC_C), (1, 1, _AC_C)
+    )[: (4 if nc == 3 else 2)]:
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals)) + bytes([(cls << 4) | tid])
+        out += bytes(bits) + bytes(vals)
+    # SOS
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        t = min(ci, 1)
+        out += bytes([ci + 1, (t << 4) | t])
+    out += b"\x00\x3F\x00"
+    out += scan
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            # past EOI padding: feed 1-bits (decoder will have finished)
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+            return
+        b = self.data[self.pos]
+        self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def decode_jpeg_baseline(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (gray replicated).
+    Accepts sampling factors up to 2x2 (4:2:0 et al.), DRI restarts."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("jpeg: missing SOI")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None
+    scan_comps = None
+    pos = 2
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                tbl = np.frombuffer(seg[o + 1 : o + 65], np.uint8).astype(np.int32)
+                qt[tq] = tbl[_UNZZ].reshape(8, 8)
+                o += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise NotImplementedError("jpeg: 12-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise NotImplementedError("jpeg: progressive (SOF2)")
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                cls, tid = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + nv])
+                (huff_ac if cls else huff_dc)[tid] = _huff_decode_table(bits, vals)
+                o += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_comps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan_comps is None:
+        raise ValueError("jpeg: missing SOF/SOS")
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("jpeg: sampling factors > 2")
+    h, w = frame["h"], frame["w"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # entropy-coded data: unstuff 0xFF00, split at restart markers
+    raw = data[scan_start:]
+    end = raw.find(b"\xFF\xD9")
+    if end >= 0:
+        raw = raw[:end]
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # blocks across
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+
+    sc_by_id = {s["id"]: s for s in scan_comps}
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    pred = {c["id"]: 0 for c in comps}
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_idx += 1
+                br = _BitReader(segments[seg_idx])
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                s = sc_by_id[c["id"]]
+                dct, act = huff_dc[s["dc"]], huff_ac[s["ac"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        z = np.zeros(64, np.int64)
+                        t = _decode_huff(br, dct)
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        z[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, act)
+                            r, t = rs >> 4, rs & 0xF
+                            if t == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            z[k] = _extend(br.read_bits(t), t)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["coef"][row * c["bw"] + col] = z
+            mcu += 1
+
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]].reshape(-1)
+        F = (c["coef"][:, _UNZZ] * q[_UNZZ][None, :]).astype(np.float64).reshape(-1, 8, 8)
+        blk = np.einsum("mk,ikl,nl->imn", _C.T, F, _C.T.T) if False else np.einsum(
+            "km,ikl,ln->imn", _C.T, F, _C
+        )
+        # IDCT: x = C.T @ F @ C
+        blk = blk + 128.0
+        bh, bw_ = c["bh"], c["bw"]
+        plane = blk.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        # upsample to full MCU grid resolution
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[: mcuy * vmax * 8, : mcux * hmax * 8])
+
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb[:h, :w]), 0, 255).astype(np.uint8)

@@ -81,20 +81,23 @@ def shuffle_join(
     )
 
 
-def _distinct_sorted(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
-    """Dataset-side DISTINCT + total sort on one column: per-batch
+def _distinct(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
+    """Dataset-side DISTINCT on one column (unsorted): per-batch
     pyarrow distinct combiner (shrinks the shuffle to unique-per-block
-    keys), a grouped Count whose key rows ARE the distinct keys, then a
-    range-partition sort. The driver never gathers the key set — a
-    billion-key EXCEPT/INTERSECT stays in the object store (round 2
-    finalized with sorted(ds.unique()) on the driver)."""
+    keys), then a grouped Count whose key rows ARE the distinct keys.
+    The driver never gathers the key set."""
     combined = ds.map_batches(
         lambda t: t.group_by([key]).aggregate([]), batch_format="pyarrow"
     )
     agg = combined.groupby(key).aggregate(Count(alias_name="__c"))
-    return agg.map_batches(
-        lambda t: t.select([key]), batch_format="pyarrow"
-    ).sort(key)
+    return agg.map_batches(lambda t: t.select([key]), batch_format="pyarrow")
+
+
+def _distinct_sorted(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
+    """_distinct + a range-partition total sort — a billion-key
+    EXCEPT/INTERSECT stays in the object store (round 2 finalized with
+    sorted(ds.unique()) on the driver)."""
+    return _distinct(ds, key).sort(key)
 
 
 def _npart(rows: int | None = None) -> int:
@@ -204,12 +207,25 @@ def grouped_agg(
     # near-unique key like (user, hour) keeps ~1 partial row per input
     # row) — below ``task_max`` rows ONE pyarrow C++ group_by task
     # beats the distributed sort-shuffle groupby; above it the shuffle
-    # path takes over (the same threshold pattern as selection/dedup)
-    blocks = partials.materialize().to_arrow_refs()
-    counts = ray.get([_count_rows_ref.remote(b) for b in blocks])
-    blocks = [b for b, c in zip(blocks, counts) if c > 0]
-    if sum(counts) <= task_max and blocks:
-        agg = ray.data.from_arrow_refs([_grouped_agg_task.remote(keys, final_pairs, *blocks)])
+    # path takes over. The route is chosen by a STREAMING early-exit
+    # count (round-3 review: the old materialize-to-route held the
+    # whole partial set — ~input-sized for a near-unique key — in the
+    # object store behind a barrier before deciding anything). Batches
+    # seen before the early exit re-enter the store one at a time; the
+    # driver holds at most one batch. The large path re-runs the
+    # partial map — one extra map-only pass, bought instead of a
+    # 100-TB materialization.
+    refs, n, small = [], 0, True
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=262144):
+        n += b.num_rows
+        if n > task_max:
+            small = False
+            refs = []
+            break
+        if b.num_rows:
+            refs.append(ray.put(b))
+    if small and refs:
+        agg = ray.data.from_arrow_refs([_grouped_agg_task.remote(keys, final_pairs, *refs)])
     else:
         agg = partials.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*final_aggs)
 
@@ -251,8 +267,12 @@ def _min_set_filter(ds, key: str, ucol: str, driver_max: int = 5_000_000) -> ray
     no cross-group collision and no need to pack the group key into
     ``ucol``). Per-batch combiner -> min-per-key over the pruned
     (key, ucol) columns (one remote numpy task when it fits under
-    ``driver_max`` rows, a grouped Min shuffle otherwise) -> broadcast
-    pair filter — no per-group Python calls (SURVEY.md §2.7 D1)."""
+    ``driver_max`` rows) -> broadcast pair filter — no per-group Python
+    calls (SURVEY.md §2.7 D1). ABOVE ``driver_max`` (billions of
+    distinct keys at 100 TB, where any driver-side key gather or
+    whole-set broadcast OOMs) the combined rows hash-co-partition by
+    key instead and each partition keeps its first row per key in one
+    vectorized pass — one full-row shuffle, zero driver state."""
 
     def combine(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -273,32 +293,34 @@ def _min_set_filter(ds, key: str, ucol: str, driver_max: int = 5_000_000) -> ray
             small = False
             break
         parts.append(b)
-    if small:
-        if parts:
-            comb = pa.concat_tables(parts).combine_chunks()
-            idx = pc.sort_indices(
-                comb, sort_keys=[(key, "ascending"), (ucol, "ascending")]
-            )
-            srt = comb.take(idx)
-            k = srt[key].combine_chunks()
-            neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(
-                zero_copy_only=False
-            )
-            starts = np.r_[True, neq]
-            keys_s = srt[key].to_numpy()[starts]  # sorted ascending
-            minu = srt[ucol].to_numpy()[starts]
-        else:
-            keys_s = minu = np.array([], np.int64)
+    if not small:
+        # scale path: co-partition the combined rows by key; within one
+        # partition every row of a key is present, so first-after-sort
+        # IS the global min — no min-set ever exists as a single object
+        def part_first(t: pa.Table) -> pa.Table:
+            t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending"), (ucol, "ascending")]))
+            k = t[key].combine_chunks()
+            neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.r_[True, neq])).drop_columns(["__part"])
+
+        return _hash_partitioned_any(combined, [key], _npart()).map_groups(
+            part_first, batch_format="pyarrow"
+        )
+    if parts:
+        comb = pa.concat_tables(parts).combine_chunks()
+        idx = pc.sort_indices(
+            comb, sort_keys=[(key, "ascending"), (ucol, "ascending")]
+        )
+        srt = comb.take(idx)
+        k = srt[key].combine_chunks()
+        neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.r_[True, neq]
+        keys_s = srt[key].to_numpy()[starts]  # sorted ascending
+        minu = srt[ucol].to_numpy()[starts]
     else:
-        agg = combined.groupby(key).aggregate(Min(ucol, alias_name="__min_u"))
-        ks, us = [], []
-        for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
-            ks.append(b[key].to_numpy())
-            us.append(b["__min_u"].to_numpy())
-        keys_s = np.concatenate(ks) if ks else np.array([], np.int64)
-        minu = np.concatenate(us) if us else np.array([], np.int64)
-        order = np.argsort(keys_s, kind="stable")
-        keys_s, minu = keys_s[order], minu[order]
+        keys_s = minu = np.array([], np.int64)
     ref = ray.put((keys_s, minu))
 
     def keep(t: pa.Table) -> pa.Table:
@@ -849,27 +871,23 @@ def j2_inner_join(sf: str):
     return _cents_cols(j, {"o_totalprice": "totalprice_c"})
 
 
-def j1_anti_join(sf: str):
-    """Customers with no high-value (>400k) orders — broadcast
-    anti-join (semi/anti = broadcast the key set, filter inside
-    map_batches; no shuffle). The value filter keeps the result
-    non-empty at every sf."""
-    custkeys = (
-        read_table(sf, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_custkey"]),
-            batch_format="pyarrow",
-        )
-        .unique("o_custkey")
+def j1_anti_join(sf: str, broadcast_max: int = 5_000_000):
+    """Customers with no high-value (>400k) orders — the adaptive
+    anti-join: the filtered order-key set is customer-bounded here so
+    the broadcast path fires (sorted key array in the object store,
+    probe streams; no shuffle), but a low-selectivity predicate at
+    100x data switches to the hash-co-partitioned left_outer +
+    null-filter path instead of OOMing the driver (round-3 review:
+    the old .unique() gathered an unbounded key set). Both paths are
+    equality-tested in tests/test_scale_paths.py."""
+    orders = read_table(sf, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
     )
-    ref = ray.put(np.sort(np.asarray(custkeys, np.int64)))
     cust = read_table(sf, "customer", ["c_custkey", "c_name"])
-
-    def anti(t: pa.Table) -> pa.Table:
-        have = ray.get(ref)
-        return t.filter(pa.array(~np.isin(t["c_custkey"].to_numpy(), have)))
-
-    return cust.map_batches(anti, batch_format="pyarrow")
+    return adaptive_semi_filter(
+        cust, orders, "c_custkey", "o_custkey", anti=True, broadcast_max=broadcast_max
+    )
 
 
 def j3_broadcast_lookup(sf: str):
@@ -1567,6 +1585,154 @@ def _hash_partitioned(ds, key: str, n_parts: int):
         return t.append_column("__part", pa.array(p.astype(np.int32)))
 
     return ds.map_batches(addpart, batch_format="pyarrow").groupby("__part")
+
+
+def key_hash_u64(t: pa.Table, cols: list[str]) -> np.ndarray:
+    """Vectorized uint64 hash of one or more key columns for hash
+    partitioning — int (any width), fixed_size_binary, string/binary.
+    Only CONSISTENCY matters (equal keys -> equal hash on every worker);
+    per-column features (ints: the value; fixed binary: first 16 bytes;
+    var-width: length + first 8 + last 8 bytes) are splitmix64-mixed so
+    partition balance survives common prefixes (URLs). Nulls hash as 0.
+    All gathers are numpy fancy-indexing over the raw Arrow buffers —
+    no per-row Python."""
+    from ..functions.hll import _GOLD, _mix64
+
+    n = t.num_rows
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    acc = np.full(n, np.uint64(0x243F6A8885A308D3), np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            typ = col.type
+            if pa.types.is_integer(typ):
+                h = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            elif pa.types.is_fixed_size_binary(typ):
+                w = typ.byte_width
+                raw = np.frombuffer(col.buffers()[1], np.uint8)
+                data = raw[col.offset * w : (col.offset + n) * w].reshape(n, w)
+                h = np.zeros(n, np.uint64)
+                for j in range(0, min(w, 16), 8):
+                    blk = data[:, j : j + 8]
+                    if blk.shape[1] < 8:
+                        blk = np.hstack([blk, np.zeros((n, 8 - blk.shape[1]), np.uint8)])
+                    h = _mix64(h ^ np.ascontiguousarray(blk).view(np.uint64).ravel())
+            elif pa.types.is_string(typ) or pa.types.is_binary(typ) or pa.types.is_large_string(typ) or pa.types.is_large_binary(typ):
+                odt = np.int64 if (pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)) else np.int32
+                off = np.frombuffer(col.buffers()[1], odt)[col.offset : col.offset + n + 1].astype(np.int64)
+                data = np.frombuffer(col.buffers()[2], np.uint8)
+                lens = off[1:] - off[:-1]
+                hi = np.maximum(len(data) - 1, 0)
+
+                def fold8(starts: np.ndarray) -> np.ndarray:
+                    idx = starts[:, None] + np.arange(8)
+                    valid = idx < off[1:, None]
+                    g = np.where(valid, data[np.minimum(idx, hi)] if len(data) else 0, 0)
+                    return np.ascontiguousarray(g.astype(np.uint8)).view(np.uint64).ravel()
+
+                head = fold8(off[:-1])
+                tail = fold8(np.maximum(off[1:] - 8, off[:-1]))
+                h = _mix64(_mix64(lens.view(np.uint64) * _GOLD) ^ head)
+                h = _mix64(h ^ tail)
+            else:
+                raise TypeError(f"key_hash_u64: unsupported key type {typ} for {c}")
+            if col.null_count:
+                h = np.where(col.is_null().to_numpy(zero_copy_only=False), np.uint64(0), h)
+            acc = _mix64(acc ^ h)
+    return acc
+
+
+def _hash_partitioned_any(ds, cols: list[str], n_parts: int):
+    """``_hash_partitioned`` generalized to composite / non-integer
+    keys: appends ``__part`` = key_hash_u64 % n_parts and returns the
+    groupby — the scale path for dedup/semi-join where all rows of one
+    key must co-locate without any driver-side key gather. map_groups
+    callbacks see one whole partition per call (vectorized work), not
+    one group per key."""
+
+    def addpart(t: pa.Table) -> pa.Table:
+        p = key_hash_u64(t, cols) % np.uint64(n_parts)
+        return t.append_column("__part", pa.array(p.astype(np.int32)))
+
+    return ds.map_batches(addpart, batch_format="pyarrow").groupby("__part")
+
+
+def adaptive_semi_filter(
+    probe: ray.data.Dataset,
+    build: ray.data.Dataset,
+    probe_key: str,
+    build_key: str,
+    anti: bool = False,
+    broadcast_max: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Semi/anti join with size-based strategy selection (the
+    adaptive_join treatment for EXISTS/NOT EXISTS): stream the build
+    side's distinct keys with an early-exit count; under
+    ``broadcast_max`` distinct keys, ONE sorted key array broadcasts
+    via the object store and the probe side streams through a
+    searchsorted filter (no shuffle). Above it — a low-selectivity
+    predicate at 100 TB, where a driver-side key gather would OOM —
+    both sides hash-co-partition through Ray's shuffle join instead:
+    semi = inner join against the marker-tagged distinct keys, anti =
+    left_outer + null-marker filter. The key set never touches the
+    driver on either path."""
+    distinct_keys = _distinct(build, build_key)
+
+    refs, n, small = [], 0, True
+    for b in distinct_keys.iter_batches(batch_format="pyarrow", batch_size=262144):
+        n += b.num_rows
+        if n > broadcast_max:
+            small = False
+            break
+        if b.num_rows:
+            refs.append(ray.put(b))
+
+    if small:
+        ref = _build_sorted_keys.remote(build_key, *refs) if refs else None
+
+        def bcast_filter(t: pa.Table) -> pa.Table:
+            if ref is None:
+                return t if anti else t.slice(0, 0)
+            ks = ray.get(ref)
+            k = t[probe_key].to_numpy(zero_copy_only=False)
+            if len(ks) == 0:
+                return t if anti else t.slice(0, 0)
+            idx = np.clip(np.searchsorted(ks, k), 0, len(ks) - 1)
+            hit = ks[idx] == k
+            return t.filter(pa.array(~hit if anti else hit))
+
+        return probe.map_batches(bcast_filter, batch_format="pyarrow")
+
+    marked = distinct_keys.map_batches(
+        lambda t: t.append_column("__m", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    joined = _nonempty(probe).join(
+        _nonempty(marked),
+        join_type="left_outer" if anti else "inner",
+        num_partitions=_npart(),
+        on=(probe_key,),
+        right_on=(build_key,),
+    )
+    drop = ["__m"] + ([build_key] if build_key != probe_key else [])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if anti:
+            t = t.filter(pc.is_null(t["__m"]))
+        return t.drop_columns([c for c in drop if c in t.column_names])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+@ray.remote(num_cpus=1)
+def _build_sorted_keys(key: str, *blocks):
+    """Sorted distinct key array for the broadcast semi/anti path —
+    built in a worker so the key set never lands on the driver."""
+    t = pa.concat_tables(blocks).combine_chunks()
+    return np.sort(t[key].to_numpy(zero_copy_only=False))
 
 
 def w2_sessionize(sf: str):
@@ -2688,33 +2854,28 @@ def g16_regr_slope(sf: str):
     )
 
 
-def d8_semi_join(sf: str):
+def d8_semi_join(sf: str, broadcast_max: int = 5_000_000):
     """Customers WITH at least one urgent high-value order — the
-    broadcast SEMI join (complement of j1's anti): distinct filtered
-    key set broadcast once, isin filter inside the scan. The key set is
-    bounded by customer cardinality (dimension-sized); a fact-fact semi
-    would use adaptive_join's shuffle path instead."""
-    custkeys = (
-        read_table(sf, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
-        .map_batches(
-            lambda t: t.filter(
-                pc.and_(
-                    pc.greater(t["o_totalprice"], 200000.0),
-                    pc.equal(t["o_orderpriority"], "1-URGENT"),
-                )
-            ).select(["o_custkey"]),
-            batch_format="pyarrow",
-        )
-        .unique("o_custkey")
+    adaptive SEMI join (complement of j1's anti): distinct filtered
+    key set broadcast once + isin filter inside the scan while it fits
+    under ``broadcast_max``; a fact-fact semi above that co-partitions
+    both sides through the shuffle-join path. Both paths
+    equality-tested in tests/test_scale_paths.py."""
+    orders = read_table(
+        sf, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater(t["o_totalprice"], 200000.0),
+                pc.equal(t["o_orderpriority"], "1-URGENT"),
+            )
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
     )
-    ref = ray.put(np.sort(np.asarray(custkeys, np.int64)))
     cust = read_table(sf, "customer", ["c_custkey", "c_name"])
-
-    def semi(t: pa.Table) -> pa.Table:
-        have = ray.get(ref)
-        return t.filter(pa.array(np.isin(t["c_custkey"].to_numpy(), have)))
-
-    return cust.map_batches(semi, batch_format="pyarrow")
+    return adaptive_semi_filter(
+        cust, orders, "c_custkey", "o_custkey", anti=False, broadcast_max=broadcast_max
+    )
 
 
 @ray.remote

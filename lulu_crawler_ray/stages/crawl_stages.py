@@ -103,11 +103,15 @@ def dedup_first_by_seq(ds, keys: str | list[str] = "url_sha1", driver_max: int =
     exactly; the broadcast is 8 bytes per distinct key (SURVEY.md §2.7).
 
     The min-seq computation gathers only (keys, seq) columns; when the
-    combined set fits under ``driver_max`` rows it is finalized with one
-    numpy lexsort on the driver (no shuffle at all), otherwise with a
-    grouped Min(seq) hash aggregate over the combined rows."""
+    combined set fits under ``driver_max`` rows it is finalized in one
+    remote pyarrow sort task and broadcast (no shuffle at all). ABOVE
+    ``driver_max`` — billions of distinct URLs, where any single
+    min-seq object is itself the scale-killer — the combined rows
+    hash-co-partition by key (generic key_hash_u64: works for the
+    fixed-binary sha1 and composite [kind, sha1] keys) and each
+    partition keeps its min-seq row per key in one vectorized pass:
+    one full-row shuffle, zero driver state, no broadcast."""
     import ray
-    from ray.data.aggregate import Min
 
     key_list = [keys] if isinstance(keys, str) else list(keys)
     # NOTE: combined stays lazy on purpose — materializing it (measured)
@@ -117,8 +121,6 @@ def dedup_first_by_seq(ds, keys: str | list[str] = "url_sha1", driver_max: int =
         lambda t: combine_first_by_seq(t, key_list), batch_format="pyarrow"
     )
 
-    blocks = combined.select_columns(key_list + ["seq"]).materialize().to_arrow_refs()
-
     global _REMOTE_FNS
     if _REMOTE_FNS is None:
         _REMOTE_FNS = (
@@ -127,26 +129,40 @@ def dedup_first_by_seq(ds, keys: str | list[str] = "url_sha1", driver_max: int =
         )
     _nrows, _minseq_finalize = _REMOTE_FNS
 
+    # route on the pruned (keys, seq) projection: parallel materialize
+    # into object-store refs (the data never crosses the driver — a
+    # streaming iter_batches count was measured 40% slower on the
+    # crawl's per-wave dedup because it serializes every batch through
+    # the driver); only per-block row COUNTS are gathered
+    blocks = combined.select_columns(key_list + ["seq"]).materialize().to_arrow_refs()
     counts = ray.get([_nrows.remote(r) for r in blocks])
-    blocks = [r for r, c in zip(blocks, counts) if c > 0]  # empty blocks lose schema
+    refs = [r for r, c in zip(blocks, counts) if c > 0]  # empty blocks lose schema
     n = sum(counts)
-    if n <= driver_max:
-        # finalize in one remote task: pyarrow C++ sort over the pruned
-        # (keys, seq) columns; the min-seq set never touches the driver
-        ref = _minseq_finalize.remote(key_list, *blocks)
-    else:
-        agg = (
-            combined.repartition(16)
-            .groupby(key_list[0] if len(key_list) == 1 else key_list)
-            .aggregate(Min("seq", alias_name="min_seq"))
-        )
-        min_seqs = np.sort(
-            np.concatenate(
-                [b["min_seq"].to_numpy() for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536)]
-                or [np.array([], np.int64)]
+
+    if n > driver_max:
+        from ..pipelines.relational import _hash_partitioned_any, _npart
+
+        def part_first(t: pa.Table) -> pa.Table:
+            t = _sorted_by(
+                t, [(k, "ascending") for k in key_list] + [("seq", "ascending")]
             )
+            m = t.num_rows
+            starts = np.zeros(m, bool)
+            starts[0] = True
+            for k in key_list:
+                a = t[k].combine_chunks()
+                starts[1:] |= pc.not_equal(a.slice(1), a.slice(0, m - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+            return t.filter(pa.array(starts)).drop_columns(["__part"])
+
+        return _hash_partitioned_any(combined, key_list, _npart()).map_groups(
+            part_first, batch_format="pyarrow"
         )
-        ref = ray.put(min_seqs)
+
+    # finalize in one remote task: pyarrow C++ sort over the pruned
+    # (keys, seq) columns; the min-seq set never touches the driver
+    ref = _minseq_finalize.remote(key_list, *refs) if refs else ray.put(np.array([], np.int64))
 
     def keep_winners(t: pa.Table) -> pa.Table:
         wanted = ray.get(ref)

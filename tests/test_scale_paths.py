@@ -1,0 +1,157 @@
+"""Round-4 scale-path equality: the co-partitioned large paths
+(forced with driver_max=0 / broadcast_max=0) must produce bit-equal
+results to the broadcast/driver fast paths, with no driver-side key
+gather and no leaked __part column."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(x):
+    return x.to_pandas() if not hasattr(x, "sort_values") else x
+
+
+def test_key_hash_u64_types_and_consistency(ray_session):
+    from lulu_crawler_ray.pipelines.relational import key_hash_u64
+
+    n = 1000
+    ints = pa.array(np.arange(n, dtype=np.int64))
+    strs = pa.array([f"http://host{i % 7}.test/path/{i}" for i in range(n)])
+    fsb = pa.array([bytes([i % 256] * 20) for i in range(n)], pa.binary(20))
+    varb = pa.array([f"doc-{i}".encode() for i in range(n)], pa.binary())
+    t = pa.table({"i": ints, "s": strs, "f": fsb, "b": varb})
+
+    h1 = key_hash_u64(t, ["i", "s", "f", "b"])
+    assert h1.dtype == np.uint64 and len(h1) == n
+
+    # chunked layout and slicing must not change the hash
+    t2 = pa.concat_tables([t.slice(0, 300), t.slice(300)])
+    h2 = key_hash_u64(t2, ["i", "s", "f", "b"])
+    assert np.array_equal(h1, h2)
+    h3 = key_hash_u64(t.slice(100, 200), ["i", "s", "f", "b"])
+    assert np.array_equal(h1[100:300], h3)
+
+    # equal keys hash equal, per column
+    for c in ("i", "s", "f", "b"):
+        hc = key_hash_u64(t, [c])
+        dup = key_hash_u64(pa.concat_tables([t, t]), [c])
+        assert np.array_equal(np.r_[hc, hc], dup)
+
+    # rough balance into 16 parts despite the shared URL prefix
+    parts = key_hash_u64(t, ["s"]) % np.uint64(16)
+    counts = np.bincount(parts.astype(np.int64), minlength=16)
+    assert counts.min() > 0 and counts.max() < n  # no total collapse
+
+    # nulls hash consistently (as zero-feature), no crash
+    sn = pa.table({"s": pa.array(["a", None, "b"])})
+    hn = key_hash_u64(sn, ["s"])
+    assert len(hn) == 3
+
+
+def test_j1_anti_join_paths_equal(ray_session):
+    from lulu_crawler_ray.pipelines.relational import j1_anti_join
+
+    cols = ["c_custkey", "c_name"]
+    fast = _df(j1_anti_join(SF)).sort_values(cols).reset_index(drop=True)
+    slow = _df(j1_anti_join(SF, broadcast_max=0)).sort_values(cols).reset_index(drop=True)
+    assert list(slow.columns) == list(fast.columns)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
+
+
+def test_d8_semi_join_paths_equal(ray_session):
+    from lulu_crawler_ray.pipelines.relational import d8_semi_join
+
+    cols = ["c_custkey", "c_name"]
+    fast = _df(d8_semi_join(SF)).sort_values(cols).reset_index(drop=True)
+    slow = _df(d8_semi_join(SF, broadcast_max=0)).sort_values(cols).reset_index(drop=True)
+    assert list(slow.columns) == list(fast.columns)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
+
+
+def test_adaptive_semi_filter_empty_build(ray_session):
+    """Zero matching build keys: semi -> empty, anti -> everything, on
+    BOTH paths."""
+    import ray.data
+    from lulu_crawler_ray.pipelines.relational import adaptive_semi_filter
+
+    probe = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array(["a", "b", "c"])})
+    )
+    build = ray.data.from_arrow(pa.table({"bk": pa.array([], pa.int64())}))
+    for bmax in (5_000_000, 0):
+        semi = adaptive_semi_filter(probe, build, "k", "bk", anti=False, broadcast_max=bmax)
+        anti = adaptive_semi_filter(probe, build, "k", "bk", anti=True, broadcast_max=bmax)
+        assert semi.count() == 0
+        adf = anti.to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(adf["k"]) == [1, 2, 3]
+        assert list(adf.columns) == ["k", "v"]
+
+
+def test_dedup_first_by_seq_copartitioned_path(ray_session):
+    """Composite (string, fixed_binary) keys through the driver_max=0
+    co-partitioned path: equal rows to the fast path, no __part leak."""
+    import ray.data
+    from lulu_crawler_ray.stages.crawl_stages import dedup_first_by_seq
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    kinds = np.array(["page", "img"])[rng.integers(0, 2, n)]
+    # ~1000 distinct sha1s -> guaranteed duplicate groups
+    sha_pool = [bytes(rng.integers(0, 256, 20, dtype=np.uint8).tolist()) for _ in range(1000)]
+    shas = [sha_pool[i] for i in rng.integers(0, 1000, n)]
+    t = pa.table(
+        {
+            "kind": pa.array(kinds.tolist()),
+            "url_sha1": pa.array(shas, pa.binary(20)),
+            "seq": pa.array(rng.permutation(n).astype(np.int64)),
+            "payload": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    keys = ["kind", "url_sha1"]
+
+    fast = dedup_first_by_seq(ds, keys).to_pandas()
+    slow = dedup_first_by_seq(ds, keys, driver_max=0).to_pandas()
+    assert "__part" not in slow.columns
+    assert sorted(slow.columns) == sorted(fast.columns)
+    f = fast.sort_values("seq").reset_index(drop=True)
+    s = slow[fast.columns].sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, s)
+    # winners are the true min-seq per (kind, sha1)
+    df = t.to_pandas()
+    want = df.loc[df.groupby(["kind", "url_sha1"])["seq"].idxmin()].sort_values("seq")
+    assert list(want["seq"]) == list(f["seq"])
+
+
+def test_min_set_filter_copartitioned_path(ray_session):
+    """_min_set_filter's driver_max=0 co-partitioned path keeps exactly
+    the min-ucol row per key and drops __part."""
+    import ray.data
+    from lulu_crawler_ray.pipelines.relational import _min_set_filter
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    keys = rng.integers(0, 500, n).astype(np.int64)
+    u = rng.permutation(n).astype(np.int64)
+    t = pa.table(
+        {
+            "k": pa.array(keys),
+            "u": pa.array(u),
+            "x": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    fast = _min_set_filter(ds, "k", "u").to_pandas().sort_values("k").reset_index(drop=True)
+    slow = _min_set_filter(ds, "k", "u", driver_max=0).to_pandas()
+    assert "__part" not in slow.columns
+    slow = slow[fast.columns].sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    df = t.to_pandas()
+    want = df.loc[df.groupby("k")["u"].idxmin()].sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, want[fast.columns])
