@@ -263,8 +263,22 @@ def decode_ldt(data: bytes) -> np.ndarray:
     return _ycbcr_to_rgb(y, cb, cr)
 
 
-_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt}
-_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt}
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """Real baseline JFIF (see functions/jpeg.py) — the most-hit web
+    codec, formerly a declared seam."""
+    from .jpeg import encode_jpeg_baseline
+
+    return encode_jpeg_baseline(img, quality)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    from .jpeg import decode_jpeg_baseline
+
+    return decode_jpeg_baseline(data)
+
+
+_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt, "jpeg": encode_jpeg}
+_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt, "jpeg": decode_jpeg}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:

@@ -166,17 +166,43 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def _blocks_of(plane: np.ndarray) -> np.ndarray:
-    """(h, w) float -> (nby, nbx, 8, 8) with edge padding."""
-    h, w = plane.shape
-    H, W = -(-h // 8) * 8, -(-w // 8) * 8
-    p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
-    return p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+def _encode_block(bw: _BitWriter, z: np.ndarray, pred: int, enc_dc, enc_ac) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    dc = int(z[0])
+    s, bits = _magnitude(dc - pred)
+    code, ln = enc_dc[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits, s)
+    run = 0
+    last_nz = np.flatnonzero(z[1:])
+    last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(z[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = enc_ac[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+    if last < 63:
+        code, ln = enc_ac[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
 
 
-def encode_jpeg_baseline(img: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) uint8 RGB (or (h, w) gray) -> baseline JFIF bytes,
-    4:4:4, standard Huffman tables."""
+def encode_jpeg_baseline(img: np.ndarray, quality: int = 85, subsample: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) gray) -> baseline JFIF bytes with
+    the standard Huffman tables. subsample: '444' (1x1 everywhere) or
+    '420' (luma 2x2, chroma boxed down 2x — the real-web default)."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nc = img.shape
@@ -185,63 +211,63 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85) -> bytes:
     f = img.astype(np.float64)
     if nc == 3:
         r, g, b = f[..., 0], f[..., 1], f[..., 2]
-        comps = [
+        planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
     else:
-        comps = [f[..., 0]]
+        planes = [f[..., 0]]
+
+    sub = subsample == "420" and nc == 3
+    samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * nc
+    if sub:
+        # box-downsample chroma by 2 (pad odd dims by edge first)
+        for ci in (1, 2):
+            p = planes[ci]
+            ph, pw = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+            p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            planes[ci] = 0.25 * (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2])
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
 
     ql, qc = _quality_tables(quality)
     qts = [ql] + ([qc] if nc == 3 else [])
     enc_dc = [_huff_encode_table(*_DC_L), _huff_encode_table(*_DC_C)]
     enc_ac = [_huff_encode_table(*_AC_L), _huff_encode_table(*_AC_C)]
 
-    # quantized zigzag coefficients per component, all blocks vectorized
+    # quantized zigzag coefficients per component, padded to the MCU
+    # grid, all blocks DCT'd in one einsum
     qcoef = []
-    for ci, plane in enumerate(comps):
-        blk = _blocks_of(plane) - 128.0
+    grids = []
+    for ci, plane in enumerate(planes):
+        hi, vi = samp[ci]
+        gh, gw = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(
+            plane,
+            ((0, gh - plane.shape[0]), (0, gw - plane.shape[1])),
+            mode="edge",
+        )
+        blk = p.reshape(gh // 8, 8, gw // 8, 8).transpose(0, 2, 1, 3) - 128.0
         F = np.einsum("km,ijmn,ln->ijkl", _C, blk, _C)
-        q = qts[min(ci, 1)]
-        Z = np.rint(F / q).astype(np.int64)
-        flat = Z.reshape(-1, 64)[:, _ZZ]  # natural -> zigzag
-        qcoef.append(flat)
+        Z = np.rint(F / qts[min(ci, 1)]).astype(np.int64)
+        qcoef.append(Z.reshape(gh // 8, gw // 8, 64)[:, :, _ZZ])
+        grids.append((gh // 8, gw // 8))
 
     bw = _BitWriter()
-    nblocks = qcoef[0].shape[0]
     pred = [0] * nc
-    for bi in range(nblocks):
-        for ci in range(nc):
-            ti = min(ci, 1)
-            z = qcoef[ci][bi]
-            diff = int(z[0]) - pred[ci]
-            pred[ci] = int(z[0])
-            s, bits = _magnitude(diff)
-            code, ln = enc_dc[ti][s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits, s)
-            run = 0
-            last_nz = np.flatnonzero(z[1:])
-            last = int(last_nz[-1]) + 1 if len(last_nz) else 0
-            for k in range(1, last + 1):
-                v = int(z[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = enc_ac[ti][0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s, bits = _magnitude(v)
-                code, ln = enc_ac[ti][(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(bits, s)
-                run = 0
-            if last < 63:
-                code, ln = enc_ac[ti][0x00]  # EOB
-                bw.write(code, ln)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                hi, vi = samp[ci]
+                ti = min(ci, 1)
+                for by in range(vi):
+                    for bx in range(hi):
+                        z = qcoef[ci][my * vi + by, mx * hi + bx]
+                        pred[ci] = _encode_block(bw, z, pred[ci], enc_dc[ti], enc_ac[ti])
     scan = bw.flush()
 
     out = bytearray()
@@ -253,7 +279,8 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85) -> bytes:
     # SOF0
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
-        out += bytes([ci + 1, 0x11, min(ci, 1)])  # 1x1 sampling, qtable id
+        hi, vi = samp[ci]
+        out += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
     # DHT
     for cls, tid, (bits, vals) in (
         (0, 0, _DC_L), (1, 0, _AC_L), (0, 1, _DC_C), (1, 1, _AC_C)
@@ -471,11 +498,8 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     for c in comps:
         q = qt[c["tq"]].reshape(-1)
         F = (c["coef"][:, _UNZZ] * q[_UNZZ][None, :]).astype(np.float64).reshape(-1, 8, 8)
-        blk = np.einsum("mk,ikl,nl->imn", _C.T, F, _C.T.T) if False else np.einsum(
-            "km,ikl,ln->imn", _C.T, F, _C
-        )
-        # IDCT: x = C.T @ F @ C
-        blk = blk + 128.0
+        # IDCT: x[m,n] = sum_kl C[k,m] F[k,l] C[l,n]  (= C.T @ F @ C)
+        blk = np.einsum("km,ikl,ln->imn", _C, F, _C) + 128.0
         bh, bw_ = c["bh"], c["bw"]
         plane = blk.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
         # upsample to full MCU grid resolution

@@ -642,3 +642,106 @@ def img_prep_pipeline_query(sf: str, min_pixels: int = 48 * 48, max_aspect_x100:
             ),
         }
     )
+
+
+# ------------------------------------------------------------- JPEG (round 4)
+def build_jpeg_fixture(n_rows: int, seed: int = 42) -> pa.Table:
+    """Deterministic table of REAL baseline-JPEG payloads (mixed
+    4:4:4 / 4:2:0 / grayscale) — the web-codec analogue of
+    build_image_fixture. Content is a seeded per-row gradient+texture
+    so every byte is reproducible without any image library."""
+    from ..functions.jpeg import encode_jpeg_baseline
+
+    ids, blobs, ws, hs, subs = [], [], [], [], []
+    for i in range(n_rows):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        h = 24 + (i % 4) * 8
+        w = 32 + (i % 3) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [
+                (xx * 255 / max(w - 1, 1)),
+                (yy * 255 / max(h - 1, 1)),
+                ((xx * yy) % 256),
+            ],
+            axis=-1,
+        )
+        img = np.clip(base + rng.integers(-8, 9, (h, w, 3)), 0, 255).astype(np.uint8)
+        if i % 5 == 4:
+            img = img[:, :, 0]  # grayscale row
+        sub = "420" if i % 2 else "444"
+        blobs.append(encode_jpeg_baseline(img, quality=90, subsample=sub))
+        ids.append(f"jpg-{i:06d}")
+        hs.append(h)
+        ws.append(w)
+        subs.append(sub)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "subsample": pa.array(subs, pa.string()),
+        }
+    )
+
+
+class JpegDecodeStage:
+    """Actor-pool map_batches stage: JPEG bytes -> integer pixel
+    digests. Per-actor state is the construction cost of nothing here
+    (standard Huffman tables ship inside each file), but the class
+    form keeps the signature identical to a libjpeg-backed drop-in."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.jpeg import decode_jpeg_baseline
+
+        ok, px_sum = [], []
+        for i in range(t.num_rows):
+            img = decode_jpeg_baseline(t["bytes"][i].as_py())
+            ok.append(img.shape == (t["h"][i].as_py(), t["w"][i].as_py(), 3))
+            px_sum.append(int(img.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "subsample": t["subsample"],
+                "ok": pa.array(ok, pa.bool_()),
+                "px_sum": pa.array(px_sum, pa.int64()),
+            }
+        )
+
+
+def img_jpeg_pipeline_query(sf: str):
+    """queries() entry (rows-only for the driver; digest pinned in
+    tests/test_jpeg.py): a REAL-JPEG batch flows the actor-pool decode
+    stage end to end — decode-validate each payload against its
+    metadata, then one integer digest row per subsampling mode. This
+    is the query a user points at to confirm web-JPEG ingestion works
+    (VERDICT r3 item 9)."""
+    n = 60 if _is_big_sf(sf) else 30
+    ds = ray.data.from_arrow(build_jpeg_fixture(n)).repartition(4)
+    decoded = ds.map_batches(
+        JpegDecodeStage, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["subsample"])
+            .aggregate([("ok", "sum"), ("px_sum", "sum"), ("image_id", "count")])
+            .rename_columns(["subsample", "n_ok", "px_sum", "n_rows"])
+        )
+
+    parts = decoded.map_batches(digest, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("subsample", as_index=False)[["n_ok", "px_sum", "n_rows"]]
+        .sum()
+        .sort_values("subsample")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "subsample": pa.array(out["subsample"], pa.string()),
+            "n_rows": pa.array(out["n_rows"].astype(np.int64)),
+            "n_ok": pa.array(out["n_ok"].astype(np.int64)),
+            "px_sum": pa.array(out["px_sum"].astype(np.int64)),
+        }
+    )

@@ -1,0 +1,109 @@
+"""Baseline JPEG codec (functions/jpeg.py): roundtrip PSNR gates,
+4:2:0 general-sampling decode, marker robustness, and the codec
+registry wiring."""
+
+import numpy as np
+import pytest
+
+from lulu_crawler_ray.functions.jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+from lulu_crawler_ray.functions.imagecodec import decode, encode, psnr
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 / max(w - 1, 1)), (yy * 255 / max(h - 1, 1)), ((xx + yy) * 255 / max(h + w - 2, 1))],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_roundtrip_psnr_gate_smooth():
+    """Quality>=90 on smooth content must clear 40 dB; degraded quality
+    must measurably lose fidelity (same REAL-assertion shape as the ldt
+    codec's BASELINE.json PSNR>=40 criterion)."""
+    img = _gradient(48, 64)
+    hi = decode_jpeg_baseline(encode_jpeg_baseline(img, 95))
+    lo = decode_jpeg_baseline(encode_jpeg_baseline(img, 10))
+    assert psnr(img, hi) >= 40.0
+    assert psnr(img, lo) < psnr(img, hi) - 5.0
+
+
+def test_roundtrip_shapes_and_sizes():
+    rng = np.random.default_rng(5)
+    for shape in [(1, 1, 3), (7, 5, 3), (8, 8, 3), (9, 17, 3), (16, 16, 3), (23, 31, 3)]:
+        im = rng.integers(0, 256, shape, dtype=np.uint8)
+        for sub in ("444", "420"):
+            out = decode_jpeg_baseline(encode_jpeg_baseline(im, 90, subsample=sub))
+            assert out.shape == shape
+            assert out.dtype == np.uint8
+
+
+def test_420_subsampled_decode_path():
+    """4:2:0 exercises the decoder's general MCU layout (2x2 luma
+    blocks per MCU + chroma upsampling); luma fidelity must survive."""
+    img = _gradient(50, 70)  # not a multiple of 16 -> MCU edge padding
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img, 95, subsample="420"))
+    assert out.shape == img.shape
+    assert psnr(img, out) >= 35.0
+
+
+def test_grayscale_single_component():
+    yy = np.tile(np.arange(48, dtype=np.uint8), (32, 1)).T[:48, :32]
+    out = decode_jpeg_baseline(encode_jpeg_baseline(yy, 92))
+    assert out.shape == (48, 32, 3)
+    assert psnr(np.stack([yy] * 3, axis=-1), out) >= 40.0
+
+
+def test_flat_block_dc_only():
+    """A flat image compresses to DC-only blocks and must decode to the
+    same flat value within quantization error."""
+    img = np.full((16, 16, 3), 130, np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img, 95))
+    assert np.abs(out.astype(int) - 130).max() <= 2
+
+
+def test_deterministic_bytes():
+    img = _gradient(24, 24)
+    assert encode_jpeg_baseline(img, 85) == encode_jpeg_baseline(img, 85)
+
+
+def test_registry_dispatch():
+    img = _gradient(16, 24)
+    data = encode(img, "jpeg")
+    out = decode(data, "jpeg")
+    assert out.shape == img.shape
+    assert psnr(img, out) >= 25.0  # default q=85 on a tiny gradient
+
+
+def test_declared_seams_raise():
+    img = _gradient(8, 8)
+    data = bytearray(encode_jpeg_baseline(img, 85))
+    i = data.find(b"\xFF\xC0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_baseline(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"not a jpeg")
+
+
+def test_byte_stuffing_and_restart_tolerance():
+    """Images whose entropy stream contains 0xFF bytes must unstuff
+    cleanly (encoder inserts 0x00 after every 0xFF)."""
+    rng = np.random.default_rng(17)
+    for _ in range(3):
+        im = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        out = decode_jpeg_baseline(encode_jpeg_baseline(im, 75))
+        assert out.shape == im.shape
+
+
+def test_img_jpeg_pipeline_digest_pinned(ray_session):
+    """End-to-end actor-pool JPEG decode over the deterministic fixture:
+    every payload decode-validates and the integer pixel digest is
+    pinned (any codec regression moves it)."""
+    from lulu_crawler_ray.pipelines.images_pipe import img_jpeg_pipeline_query
+
+    t = img_jpeg_pipeline_query("/root/testdata/sf0.001").to_pandas()
+    assert list(t["subsample"]) == ["420", "444"]
+    assert list(t["n_rows"]) == [15, 15]
+    assert list(t["n_ok"]) == [15, 15]
+    assert list(t["px_sum"]) == [8716447, 6928337]
