@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / training-data ops (documents)
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
+        "t_bpe_real": to.t_bpe_real,
         "t_quality": to.t_quality,
         "t_exact_dedup": to.t_exact_dedup,
         "t_group_by_lang": to.t_group_by_lang,
@@ -220,6 +221,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank in the row mix) — hash-checkable without binary columns
         "crawl_summary": lambda sf: _crawl_outputs(sf, "summary"),
     }
+
+
+def _bpe_real_sql() -> str:
+    from lulu_crawler_ray.functions.bpe import bpe_oracle_expr
+
+    return f"SELECT doc_id, {bpe_oracle_expr('text')} AS n_bpe_real FROM documents"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -711,6 +718,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')) AS n_bpe_tokens "
             "FROM documents"
         ),
+        # real merge-table BPE: the SQL replays the pinned merge chain
+        # as nested REPLACEs over the bracketed token form — exact, see
+        # functions/bpe.py docstring
+        "t_bpe_real": _bpe_real_sql(),
         "t_langid": (
             "WITH sw(slang, w) AS (VALUES "
             "('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),"

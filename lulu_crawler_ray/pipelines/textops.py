@@ -1202,3 +1202,54 @@ def t_prep_v2(sf: str, min_tokens: int = 10, bench_mod: int = 10, window: int = 
             "n_chunks": pa.array([n_chunks], pa.int64()),
         }
     )
+
+
+class _BpeCountStage:
+    """Actor-pool stage for t_bpe_real: the merge-replace chain is
+    applied once per DISTINCT word and memoized across batches (the
+    corpus vocabulary is tiny relative to token volume — the standard
+    tokenizer-cache shape). State lives in __init__, not per batch."""
+
+    def __init__(self):
+        from ..functions.bpe import MERGES_SF0001, bpe_token_count
+
+        self._count = bpe_token_count
+        self._merges = MERGES_SF0001
+        self._memo: dict[str, int] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        memo = self._memo
+        counts = []
+        for s in t["text"].to_pylist():
+            if not set(s) <= _BPE_SAFE_CHARS:
+                raise ValueError(
+                    "t_bpe_real: text contains characters outside the "
+                    "lowercase+space charset the bracket-delimiter "
+                    "contract was verified for"
+                )
+            tot = 0
+            for w in s.split(" "):
+                c = memo.get(w)
+                if c is None:
+                    c = self._count(w, self._merges)
+                    memo[w] = c
+                tot += c
+            counts.append(tot)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_bpe_real": pa.array(counts, pa.int64())}
+        )
+
+
+_BPE_SAFE_CHARS = frozenset("abcdefghijklmnopqrstuvwxyz ")
+
+
+def t_bpe_real(sf: str):
+    """REAL merge-table BPE token count per doc (round-4 upgrade of
+    t_bpe_tokens' regex pre-tokenizer): the pinned 40-merge table
+    trained on the sf0.001 corpus (functions/bpe.py) is applied as
+    greedy left-to-right pair merges; the SQL oracle replays the
+    identical merge chain as nested REPLACEs over the bracketed token
+    form, so the driver hash-checks actual BPE semantics, not a
+    proxy count."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+    return ds.map_batches(_BpeCountStage, batch_format="pyarrow", concurrency=2)

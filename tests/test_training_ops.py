@@ -921,3 +921,28 @@ def test_img_prep_pipeline_golden(ray_session):
         "sum_h": [13440],
         "phash_xor": [8130959070006389008],
     }
+
+
+def test_bpe_pinned_merges_reproduce():
+    """The shipped merge table must equal deterministic retraining on
+    the sf0.001 corpus — the constant can't silently drift."""
+    import pyarrow.parquet as pq
+    from lulu_crawler_ray.functions.bpe import MERGES_SF0001, train_bpe
+
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet")["text"].to_pylist()
+    assert train_bpe(texts, 40) == MERGES_SF0001
+
+
+def test_bpe_tokenize_semantics():
+    """Greedy leftmost merge application, boundary safety, repeats."""
+    from lulu_crawler_ray.functions.bpe import bpe_token_count, bpe_tokenize
+
+    merges = [("a", "r"), ("p", "ar")]
+    assert bpe_tokenize("par", merges) == ["par"]          # chained merge
+    assert bpe_tokenize("arar", merges) == ["ar", "ar"]    # repeat, both merge
+    assert bpe_tokenize("spar", merges) == ["s", "par"]    # s,p,a,r -> s,p,ar -> s,par
+    assert bpe_token_count("", merges) == 0
+    # mid-token false positive must NOT fire: token 'pa' + 'r' stays
+    # split because '<pa><r>' does not contain '<a><r>'
+    m2 = [("p", "a"), ("a", "r")]
+    assert bpe_tokenize("par", m2) == ["pa", "r"]
