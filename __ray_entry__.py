@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g6_grouped_median": rl.g6_grouped_median,
         "g7_rollup": rl.g7_rollup,
         "g8_approx_quantile": rl.g8_approx_quantile,
+        "g20_quantile_hist": rl.g20_quantile_hist,
         "g9_count_distinct": rl.g9_count_distinct,
         "m14_regex_extract": rl.m14_regex_extract,
         "d6_intersect": rl.d6_intersect,
@@ -221,6 +222,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank in the row mix) — hash-checkable without binary columns
         "crawl_summary": lambda sf: _crawl_outputs(sf, "summary"),
     }
+
+
+def _g20_sql() -> str:
+    from lulu_crawler_ray.pipelines.relational import g20_quantile_hist_sql
+
+    return g20_quantile_hist_sql()
 
 
 def _bpe_real_sql() -> str:
@@ -445,6 +452,9 @@ def oracle_sql() -> dict[str, str]:
         # see pipelines/minhash_oracle.py)
         "e_kmeans_int": kmeans_sql(),
         "g18_hll_registers": hll_registers_sql(),
+        # integer histogram quantile: the SQL replays the identical
+        # bucket/rank/estimate integer pipeline (relational.py g20)
+        "g20_quantile_hist": _g20_sql(),
         "t_prep_v2": prep_v2_sql(),
         "g19_string_agg": (
             "SELECT c_mktsegment, STRING_AGG(CAST(c_custkey AS VARCHAR), ',' "

@@ -1107,6 +1107,96 @@ def g8_approx_quantile(sf: str, q: float = 0.5, n_buckets: int = 4096):
     )
 
 
+def g20_quantile_hist(sf: str, q_num: int = 1, q_den: int = 2, n_buckets: int = 4096):
+    """g8's error-bound CONTRACT made driver-checkable (the g18 trick,
+    VERDICT r3 item 7): the same two-pass equi-width histogram
+    quantile, but in the exact-integer cents domain with a RATIONAL
+    quantile q = q_num/q_den, so every step — bucket index
+    min((v-lo)*B // wd, B-1), rank (q_num*n + q_den - 1) // q_den,
+    estimate lo + (bkt+1)*wd // B — is integer arithmetic DuckDB
+    reproduces bit-for-bit (nonnegative domain: numpy floor-div ==
+    SQL integer div). The histogram sketch itself is thereby
+    hash-checked, not just bounded; the error bound |est - exact| <=
+    wd // B + 1 cents is additionally pytest-asserted vs the exact
+    quantile."""
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"g": t["l_returnflag"], "v": pa.array(v)})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+
+    def ranges(t: pa.Table) -> pa.Table:
+        out = t.group_by(["g"]).aggregate([("v", "min"), ("v", "max"), ("v", "count")])
+        return out.select(["g", "v_min", "v_max", "v_count"])
+
+    rng: dict[str, list[int]] = {}
+    for b in cds.map_batches(ranges, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        for g, lo, hi, n in zip(
+            b["g"].to_pylist(), b["v_min"].to_pylist(), b["v_max"].to_pylist(), b["v_count"].to_pylist()
+        ):
+            cur = rng.get(g)
+            if cur is None:
+                rng[g] = [lo, hi, n]
+            else:
+                cur[0], cur[1], cur[2] = min(cur[0], lo), max(cur[1], hi), cur[2] + n
+    groups = sorted(rng)
+    lo = np.array([rng[g][0] for g in groups], np.int64)
+    wd = np.array([max(rng[g][1] - rng[g][0], 1) for g in groups], np.int64)
+    n_per = np.array([rng[g][2] for g in groups], np.int64)
+    gref = ray.put((np.array(groups, dtype=object), lo, wd))
+
+    def hist(t: pa.Table) -> pa.Table:
+        gs, lo_, w_ = ray.get(gref)
+        gv = np.asarray(t["g"].to_pylist(), dtype=object)
+        v = t["v"].to_numpy()
+        gi = np.searchsorted(gs, gv)
+        bk = np.minimum((v - lo_[gi]) * n_buckets // w_[gi], n_buckets - 1)
+        key = gi * n_buckets + bk
+        cnt = np.bincount(key, minlength=len(gs) * n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"key": pa.array(nz), "n": pa.array(cnt[nz], pa.int64())})
+
+    acc = np.zeros(len(groups) * n_buckets, np.int64)
+    for b in cds.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=262144
+    ):
+        np.add.at(acc, b["key"].to_numpy(), b["n"].to_numpy())
+    out_g, out_e = [], []
+    for i, g in enumerate(groups):
+        h = acc[i * n_buckets : (i + 1) * n_buckets]
+        rank = (q_num * int(n_per[i]) + q_den - 1) // q_den
+        cum = np.cumsum(h)
+        bidx = int(np.searchsorted(cum, rank, side="left"))
+        out_g.append(g)
+        out_e.append(int(lo[i]) + (bidx + 1) * int(wd[i]) // n_buckets)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_g, pa.string()),
+            "q_est_c": pa.array(out_e, pa.int64()),
+        }
+    )
+
+
+def g20_quantile_hist_sql(q_num: int = 1, q_den: int = 2, n_buckets: int = 4096) -> str:
+    """DuckDB mirror of g20_quantile_hist — same integer pipeline."""
+    return (
+        "WITH c AS (SELECT l_returnflag AS g, CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS v FROM lineitem), "
+        "r AS (SELECT g, MIN(v) AS lo, GREATEST(MAX(v) - MIN(v), 1) AS wd, COUNT(*) AS n FROM c GROUP BY g), "
+        f"b AS (SELECT c.g, LEAST(((c.v - r.lo) * {n_buckets}) // r.wd, {n_buckets - 1}) AS bkt "
+        "FROM c JOIN r ON c.g = r.g), "
+        "h AS (SELECT g, bkt, COUNT(*) AS cnt FROM b GROUP BY g, bkt), "
+        "cum AS (SELECT g, bkt, SUM(cnt) OVER (PARTITION BY g ORDER BY bkt) AS cm FROM h), "
+        f"pick AS (SELECT cum.g, MIN(bkt) AS bkt FROM cum JOIN r ON cum.g = r.g "
+        f"WHERE cum.cm >= ({q_num} * r.n + {q_den - 1}) // {q_den} GROUP BY cum.g) "
+        f"SELECT pick.g AS l_returnflag, CAST(r.lo + ((pick.bkt + 1) * r.wd) // {n_buckets} AS BIGINT) AS q_est_c "
+        "FROM pick JOIN r ON pick.g = r.g"
+    )
+
+
 def g9_count_distinct(sf: str):
     """COUNT(DISTINCT l_partkey) GROUP BY l_returnflag — exact, as two
     pre-aggregated levels: per-batch distinct (flag, partkey) pairs

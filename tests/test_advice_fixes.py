@@ -167,3 +167,23 @@ def test_w5_range_join_epoch_underflow_clamp(ray_session, tmp_path):
     # only user 2's own day-0 order is in (10-30, 10]; the unclamped
     # probe returned 3 (user 1's two high-day orders leaked in)
     assert out["n_orders"].tolist() == [1]
+
+
+def test_g20_quantile_hist_error_bound(ray_session):
+    """The histogram quantile's |est - exact| <= wd // B + 1 cents
+    contract, asserted against the exact discrete median."""
+    import duckdb
+    import numpy as np
+    from lulu_crawler_ray.pipelines.relational import g20_quantile_hist
+
+    sf = "/root/testdata/sf0.01"
+    got = g20_quantile_hist(sf).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+    ex = con.execute(
+        "SELECT l_returnflag, CAST(ROUND(quantile_disc(l_extendedprice, 0.5)*100,0) AS BIGINT) AS q, "
+        "CAST(ROUND(MAX(l_extendedprice)*100,0)-ROUND(MIN(l_extendedprice)*100,0) AS BIGINT) AS w "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).df()
+    err = np.abs(got["q_est_c"].to_numpy() - ex["q"].to_numpy())
+    assert (err <= ex["w"].to_numpy() // 4096 + 1).all()

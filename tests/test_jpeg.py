@@ -107,3 +107,34 @@ def test_img_jpeg_pipeline_digest_pinned(ray_session):
     assert list(t["n_rows"]) == [15, 15]
     assert list(t["n_ok"]) == [15, 15]
     assert list(t["px_sum"]) == [8716447, 6928337]
+
+
+def test_img_stats_and_resize_integer_digests_pinned(ray_session):
+    """Integer-digest contracts for the formerly rows-only image
+    queries (VERDICT r3 item 7): exact pinned fold of img_stats'
+    grouped output and img_resize's (w, h, phash-xor, id-hash) — any
+    decoder/resize/phash regression moves these."""
+    import numpy as np
+    from lulu_crawler_ray.pipelines.images_pipe import img_resize_query, img_stats_query
+
+    sf = "/root/testdata/sf0.001"
+    s = img_stats_query(sf)
+    s = (s.to_pandas() if hasattr(s, "to_pandas") else s).sort_values("fmt").reset_index(drop=True)
+    assert list(s["fmt"]) == ["png", "ppm", "raw"]
+    assert list(s["n"]) == [100, 100, 100]
+
+    r = img_resize_query(sf)
+    r = r.to_pandas() if hasattr(r, "to_pandas") else r
+    assert len(r) == 300
+    assert set(zip(r["w"], r["h"])) == {(32, 32)}
+    ph = r["phash"].to_numpy().astype(np.int64)
+    idh = np.bitwise_xor.reduce(
+        [int(x[:16], 16) - (1 << 63) for x in sorted(r["image_id"])]
+    )
+    digest = (int(np.bitwise_xor.reduce(ph)), int(idh))
+    assert digest == PINNED_RESIZE_DIGEST, digest
+    assert list(np.sort(s["avg_px"].to_numpy())) == PINNED_STATS_AVGPX, list(np.sort(s["avg_px"].to_numpy()))
+
+
+PINNED_RESIZE_DIGEST = (885481482856359965, -6709845456964182415)
+PINNED_STATS_AVGPX = [12739, 12745, 12757]
