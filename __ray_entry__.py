@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g7_rollup": rl.g7_rollup,
         "g8_approx_quantile": rl.g8_approx_quantile,
         "g20_quantile_hist": rl.g20_quantile_hist,
+        "g21_cms_registers": rl.g21_cms_registers,
+        "j8_range_join": rl.j8_range_join,
         "g9_count_distinct": rl.g9_count_distinct,
         "m14_regex_extract": rl.m14_regex_extract,
         "d6_intersect": rl.d6_intersect,
@@ -195,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
+        "t_intradoc_repeats": to.t_intradoc_repeats,
         "t_quality": to.t_quality,
         "t_exact_dedup": to.t_exact_dedup,
         "t_group_by_lang": to.t_group_by_lang,
@@ -265,6 +268,7 @@ def _bpe_real_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
     from lulu_crawler_ray.pipelines.minhash_oracle import (
+        cms_registers_sql,
         hll_registers_sql,
         minhash_pairs_sql,
         near_dedup_sql,
@@ -481,6 +485,24 @@ def oracle_sql() -> dict[str, str]:
         # integer histogram quantile: the SQL replays the identical
         # bucket/rank/estimate integer pipeline (relational.py g20)
         "g20_quantile_hist": _g20_sql(),
+        "g21_cms_registers": cms_registers_sql(),
+        "j8_range_join": (
+            "WITH w AS (SELECT o_orderkey AS window_id, o_orderdate AS lo, "
+            "o_orderdate + INTERVAL 30 DAY AS hi FROM orders WHERE o_orderkey % 499 = 0) "
+            "SELECT w.window_id, CAST(COUNT(l.l_shipdate) AS BIGINT) AS n_ships "
+            "FROM w LEFT JOIN lineitem l ON l.l_shipdate >= w.lo AND l.l_shipdate < w.hi "
+            "GROUP BY w.window_id"
+        ),
+        "t_intradoc_repeats": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents), "
+            "tok AS (SELECT doc_id, UNNEST(ws) AS word, generate_subscripts(ws,1) AS pos FROM w), "
+            "g AS (SELECT t0.doc_id, t0.word || ' ' || t1.word AS gram FROM tok t0 "
+            "JOIN tok t1 ON t0.doc_id=t1.doc_id AND t1.pos=t0.pos+1), "
+            "r AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram), "
+            "s AS (SELECT doc_id, CAST(SUM(c-1) AS BIGINT) AS n_repeat_positions FROM r GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(s.n_repeat_positions, 0) AS BIGINT) AS n_repeat_positions "
+            "FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN s USING (doc_id)"
+        ),
         "t_prep_v2": prep_v2_sql(),
         "g19_string_agg": (
             "SELECT c_mktsegment, STRING_AGG(CAST(c_custkey AS VARCHAR), ',' "

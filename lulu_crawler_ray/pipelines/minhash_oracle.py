@@ -253,3 +253,27 @@ SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_in,
   CAST((SELECT COALESCE(SUM(ntok), 0) FROM pv_surv) AS BIGINT) AS total_tokens,
   CAST((SELECT COUNT(DISTINCT start_tok // {window}) FROM pv_packed) AS BIGINT) AS n_chunks"""
     return "WITH RECURSIVE " + head + survivor_ctes("exact_kept2") + tail
+
+
+def cms_registers_sql(w: int = 1024, d: int = 4) -> str:
+    """Oracle for g21_cms_registers: the Count-Min register state as
+    exact integers — same seeded splitmix64 HUGEINT chain as the
+    minhash CTEs (seed xor'd in), idx = h % w, counters WITH
+    multiplicity (no DISTINCT: CMS counts frequencies)."""
+    seeds = ",".join(f"({i})" for i in range(d))
+    return f"""WITH s(seed) AS (VALUES {seeds}),
+hx AS (
+  SELECT s.seed,
+    (xor(CAST(l_partkey AS HUGEINT), CAST(s.seed AS HUGEINT)) + {_GOLD}) % {_M64} AS x0,
+    xor(x0, x0 >> 30) AS x1,
+    {_mul64('x1', _C1)} AS x2,
+    xor(x2, x2 >> 27) AS x3,
+    {_mul64('x3', _C2)} AS x4,
+    xor(x4, x4 >> 31) AS x5
+  FROM lineitem CROSS JOIN s
+),
+reg AS (SELECT seed, x5 % {w} AS idx, COUNT(*) AS cnt FROM hx GROUP BY seed, idx)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+       CAST(SUM((idx + 1) * cnt) AS BIGINT) AS chk,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+FROM reg GROUP BY seed ORDER BY seed"""

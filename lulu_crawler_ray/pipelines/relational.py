@@ -3277,3 +3277,107 @@ def m16_unpivot(sf: str):
 
 def _cents_arr(col) -> np.ndarray:
     return np.rint(col.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+
+
+def g21_cms_registers(sf: str, w: int = 1024, d: int = 4):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) register state
+    as an exact-integer contract — the frequency-sketch sibling of
+    g18's HLL parity: d seeded splitmix64 rows of w counters over
+    l_partkey occurrences (WITH multiplicity — CMS estimates
+    frequencies, so no DISTINCT). Counters are integer sums, mergeable
+    by + across batches (one sketch per batch, elementwise-add fold),
+    and the driver hash-checks three integer folds per row — nonzero
+    count, position-weighted checksum, and the collision-sensitive
+    sum of squares — against a DuckDB oracle replaying the identical
+    HUGEINT hash chain. The point-estimate overcount bound
+    (est >= true; est <= true + N/w w.h.p.) is pytest-asserted."""
+    from ..functions.hll import _mix64
+
+    ds = read_table(sf, "lineitem", ["l_partkey"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vals = t["l_partkey"].to_numpy().astype(np.uint64)
+        rows = []
+        for seed in range(d):
+            h = _mix64(vals ^ np.uint64(seed)) % np.uint64(w)
+            rows.append(np.bincount(h.astype(np.int64), minlength=w))
+        return pa.table({"reg": pa.array(np.concatenate(rows), pa.int64())})
+
+    acc = np.zeros(d * w, np.int64)
+    for b in ds.map_batches(sketch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=d * w
+    ):
+        r = b["reg"].to_numpy()
+        # batches may split the d*w vector; accumulate positionally
+        acc[: len(r)] += r if len(r) == d * w else 0
+        if len(r) != d * w:
+            raise ValueError("g21: sketch block split unexpectedly")
+    out_seed, out_nz, out_chk, out_sq = [], [], [], []
+    for seed in range(d):
+        cnt = acc[seed * w : (seed + 1) * w]
+        nz = np.flatnonzero(cnt)
+        out_seed.append(seed)
+        out_nz.append(len(nz))
+        out_chk.append(int(((nz + 1) * cnt[nz]).sum()))
+        out_sq.append(int((cnt[nz].astype(np.int64) ** 2).sum()))
+    return pa.table(
+        {
+            "seed": pa.array(out_seed, pa.int64()),
+            "n_nonzero": pa.array(out_nz, pa.int64()),
+            "chk": pa.array(out_chk, pa.int64()),
+            "sq": pa.array(out_sq, pa.int64()),
+        }
+    )
+
+
+def cms_point_estimate(sf: str, keys: np.ndarray, w: int = 1024, d: int = 4) -> np.ndarray:
+    """CMS point queries (min over rows) for the pytest bound check."""
+    from ..functions.hll import _mix64
+
+    ds = read_table(sf, "lineitem", ["l_partkey"])
+    acc = np.zeros((d, w), np.int64)
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=262144):
+        vals = b["l_partkey"].to_numpy().astype(np.uint64)
+        for seed in range(d):
+            h = _mix64(vals ^ np.uint64(seed)) % np.uint64(w)
+            acc[seed] += np.bincount(h.astype(np.int64), minlength=w)
+    ks = np.asarray(keys, np.uint64)
+    ests = np.stack(
+        [acc[seed][(_mix64(ks ^ np.uint64(seed)) % np.uint64(w)).astype(np.int64)] for seed in range(d)]
+    )
+    return ests.min(axis=0)
+
+
+def j8_range_join(sf: str, key_mod: int = 499, days: int = 30):
+    """Interval (range) join — the non-equi join Ray Data lacks
+    natively: promo windows [o_orderdate, +days) drawn from a key
+    residue of orders, joined to lineitem on l_shipdate containment
+    with NO equality key. Plan: the window set is interval-count-sized
+    (broadcast once as two sorted int arrays); each lineitem batch
+    tests containment per window vectorized (n_windows x batch
+    comparisons — at larger window counts the same broadcast holds an
+    interval tree / sorted-boundary searchsorted instead, the
+    documented scale path). Counts pre-aggregate per batch; only
+    (window_id, partial_count) rows shuffle."""
+    orders = read_table(sf, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
+    sel = orders.loc[orders["o_orderkey"] % key_mod == 0].sort_values("o_orderkey")
+    wid = sel["o_orderkey"].to_numpy(np.int64)
+    lo = sel["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    hi = lo + np.int64(days) * 86_400_000_000
+    ref = ray.put((wid, lo, hi))
+
+    li = read_table(sf, "lineitem", ["l_shipdate"])
+
+    def count_in_windows(t: pa.Table) -> pa.Table:
+        ws, lo_, hi_ = ray.get(ref)
+        sd = t["l_shipdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = np.array(
+            [int(((sd >= lo_[j]) & (sd < hi_[j])).sum()) for j in range(len(ws))],
+            np.int64,
+        )
+        return pa.table({"window_id": pa.array(ws), "n_ships": pa.array(n)})
+
+    partials = li.map_batches(count_in_windows, batch_format="pyarrow")
+    return grouped_agg(partials, ["window_id"], [("n_ships", "sum", "n_ships")], round_to=None).sort(
+        "window_id"
+    )

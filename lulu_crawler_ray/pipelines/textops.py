@@ -1253,3 +1253,56 @@ def t_bpe_real(sf: str):
     proxy count."""
     ds = read_table(sf, "documents", ["doc_id", "text"])
     return ds.map_batches(_BpeCountStage, batch_format="pyarrow", concurrency=2)
+
+
+def t_intradoc_repeats(sf: str, n: int = 2):
+    """Intra-document repeated n-gram accounting (the per-doc half of
+    ExactSubstr-style dedup, Lee et al. 2022: repeated spans inside one
+    document are the densest duplication mode in web corpora): for each
+    doc, the number of n-gram positions whose n-gram already occurred
+    earlier in the same doc (= sum over distinct grams of count-1).
+    Fully vectorized per batch: arrow split_pattern -> one np.unique
+    factorization of the batch vocabulary -> per-(doc, gram-code-pair)
+    unique+counts -> bincount fold per doc. No per-row Python in the
+    gram math; SQL oracle self-joins tokens at +1..+(n-1) offsets and
+    reproduces the count exactly."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_numpy()
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern(col, " ")
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = words != ""  # split on ' ' yields empties for runs/edges
+        # re-number positions after dropping empties, per doc
+        docseg = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+        docseg = docseg[keep]
+        words = words[keep]
+        if len(words) == 0:
+            return pa.table(
+                {"doc_id": t["doc_id"], "n_repeat_positions": pa.array(np.zeros(len(doc_ids), np.int64))}
+            )
+        _, codes = np.unique(words, return_inverse=True)
+        # n-gram start positions: indices i..i+n-1 all in the same doc
+        m = len(codes)
+        valid = np.ones(max(m - n + 1, 0), bool)
+        for j in range(1, n):
+            valid &= docseg[j : m - n + 1 + j] == docseg[: m - n + 1]
+        gram = np.stack(
+            [docseg[: m - n + 1]] + [codes[j : m - n + 1 + j] for j in range(n)], axis=1
+        )[valid] if m >= n else np.zeros((0, n + 1), np.int64)
+        reps = np.zeros(len(doc_ids), np.int64)
+        if len(gram):
+            uniq, cnt = np.unique(gram, axis=0, return_counts=True)
+            extra = cnt - 1
+            nz = extra > 0
+            if nz.any():
+                np.add.at(reps, uniq[nz, 0], extra[nz])
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_repeat_positions": pa.array(reps)}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

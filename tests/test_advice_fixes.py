@@ -187,3 +187,23 @@ def test_g20_quantile_hist_error_bound(ray_session):
     ).df()
     err = np.abs(got["q_est_c"].to_numpy() - ex["q"].to_numpy())
     assert (err <= ex["w"].to_numpy() // 4096 + 1).all()
+
+
+def test_cms_overcount_bound(ray_session):
+    """CMS point estimates must never undercount, and with d=4 rows of
+    w=1024 counters stay within ~2N/w of truth for the hot keys."""
+    import duckdb
+    import numpy as np
+    from lulu_crawler_ray.pipelines.relational import cms_point_estimate
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+    top = con.execute(
+        "SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey ORDER BY c DESC, l_partkey LIMIT 20"
+    ).df()
+    n_total = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    est = cms_point_estimate(sf, top["l_partkey"].to_numpy())
+    true = top["c"].to_numpy()
+    assert (est >= true).all()          # CMS never undercounts
+    assert (est - true <= 2 * n_total // 1024).all()
