@@ -277,8 +277,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return decode_jpeg_baseline(data)
 
 
-_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt, "jpeg": encode_jpeg}
-_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt, "jpeg": decode_jpeg}
+def encode_gif(img: np.ndarray) -> bytes:
+    """Real GIF89a (see functions/gif.py) — palettized lossless."""
+    from .gif import encode_gif as _enc
+
+    return _enc(img)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    from .gif import decode_gif as _dec
+
+    return _dec(data)
+
+
+_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt, "jpeg": encode_jpeg, "gif": encode_gif}
+_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt, "jpeg": decode_jpeg, "gif": decode_gif}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:
