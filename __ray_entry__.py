@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pack": to.t_pack,
         "t_lm_score": to.t_lm_score,
         "t_prep_v2": to.t_prep_v2,
+        "t_prep_v3": to.t_prep_v3,
         "e_gram_topk": an.e_gram_topk,
         "e_kmeans_int": _kmeans,
         "t_sample_mix": to.t_sample_mix,
@@ -504,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN s USING (doc_id)"
         ),
         "t_prep_v2": prep_v2_sql(),
+        "t_prep_v3": prep_v2_sql(bpe_pack=True),
         "g19_string_agg": (
             "SELECT c_mktsegment, STRING_AGG(CAST(c_custkey AS VARCHAR), ',' "
             "ORDER BY c_custkey) AS top_custkeys FROM ("

@@ -211,21 +211,39 @@ reg AS (SELECT idx, MAX(rank) AS r FROM rr GROUP BY idx)
 SELECT CAST(SUM(r) AS BIGINT) AS reg_sum, CAST(COUNT(*) AS BIGINT) AS n_nonzero FROM reg"""
 
 
-def prep_v2_sql(min_tokens: int = 10, bench_mod: int = 10, window: int = 256) -> str:
+def prep_v2_sql(min_tokens: int = 10, bench_mod: int = 10, window: int = 256, bpe_pack: bool = False) -> str:
     """Oracle for t_prep_v2 — the full corpus-prep DAG as ONE SQL
     statement: repetition+length gate, 3-gram benchmark
     decontamination (same md5-prefix hash as the engine), exact dedup,
     the minhash survivor chain (survivor_ctes), and the packing prefix
-    scan. Same defaults as textops.t_prep_v2."""
+    scan. Same defaults as textops.t_prep_v2. With ``bpe_pack`` the
+    packing weight becomes the REAL BPE token count (the nested-REPLACE
+    chain from functions/bpe.py, computed in its own MATERIALIZED CTE —
+    inlining it into pv_d3 trips a DuckDB binder internal error — and
+    kept SEPARATE from ntok, which still drives the bigram iteration
+    bound); this is t_prep_v3's oracle."""
+    if bpe_pack:
+        from ..functions.bpe import bpe_oracle_expr
+
+        pv_d3_cte = (
+            "pv_bpe AS MATERIALIZED (SELECT doc_id, " + bpe_oracle_expr("text")
+            + " AS btok FROM documents), "
+            "pv_d3 AS (SELECT p.doc_id, p.text, p.l, len(p.l) AS ntok, b.btok "
+            "FROM pv_d2 p JOIN pv_bpe b USING (doc_id)),"
+        )
+        btok_col, pack_col = ", d.btok", "btok"
+    else:
+        pv_d3_cte = "pv_d3 AS (SELECT doc_id, text, l, len(l) AS ntok FROM pv_d2),"
+        btok_col, pack_col = "", "ntok"
     head = f"""pv_d2 AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l FROM documents),
-pv_d3 AS (SELECT doc_id, text, l, len(l) AS ntok FROM pv_d2),
+{pv_d3_cte}
 pv_big AS (
   SELECT doc_id, l[CAST(i AS BIGINT)] || ' ' || l[CAST(i AS BIGINT)+1] AS g
   FROM pv_d3 CROSS JOIN LATERAL (SELECT UNNEST(range(1, ntok)) AS i) t WHERE ntok >= 2
   UNION ALL SELECT doc_id, array_to_string(l, ' ') FROM pv_d3 WHERE ntok >= 1 AND ntok < 2),
 pv_rep AS MATERIALIZED (SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT g) AS nd FROM pv_big GROUP BY 1),
 pv_gated AS MATERIALIZED (
-  SELECT d.doc_id, d.text, d.ntok FROM pv_d3 d LEFT JOIN pv_rep r USING (doc_id)
+  SELECT d.doc_id, d.text, d.ntok{btok_col} FROM pv_d3 d LEFT JOIN pv_rep r USING (doc_id)
   WHERE d.ntok >= {min_tokens}
     AND (COALESCE(r.ng, 0) - COALESCE(r.nd, 0)) * 20 <= COALESCE(r.ng, 0)),
 pv_tri AS (
@@ -242,7 +260,7 @@ exact_kept2 AS MATERIALIZED (SELECT d.* FROM pv_decon d JOIN (
   SELECT MIN(doc_id) AS doc_id FROM pv_decon GROUP BY text) w USING (doc_id)),
 """
     tail = f""",
-pv_surv AS MATERIALIZED (SELECT e.doc_id, e.ntok FROM exact_kept2 e JOIN kept USING (doc_id)),
+pv_surv AS MATERIALIZED (SELECT e.doc_id, e.{pack_col} AS ntok FROM exact_kept2 e JOIN kept USING (doc_id)),
 pv_packed AS (SELECT doc_id, SUM(ntok) OVER (ORDER BY doc_id
   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS start_tok FROM pv_surv)
 SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_in,
@@ -252,6 +270,21 @@ SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_in,
   CAST((SELECT COUNT(*) FROM pv_surv) AS BIGINT) AS n_near,
   CAST((SELECT COALESCE(SUM(ntok), 0) FROM pv_surv) AS BIGINT) AS total_tokens,
   CAST((SELECT COUNT(DISTINCT start_tok // {window}) FROM pv_packed) AS BIGINT) AS n_chunks"""
+    if bpe_pack:
+        from ..functions.bpe import bpe_oracle_expr
+
+        pv_d3_cte = (
+            "pv_bpe AS MATERIALIZED (SELECT doc_id, " + bpe_oracle_expr("text")
+            + " AS btok FROM documents), "
+            "pv_d3 AS (SELECT p.doc_id, p.text, p.l, len(p.l) AS ntok, b.btok "
+            "FROM pv_d2 p JOIN pv_bpe b USING (doc_id)),"
+        )
+        btok_col, pack_col = ", d.btok", "btok"
+    else:
+        pv_d3_cte = "pv_d3 AS (SELECT doc_id, text, l, len(l) AS ntok FROM pv_d2),"
+        btok_col, pack_col = "", "ntok"
+    head = head.replace("{pv_d3_cte}", pv_d3_cte).replace("{btok_col}", btok_col)
+    tail = tail.replace("{pack_col}", pack_col)
     return "WITH RECURSIVE " + head + survivor_ctes("exact_kept2") + tail
 
 

@@ -1065,7 +1065,7 @@ def t_lm_score(sf: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def t_prep_v2(sf: str, min_tokens: int = 10, bench_mod: int = 10, window: int = 256):
+def t_prep_v2(sf: str, min_tokens: int = 10, bench_mod: int = 10, window: int = 256, pack_tokenizer: str = "ws"):
     """The FULL corpus-prep DAG v2 — every stage a real pipeline runs,
     composed end to end WITH a bit-exact DuckDB oracle (t_prep_pipeline
     plus the round-3 additions):
@@ -1090,6 +1090,27 @@ def t_prep_v2(sf: str, min_tokens: int = 10, bench_mod: int = 10, window: int = 
     docs = read_table(sf, "documents", ["doc_id", "text"]).materialize()
     n_in = table_rows(sf, "documents")
 
+    if pack_tokenizer not in ("ws", "bpe"):
+        raise ValueError(pack_tokenizer)
+    bpe_memo: dict[str, int] = {}
+
+    def _pack_count(s: str, toks: list[str]) -> int:
+        # packing WEIGHT only — the gate threshold and the bigram stats
+        # always use whitespace tokens (mirrors the oracle, where ntok
+        # still bounds the bigram iteration and btok packs)
+        if pack_tokenizer == "ws":
+            return len(toks)
+        from ..functions.bpe import bpe_token_count
+
+        tot = 0
+        for w in s.split(" "):
+            c = bpe_memo.get(w)
+            if c is None:
+                c = bpe_token_count(w)
+                bpe_memo[w] = c
+            tot += c
+        return tot
+
     def gate(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         keep, ntoks = [], []
@@ -1102,7 +1123,7 @@ def t_prep_v2(sf: str, min_tokens: int = 10, bench_mod: int = 10, window: int = 
                 grams = [toks[i] + " " + toks[i + 1] for i in range(n - 1)]
             ng, nd = len(grams), len(set(grams))
             keep.append(n >= min_tokens and (ng - nd) * 20 <= ng)
-            ntoks.append(n)
+            ntoks.append(_pack_count(s, toks))
         m = pa.array(keep)
         return pa.table(
             {
@@ -1306,3 +1327,15 @@ def t_intradoc_repeats(sf: str, n: int = 2):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def t_prep_v3(sf: str, min_tokens: int = 10, bench_mod: int = 10, window: int = 256):
+    """The corpus-prep capstone v3: identical funnel to t_prep_v2 but
+    the sequence-packing budget is the REAL BPE token count
+    (functions/bpe.py pinned merge table) instead of the whitespace
+    count — token accounting the way a training run actually bills it.
+    Same single bit-exact seven-counter DuckDB oracle
+    (prep_v2_sql(bpe_pack=True)); only total_tokens / n_chunks move
+    vs v2, pinning that the BPE stage composes into the DAG without
+    disturbing any gate."""
+    return t_prep_v2(sf, min_tokens, bench_mod, window, pack_tokenizer="bpe")
