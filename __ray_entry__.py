@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g20_quantile_hist": rl.g20_quantile_hist,
         "g21_cms_registers": rl.g21_cms_registers,
         "j8_range_join": rl.j8_range_join,
+        "j9_salted_join": rl.j9_salted_join,
         "g9_count_distinct": rl.g9_count_distinct,
         "m14_regex_extract": rl.m14_regex_extract,
         "d6_intersect": rl.d6_intersect,
@@ -493,6 +494,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.window_id, CAST(COUNT(l.l_shipdate) AS BIGINT) AS n_ships "
             "FROM w LEFT JOIN lineitem l ON l.l_shipdate >= w.lo AND l.l_shipdate < w.hi "
             "GROUP BY w.window_id"
+        ),
+        "j9_salted_join": (
+            "WITH dim(flag, weight) AS (VALUES ('A', 1), ('N', 2), ('R', 3)) "
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT) * weight) AS BIGINT) AS sum_wq_c "
+            "FROM lineitem JOIN dim ON l_returnflag = flag GROUP BY l_returnflag"
         ),
         "t_intradoc_repeats": (
             "WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents), "

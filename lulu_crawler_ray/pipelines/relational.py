@@ -3381,3 +3381,88 @@ def j8_range_join(sf: str, key_mod: int = 499, days: int = 30):
     return grouped_agg(partials, ["window_id"], [("n_ships", "sum", "n_ships")], round_to=None).sort(
         "window_id"
     )
+
+
+def salted_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str,
+    n_salt: int = 16,
+    salt_col: str | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Hot-key (skew-safe) shuffle join: a plain hash join on a
+    low-cardinality key sends EVERY row of a hot key to one partition
+    — the aggregator for 'A' holds a quarter of a 100-TB fact table
+    while the others idle. Salting splits each hot key into ``n_salt``
+    sub-keys: the fact side gets a deterministic salt from an
+    unrelated high-cardinality column (``salt_col``, splitmix-mixed so
+    residue bias can't cluster), the small side replicates n_salt x
+    (dimension-sized — cheap), and the join runs on (key, salt) with
+    each hot key now spread over n_salt partitions. Join semantics are
+    exactly the unsalted inner join (pytest + SQL oracle); n_salt
+    bounds the per-partition share of a hot key at 1/n_salt."""
+    if salt_col is None:
+        raise ValueError("salted_join: salt_col required (fact-side high-cardinality column)")
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        v = t[salt_col].to_numpy().astype(np.uint64)
+        s = ((v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(n_salt)
+        return t.append_column("__salt", pa.array(s.astype(np.int32)))
+
+    def replicate(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_salt)
+        out = t.take(pa.array(idx))
+        salts = np.tile(np.arange(n_salt, dtype=np.int32), n)
+        return out.append_column("__salt", pa.array(salts))
+
+    lsalted = left.map_batches(add_salt, batch_format="pyarrow")
+    rsalted = right.map_batches(replicate, batch_format="pyarrow")
+    joined = _nonempty(lsalted).join(
+        _nonempty(rsalted),
+        join_type="inner",
+        num_partitions=num_partitions or _npart(),
+        on=(on, "__salt"),
+        right_on=(right_on, "__salt"),
+    )
+    drop = ["__salt"] + ([right_on] if right_on != on else [])
+    return joined.map_batches(
+        lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
+def j9_salted_join(sf: str, n_salt: int = 16):
+    """Maximally skewed join demo: lineitem (fact) joins a 3-row
+    weight dimension ON l_returnflag — three hot keys that would land
+    on three partitions unsalted. Goes through salted_join (salt from
+    l_orderkey), then a grouped integer aggregate. Oracle is the plain
+    unsalted SQL join — salting must be semantically invisible."""
+    dim = ray.data.from_arrow(
+        pa.table(
+            {
+                "flag": pa.array(["A", "N", "R"]),
+                "weight": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    li = read_table(sf, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+    j = salted_join(li, dim, "l_returnflag", "flag", n_salt=n_salt, salt_col="l_orderkey")
+
+    def wq(t: pa.Table) -> pa.Table:
+        q = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "wq_c": pa.array(q * t["weight"].to_numpy()),
+            }
+        )
+
+    return grouped_agg(
+        j.map_batches(wq, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("n", "count", None), ("sum_wq_c", "sum", "wq_c")],
+        round_to=None,
+    ).sort("l_returnflag")

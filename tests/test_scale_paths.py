@@ -155,3 +155,36 @@ def test_min_set_filter_copartitioned_path(ray_session):
     df = t.to_pandas()
     want = df.loc[df.groupby("k")["u"].idxmin()].sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, want[fast.columns])
+
+
+def test_salted_join_balance_and_equality(ray_session):
+    """Salting must (a) preserve inner-join semantics exactly and (b)
+    actually spread each hot key over ~n_salt sub-keys."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from lulu_crawler_ray.pipelines.relational import salted_join
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    fact = pa.table(
+        {
+            "k": pa.array(np.array(["A", "B"])[rng.integers(0, 2, n)].tolist()),
+            "uid": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    dim = pa.table({"dk": pa.array(["A", "B"]), "v": pa.array([10, 20], pa.int64())})
+    j = salted_join(
+        ray.data.from_arrow(fact).repartition(8),
+        ray.data.from_arrow(dim),
+        "k", "dk", n_salt=8, salt_col="uid",
+    ).to_pandas()
+    assert len(j) == n
+    assert set(j.columns) == {"k", "uid", "v"}
+    assert (j.loc[j["k"] == "A", "v"] == 10).all()
+    assert (j.loc[j["k"] == "B", "v"] == 20).all()
+    # balance: per (key, salt) share within 3x of uniform
+    uid = fact["uid"].to_numpy().astype(np.uint64)
+    salt = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(8)
+    counts = np.bincount(salt.astype(np.int64), minlength=8)
+    assert counts.max() < 3 * n / 8
