@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g21_cms_registers": rl.g21_cms_registers,
         "j8_range_join": rl.j8_range_join,
         "j9_salted_join": rl.j9_salted_join,
+        "o8_percent_rank": rl.o8_percent_rank,
         "g9_count_distinct": rl.g9_count_distinct,
         "m14_regex_extract": rl.m14_regex_extract,
         "d6_intersect": rl.d6_intersect,
@@ -494,6 +495,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.window_id, CAST(COUNT(l.l_shipdate) AS BIGINT) AS n_ships "
             "FROM w LEFT JOIN lineitem l ON l.l_shipdate >= w.lo AND l.l_shipdate < w.hi "
             "GROUP BY w.window_id"
+        ),
+        "o8_percent_rank": (
+            "SELECT c_custkey, CAST(CASE WHEN cnt <= 1 THEN 0 ELSE ((rnk - 1) * 1000000) // (cnt - 1) END AS BIGINT) AS pr_e6 "
+            "FROM (SELECT c_custkey, RANK() OVER (PARTITION BY c_mktsegment ORDER BY CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS rnk, "
+            "COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt FROM customer)"
         ),
         "j9_salted_join": (
             "WITH dim(flag, weight) AS (VALUES ('A', 1), ('N', 2), ('R', 3)) "

@@ -3466,3 +3466,66 @@ def j9_salted_join(sf: str, n_salt: int = 16):
         [("n", "count", None), ("sum_wq_c", "sum", "wq_c")],
         round_to=None,
     ).sort("l_returnflag")
+
+
+def o8_percent_rank(sf: str):
+    """PERCENT_RANK window function with an integer-exact contract
+    (completes the rank family beside w8's DENSE_RANK and o7's NTILE):
+    customers ranked within their market segment by balance cents;
+    pr_e6 = (rank-1) * 10^6 // (n-1) so the [0, 1] fraction becomes an
+    exact BIGINT both engines agree on (n=1 partitions emit 0). Same
+    skew note as w8: one partition per segment is the SEMANTICS of a
+    global per-segment rank — a hot segment lands whole, where the
+    work stays one vectorized sort."""
+    import hashlib as _hl
+
+    ds = read_table(sf, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int.from_bytes(_hl.md5(s.encode()).digest()[:4], "big")
+                for s in t["c_mktsegment"].to_pylist()
+            ],
+            np.int64,
+        )
+        bal_c = np.rint(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "bal_c": pa.array(bal_c),
+                "__k": pa.array(h),
+            }
+        )
+
+    def pr_part(t: pa.Table) -> pa.Table:
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("c_mktsegment", "ascending"), ("bal_c", "ascending")]
+            )
+        )
+        seg = np.asarray(t["c_mktsegment"].to_pylist(), dtype=object)
+        bal = t["bal_c"].to_numpy()
+        starts = np.r_[True, seg[1:] != seg[:-1]]
+        segidx = np.cumsum(starts) - 1
+        pos = np.arange(len(seg), dtype=np.int64)
+        segbase = pos[starts]
+        # RANK with ties: first position of the current value run
+        newval = np.r_[True, (bal[1:] != bal[:-1])] | starts
+        runstart = pos[newval]
+        rank = runstart[np.cumsum(newval) - 1] - segbase[segidx] + 1
+        n = np.bincount(segidx)[segidx]
+        pr = np.where(n > 1, (rank - 1) * 1_000_000 // np.maximum(n - 1, 1), 0)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "pr_e6": pa.array(pr.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(with_key, batch_format="pyarrow")
+        .groupby("__k")
+        .map_groups(pr_part, batch_format="pyarrow")
+    )
