@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j8_range_join": rl.j8_range_join,
         "j9_salted_join": rl.j9_salted_join,
         "o8_percent_rank": rl.o8_percent_rank,
+        "s11_pushdown_scan": rl.s11_pushdown_scan,
         "g9_count_distinct": rl.g9_count_distinct,
         "m14_regex_extract": rl.m14_regex_extract,
         "d6_intersect": rl.d6_intersect,
@@ -495,6 +496,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.window_id, CAST(COUNT(l.l_shipdate) AS BIGINT) AS n_ships "
             "FROM w LEFT JOIN lineitem l ON l.l_shipdate >= w.lo AND l.l_shipdate < w.hi "
             "GROUP BY w.window_id"
+        ),
+        "s11_pushdown_scan": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_c "
+            "FROM orders WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01' "
+            "GROUP BY o_orderpriority"
         ),
         "o8_percent_rank": (
             "SELECT c_custkey, CAST(CASE WHEN cnt <= 1 THEN 0 ELSE ((rnk - 1) * 1000000) // (cnt - 1) END AS BIGINT) AS pr_e6 "

@@ -3529,3 +3529,33 @@ def o8_percent_rank(sf: str):
         .groupby("__k")
         .map_groups(pr_part, batch_format="pyarrow")
     )
+
+
+def s11_pushdown_scan(sf: str, lo: str = "1995-01-01", hi: str = "1996-01-01"):
+    """S11 — predicate-pushdown scan: the date filter travels INTO the
+    parquet scanner as a pyarrow dataset expression (row groups whose
+    min/max stats exclude the window are skipped at storage), the
+    opposite of read-everything-then-filter. Result: per-priority
+    order counts + cents totals inside the window; the SQL oracle is
+    the plain WHERE form, so pushdown must be semantically invisible."""
+    import pyarrow.dataset as pads
+
+    from ..sources.testdata import read_table_filtered
+
+    expr = (pads.field("o_orderdate") >= pa.scalar(np.datetime64(lo, "us"))) & (
+        pads.field("o_orderdate") < pa.scalar(np.datetime64(hi, "us"))
+    )
+    ds = read_table_filtered(
+        sf, "orders", ["o_orderpriority", "o_totalprice", "o_orderdate"], expr
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"o_orderpriority": t["o_orderpriority"], "price_c": pa.array(v)})
+
+    return grouped_agg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("n", "count", None), ("sum_price_c", "sum", "price_c")],
+        round_to=None,
+    ).sort("o_orderpriority")
