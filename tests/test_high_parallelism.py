@@ -161,3 +161,46 @@ def test_tpch_extra_at_32_cpus():
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "TPCH_EXTRA_OK" in res.stdout
+
+
+def test_round4_ops_at_32_cpus():
+    """Round-4 ops at full parallelism: t_prep_v3's BPE-packed funnel
+    pinned to the sf0.01 oracle values; the co-partitioned semi/anti
+    joins, salted join, range join, and pushdown scan all run
+    downstream of selective stages (the schema-less-empty-block hazard
+    class) with many more blocks at 32 CPUs."""
+    code = textwrap.dedent(f"""
+        import ray
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from lulu_crawler_ray.pipelines.textops import t_prep_v3, t_intradoc_repeats
+        v3 = t_prep_v3({SF!r}).to_pandas()
+        assert v3.iloc[0].to_dict() == {{
+            "n_in": 500, "n_gate": 398, "n_decon": 23, "n_exact": 23,
+            "n_near": 23, "total_tokens": 1289, "n_chunks": 5}}, v3
+        rep = t_intradoc_repeats({SF!r}).to_pandas()
+        assert int(rep["n_repeat_positions"].sum()) == 956, rep["n_repeat_positions"].sum()
+        from lulu_crawler_ray.pipelines.relational import (
+            j1_anti_join, d8_semi_join, j8_range_join, j9_salted_join,
+            s11_pushdown_scan)
+        j1 = j1_anti_join({SF!r}, broadcast_max=0).to_pandas()
+        assert len(j1) > 0
+        d8 = d8_semi_join({SF!r}, broadcast_max=0).to_pandas()
+        assert len(d8) > 0
+        j8 = j8_range_join({SF!r}).to_pandas()
+        assert len(j8) == 31 and int(j8["n_ships"].sum()) > 0
+        j9 = j9_salted_join({SF!r}).to_pandas()
+        assert len(j9) == 3
+        s11 = s11_pushdown_scan({SF!r}).to_pandas()
+        assert len(s11) == 5
+        print("ROUND4_OPS_OK")
+        ray.shutdown()
+    """)
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ROUND4_OPS_OK" in res.stdout
