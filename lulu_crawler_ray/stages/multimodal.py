@@ -113,6 +113,10 @@ class AudioFeatureExtractor:
         if codec == "wav":
             pcm, sr, _nch = decode_wav_pcm(data)
             return pcm, sr
+        if codec == "adpcm":
+            from ..functions.adpcm import decode_wav_ima_adpcm
+
+            return decode_wav_ima_adpcm(data)
         if self.fake:
             seed = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
             return np.random.default_rng(seed).standard_normal(8000).astype(np.float32), None
@@ -338,8 +342,9 @@ class AudioSegmenter:
     gating / VAD shape). Frames of ``frame_ms`` get an RMS each
     (vectorized: one reshape + one mean over the frame axis); a frame
     is voiced when RMS > threshold; maximal runs of voiced frames
-    become (start_ms, end_ms) segments. codec == "wav" decodes FOR
-    REAL (stdlib wave); same fake/seam policy as the other stages."""
+    become (start_ms, end_ms) segments. codec == "wav" (stdlib wave) and
+    codec == "adpcm" (IMA ADPCM, functions/adpcm.py) decode FOR REAL;
+    same fake/seam policy as the other stages."""
 
     def __init__(self, frame_ms: int = 20, threshold: float = 0.1, deterministic_fake: bool = True):
         self.frame_ms = frame_ms
@@ -350,6 +355,10 @@ class AudioSegmenter:
         if codec == "wav":
             pcm, sr, _ = decode_wav_pcm(data)
             return pcm, sr
+        if codec == "adpcm":
+            from ..functions.adpcm import decode_wav_ima_adpcm
+
+            return decode_wav_ima_adpcm(data)
         if self.fake:
             seed = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
             return np.random.default_rng(seed).standard_normal(8000).astype(np.float32), 8000
