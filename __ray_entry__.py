@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_approx_quantile": rl.g8_approx_quantile,
         "g20_quantile_hist": rl.g20_quantile_hist,
         "g21_cms_registers": rl.g21_cms_registers,
+        "g22_grouped_hll_registers": rl.g22_grouped_hll_registers,
         "j8_range_join": rl.j8_range_join,
         "j9_salted_join": rl.j9_salted_join,
         "o8_percent_rank": rl.o8_percent_rank,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
     from lulu_crawler_ray.pipelines.minhash_oracle import (
         cms_registers_sql,
+        grouped_hll_registers_sql,
         hll_registers_sql,
         minhash_pairs_sql,
         near_dedup_sql,
@@ -490,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
         # bucket/rank/estimate integer pipeline (relational.py g20)
         "g20_quantile_hist": _g20_sql(),
         "g21_cms_registers": cms_registers_sql(),
+        "g22_grouped_hll_registers": grouped_hll_registers_sql(),
         "j8_range_join": (
             "WITH w AS (SELECT o_orderkey AS window_id, o_orderdate AS lo, "
             "o_orderdate + INTERVAL 30 DAY AS hi FROM orders WHERE o_orderkey % 499 = 0) "

@@ -310,3 +310,31 @@ SELECT CAST(seed AS BIGINT) AS seed, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
        CAST(SUM((idx + 1) * cnt) AS BIGINT) AS chk,
        CAST(SUM(cnt * cnt) AS BIGINT) AS sq
 FROM reg GROUP BY seed ORDER BY seed"""
+
+
+def grouped_hll_registers_sql(p: int = 12) -> str:
+    """Oracle for g22_grouped_hll_registers: g18's register-state
+    contract PER GROUP — proves the grouped sketch (g14's 100-TB
+    shape) bit-for-bit, closing its rows-only gap."""
+    m = 1 << p
+    shift = 1 << (64 - p)
+    return f"""WITH hv AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+hx AS (
+  SELECT l_returnflag,
+    (CAST(l_partkey AS HUGEINT) + {_GOLD}) % {_M64} AS x0,
+    xor(x0, x0 >> 30) AS x1,
+    {_mul64('x1', _C1)} AS x2,
+    xor(x2, x2 >> 27) AS x3,
+    {_mul64('x3', _C2)} AS x4,
+    xor(x4, x4 >> 31) AS x5
+  FROM hv
+),
+rr AS (
+  SELECT l_returnflag, x5 // {shift} AS idx,
+    65 - length(bin(CAST(({_mul64('x5', m)} + {m - 1}) AS UBIGINT))) AS rank
+  FROM hx
+),
+reg AS (SELECT l_returnflag, idx, MAX(rank) AS r FROM rr GROUP BY l_returnflag, idx)
+SELECT l_returnflag, CAST(SUM(r) AS BIGINT) AS reg_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_nonzero
+FROM reg GROUP BY l_returnflag"""

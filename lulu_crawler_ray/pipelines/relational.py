@@ -3557,3 +3557,58 @@ def s11_pushdown_scan(sf: str, lo: str = "1995-01-01", hi: str = "1996-01-01"):
         [("n", "count", None), ("sum_price_c", "sum", "price_c")],
         round_to=None,
     ).sort("o_orderpriority")
+
+
+def g22_grouped_hll_registers(sf: str, p: int = 12):
+    """g14's grouped HLL proven bit-exact (the g18 trick per group):
+    per-group register folds (Σ registers, #nonzero) hash-check
+    against a DuckDB oracle replaying the splitmix64 chain GROUP BY
+    key — the grouped sketch stops being rows-only. Mergeable
+    register-wise max partials per (group, batch); the final fold is
+    groups x 2 integers."""
+    from ..functions.hll import HyperLogLog
+
+    ds = read_table(sf, "lineitem", ["l_returnflag", "l_partkey"])
+    m = 1 << p
+
+    def sketch_block(t: pa.Table) -> pa.Table:
+        flags = np.asarray(t["l_returnflag"].to_pylist(), dtype=object)
+        pk = t["l_partkey"].to_numpy().astype(np.uint64)
+        order = np.argsort(flags, kind="stable")
+        flags, pk = flags[order], pk[order]
+        starts = np.flatnonzero(np.r_[True, flags[1:] != flags[:-1]])
+        bounds = np.r_[starts, len(flags)]
+        out_f, out_r = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            h = HyperLogLog(p=p)
+            h.add_many(pk[lo:hi])
+            out_f.append(flags[lo])
+            out_r.append(h.registers.tobytes())
+        return pa.table(
+            {
+                "g": pa.array(out_f, pa.string()),
+                "registers": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    acc: dict[str, np.ndarray] = {}
+    for b in ds.map_batches(sketch_block, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=4096
+    ):
+        for g, r in zip(b["g"].to_pylist(), b["registers"].to_pylist()):
+            arr = np.frombuffer(r, np.uint8)
+            cur = acc.get(g)
+            acc[g] = arr.copy() if cur is None else np.maximum(cur, arr)
+    out_g, out_s, out_n = [], [], []
+    for g in sorted(acc):
+        reg = acc[g]
+        out_g.append(g)
+        out_s.append(int(reg.astype(np.int64).sum()))
+        out_n.append(int((reg > 0).sum()))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_g, pa.string()),
+            "reg_sum": pa.array(out_s, pa.int64()),
+            "n_nonzero": pa.array(out_n, pa.int64()),
+        }
+    )
