@@ -134,11 +134,28 @@ def run_bench() -> dict:
     times["crawl"] = crawl["sec"]
     total = round(time.time() - t_all, 3)
 
+    # round-4 additions timed OUTSIDE the headline total so `value`
+    # stays comparable across rounds (the headline set is frozen)
+    extra_queries = [
+        "t_bpe_real", "t_prep_v3", "t_intradoc_repeats", "g20_quantile_hist",
+        "g21_cms_registers", "g22_grouped_hll_registers", "j8_range_join",
+        "j9_salted_join", "o8_percent_rank", "s11_pushdown_scan",
+        "img_jpeg_pipeline",
+    ]
+    extras: dict[str, float] = {}
+    for name in extra_queries:
+        if name not in qfns:
+            continue
+        t0 = time.time()
+        _consume(qfns[name](sf))
+        extras[name] = round(time.time() - t0, 3)
+
     result = {
         "metric": "headline pipelines wall time (crawl + relational/text/ann) at sf",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "extra_queries_r4": extras,
         "sf": sf,
         "num_cpus": num_cpus,
         "crawl": crawl,

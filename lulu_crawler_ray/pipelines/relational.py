@@ -3446,8 +3446,13 @@ def j9_salted_join(sf: str, n_salt: int = 16):
             }
         )
     )
+    from ..sources.testdata import table_rows
+
     li = read_table(sf, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
-    j = salted_join(li, dim, "l_returnflag", "flag", n_salt=n_salt, salt_col="l_orderkey")
+    j = salted_join(
+        li, dim, "l_returnflag", "flag", n_salt=n_salt, salt_col="l_orderkey",
+        num_partitions=_npart(table_rows(sf, "lineitem")),
+    )
 
     def wq(t: pa.Table) -> pa.Table:
         q = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
