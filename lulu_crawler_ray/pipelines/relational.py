@@ -404,21 +404,44 @@ def q1_pricing_summary(sf: str):
     )
 
 
+def broadcast_sorted_keys(ds: ray.data.Dataset, col: str, broadcast_max: int = 50_000_000):
+    """Distinct ``col`` values -> ONE sorted array in the object store
+    (for searchsorted semi-join probes). The distinct set reduces
+    through a grouped shuffle and the array is BUILT IN A WORKER —
+    the driver streams refs, never the keys. A set over
+    ``broadcast_max`` rows raises loudly (a broadcast that size is the
+    wrong plan — use adaptive_semi_filter's shuffle path) instead of
+    silently exhausting memory."""
+    distinct = _distinct(ds, col)
+    refs, n = [], 0
+    for b in distinct.iter_batches(batch_format="pyarrow", batch_size=262144):
+        n += b.num_rows
+        if n > broadcast_max:
+            raise ValueError(
+                f"broadcast_sorted_keys: >{broadcast_max} distinct {col} keys — "
+                "broadcast is the wrong plan at this cardinality; use "
+                "adaptive_semi_filter (shuffle path) instead"
+            )
+        if b.num_rows:
+            refs.append(ray.put(b))
+    if not refs:
+        return ray.put(np.array([], np.int64))
+    return _build_sorted_keys.remote(col, *refs)
+
+
 def q3_shipping_priority(sf: str):
     """TPC-H Q3 shape — the composite multi-join: broadcast-filtered
     customer side -> orders filter -> hash join to lineitem -> grouped
     revenue -> top-10. The small side (BUILDING custkeys) broadcasts;
     only orders⋈lineitem shuffles. Revenue in 1e-4 units (sums of few
     4-decimal rationals stay within 1 ulp of an integer at x10^4)."""
-    cust = (
-        read_table(sf, "customer", ["c_custkey", "c_mktsegment"])
-        .map_batches(
+    cref = broadcast_sorted_keys(
+        read_table(sf, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
             lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
             batch_format="pyarrow",
-        )
-        .unique("c_custkey")
+        ),
+        "c_custkey",
     )
-    cref = ray.put(np.sort(np.asarray(cust, np.int64)))
     cutoff_o = pa.scalar(np.datetime64("1998-01-01", "us"))
     cutoff_l = pa.scalar(np.datetime64("1996-01-01", "us"))
 
@@ -1296,15 +1319,13 @@ def g7_rollup(sf: str):
 def d6_intersect(sf: str):
     """INTERSECT: BUILDING custkeys that also have open orders —
     broadcast semi filter + distinct (the dual of d5's EXCEPT)."""
-    open_keys = (
-        read_table(sf, "orders", ["o_custkey", "o_orderstatus"])
-        .map_batches(
+    ref = broadcast_sorted_keys(
+        read_table(sf, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
             lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).select(["o_custkey"]),
             batch_format="pyarrow",
-        )
-        .unique("o_custkey")
+        ),
+        "o_custkey",
     )
-    ref = ray.put(np.sort(np.asarray(open_keys, np.int64)))
     cust = read_table(sf, "customer", ["c_custkey", "c_mktsegment"])
 
     def semi(t: pa.Table) -> pa.Table:
@@ -1449,15 +1470,13 @@ def d4_union(sf: str):
 def d5_except(sf: str):
     """Distinct custkeys of BUILDING customers minus those with open
     orders — EXCEPT as unique + broadcast anti filter."""
-    open_keys = (
-        read_table(sf, "orders", ["o_custkey", "o_orderstatus"])
-        .map_batches(
+    ref = broadcast_sorted_keys(
+        read_table(sf, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
             lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).select(["o_custkey"]),
             batch_format="pyarrow",
-        )
-        .unique("o_custkey")
+        ),
+        "o_custkey",
     )
-    ref = ray.put(np.sort(np.asarray(open_keys, np.int64)))
     cust = read_table(sf, "customer", ["c_custkey", "c_mktsegment"])
 
     def ex(t: pa.Table) -> pa.Table:

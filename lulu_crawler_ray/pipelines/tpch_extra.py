@@ -284,18 +284,15 @@ def q22_idle_customers(sf: str, nations: tuple[int, ...] = (1, 3, 5, 7, 9)):
     )
     sum_c, cnt = int(st["s"].iloc[0]), int(st["c"].iloc[0])
 
-    havers = (
-        read_table(sf, "orders", ["o_custkey", "o_orderpriority"])
-        .map_batches(
-            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
-            .select(["o_custkey"])
-            .group_by(["o_custkey"])
-            .aggregate([]),
+    from .relational import broadcast_sorted_keys
+
+    href = broadcast_sorted_keys(
+        read_table(sf, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
             batch_format="pyarrow",
-        )
-        .unique("o_custkey")
+        ),
+        "o_custkey",
     )
-    href = ray.put(np.sort(np.asarray(havers, np.int64)))
 
     def pick(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["c_nationkey"], value_set=nset))
