@@ -188,3 +188,21 @@ def test_salted_join_balance_and_equality(ray_session):
     salt = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(8)
     counts = np.bincount(salt.astype(np.int64), minlength=8)
     assert counts.max() < 3 * n / 8
+
+
+def test_broadcast_sorted_keys_loud_bound(ray_session):
+    """Past the broadcast bound the helper must raise (pointing at the
+    shuffle path), never silently gather; under it, the sorted array
+    is correct and built off-driver."""
+    import ray
+    import ray.data
+    from lulu_crawler_ray.pipelines.relational import broadcast_sorted_keys
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(100, dtype=np.int64) % 37)})
+    ).repartition(4)
+    ref = broadcast_sorted_keys(ds, "k")
+    ks = ray.get(ref)
+    assert np.array_equal(ks, np.arange(37, dtype=np.int64))
+    with pytest.raises(ValueError, match="adaptive_semi_filter"):
+        broadcast_sorted_keys(ds, "k", broadcast_max=10)
