@@ -138,11 +138,16 @@ def decode_wav_ima_adpcm(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"adpcm: not IMA ADPCM (fmt tag 0x{wtag:x})")
     if nch != 1:
         raise NotImplementedError("adpcm: stereo not supported")
-    spb = 1 + (block_align - 4) * 2
     out = []
-    for off in range(0, len(payload) - block_align + 1, block_align):
-        pred, index, _r = struct.unpack("<hBB", payload[off : off + 4])
-        packed = np.frombuffer(payload[off + 4 : off + block_align], np.uint8)
+    # a foreign encoder may write a SHORT final block (sample count not
+    # filling block_align) — decode whatever nibbles it carries rather
+    # than silently dropping up to samples_per_block-1 samples
+    for off in range(0, len(payload), block_align):
+        blk = payload[off : off + block_align]
+        if len(blk) < 5:
+            break
+        pred, index, _r = struct.unpack("<hBB", blk[:4])
+        packed = np.frombuffer(blk[4:], np.uint8)
         nib = np.empty(len(packed) * 2, np.uint8)
         nib[0::2] = packed & 0x0F
         nib[1::2] = packed >> 4

@@ -242,7 +242,6 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85, subsample: str = "4
     # quantized zigzag coefficients per component, padded to the MCU
     # grid, all blocks DCT'd in one einsum
     qcoef = []
-    grids = []
     for ci, plane in enumerate(planes):
         hi, vi = samp[ci]
         gh, gw = mcuy * vi * 8, mcux * hi * 8
@@ -255,7 +254,6 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85, subsample: str = "4
         F = np.einsum("km,ijmn,ln->ijkl", _C, blk, _C)
         Z = np.rint(F / qts[min(ci, 1)]).astype(np.int64)
         qcoef.append(Z.reshape(gh // 8, gw // 8, 64)[:, :, _ZZ])
-        grids.append((gh // 8, gw // 8))
 
     bw = _BitWriter()
     pred = [0] * nc
@@ -497,7 +495,9 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     planes = []
     for c in comps:
         q = qt[c["tq"]].reshape(-1)
-        F = (c["coef"][:, _UNZZ] * q[_UNZZ][None, :]).astype(np.float64).reshape(-1, 8, 8)
+        # coef[:, _UNZZ] is natural-order; q is already natural-order
+        # (stored de-zigzagged at DQT parse) — apply it plain
+        F = (c["coef"][:, _UNZZ] * q[None, :]).astype(np.float64).reshape(-1, 8, 8)
         # IDCT: x[m,n] = sum_kl C[k,m] F[k,l] C[l,n]  (= C.T @ F @ C)
         blk = np.einsum("km,ikl,ln->imn", _C, F, _C) + 128.0
         bh, bw_ = c["bh"], c["bw"]

@@ -54,7 +54,7 @@ def _is_big_sf(sf: str) -> bool:
     import re
 
     leaf = os.path.basename(os.path.normpath(sf))
-    m = re.fullmatch(r"sf([0-9.]+)", leaf)
+    m = re.fullmatch(r"sf(\d+(?:\.\d+)?)", leaf)
     return bool(m) and float(m.group(1)) >= 0.1
 
 

@@ -270,21 +270,6 @@ SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_in,
   CAST((SELECT COUNT(*) FROM pv_surv) AS BIGINT) AS n_near,
   CAST((SELECT COALESCE(SUM(ntok), 0) FROM pv_surv) AS BIGINT) AS total_tokens,
   CAST((SELECT COUNT(DISTINCT start_tok // {window}) FROM pv_packed) AS BIGINT) AS n_chunks"""
-    if bpe_pack:
-        from ..functions.bpe import bpe_oracle_expr
-
-        pv_d3_cte = (
-            "pv_bpe AS MATERIALIZED (SELECT doc_id, " + bpe_oracle_expr("text")
-            + " AS btok FROM documents), "
-            "pv_d3 AS (SELECT p.doc_id, p.text, p.l, len(p.l) AS ntok, b.btok "
-            "FROM pv_d2 p JOIN pv_bpe b USING (doc_id)),"
-        )
-        btok_col, pack_col = ", d.btok", "btok"
-    else:
-        pv_d3_cte = "pv_d3 AS (SELECT doc_id, text, l, len(l) AS ntok FROM pv_d2),"
-        btok_col, pack_col = "", "ntok"
-    head = head.replace("{pv_d3_cte}", pv_d3_cte).replace("{btok_col}", btok_col)
-    tail = tail.replace("{pack_col}", pack_col)
     return "WITH RECURSIVE " + head + survivor_ctes("exact_kept2") + tail
 
 

@@ -2334,14 +2334,15 @@ def d7_fuzzy_pairs(sf: str, max_dist: int = 2):
 
 def _roundtrip_dir(name: str, sf: str) -> str:
     """Fixed per-(query, sf) scratch dir for sink/source roundtrips.
-    Deterministic path means repeated bench/test runs overwrite one
-    directory instead of leaking a fresh mkdtemp per call (ADVICE r3);
-    callers rmtree it before writing so resume-skip can't alias."""
+    Deterministic per-process path means repeated runs in one process
+    overwrite one directory instead of leaking a fresh mkdtemp per
+    call (ADVICE r3); the pid component keeps concurrent processes
+    (bench + pytest) from rmtree'ing each other's shards mid-read."""
     import hashlib
     import os
 
     tag = hashlib.sha1(sf.encode()).hexdigest()[:8]
-    return os.path.join("/tmp", f"lulu-rt-{name}-{tag}")
+    return os.path.join("/tmp", f"lulu-rt-{name}-{tag}-{os.getpid()}")
 
 
 def s8_bucketed_roundtrip(sf: str):
@@ -3327,10 +3328,9 @@ def g21_cms_registers(sf: str, w: int = 1024, d: int = 4):
         batch_format="pyarrow", batch_size=d * w
     ):
         r = b["reg"].to_numpy()
-        # batches may split the d*w vector; accumulate positionally
-        acc[: len(r)] += r if len(r) == d * w else 0
         if len(r) != d * w:
             raise ValueError("g21: sketch block split unexpectedly")
+        acc += r
     out_seed, out_nz, out_chk, out_sq = [], [], [], []
     for seed in range(d):
         cnt = acc[seed * w : (seed + 1) * w]
@@ -3379,8 +3379,17 @@ def j8_range_join(sf: str, key_mod: int = 499, days: int = 30):
     instead of O(W x B) comparisons; overlapping windows are free
     since each is an independent rank query). Counts pre-aggregate per
     batch; only (window_id, partial_count) rows shuffle."""
-    orders = read_table(sf, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
-    sel = orders.loc[orders["o_orderkey"] % key_mod == 0].sort_values("o_orderkey")
+    sel = (
+        read_table(sf, "orders", ["o_orderkey", "o_orderdate"])
+        .map_batches(
+            lambda t: t.filter(
+                pa.array(t["o_orderkey"].to_numpy() % key_mod == 0)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # window-count-sized (1/key_mod of orders), not table-sized
+        .sort_values("o_orderkey")
+    )
     wid = sel["o_orderkey"].to_numpy(np.int64)
     lo = sel["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
     hi = lo + np.int64(days) * 86_400_000_000
@@ -3504,20 +3513,19 @@ def o8_percent_rank(sf: str):
     ds = read_table(sf, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
 
     def with_key(t: pa.Table) -> pa.Table:
-        h = np.array(
-            [
-                int.from_bytes(_hl.md5(s.encode()).digest()[:4], "big")
-                for s in t["c_mktsegment"].to_pylist()
-            ],
+        seg = np.asarray(t["c_mktsegment"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(seg, return_inverse=True)
+        uh = np.array(
+            [int.from_bytes(_hl.md5(u.encode()).digest()[:4], "big") for u in uniq],
             np.int64,
-        )
+        )  # md5 per UNIQUE segment (5 values), not per row
         bal_c = np.rint(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
         return pa.table(
             {
                 "c_custkey": t["c_custkey"],
                 "c_mktsegment": t["c_mktsegment"],
                 "bal_c": pa.array(bal_c),
-                "__k": pa.array(h),
+                "__k": pa.array(uh[inv]),
             }
         )
 

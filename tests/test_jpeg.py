@@ -106,7 +106,7 @@ def test_img_jpeg_pipeline_digest_pinned(ray_session):
     assert list(t["subsample"]) == ["420", "444"]
     assert list(t["n_rows"]) == [15, 15]
     assert list(t["n_ok"]) == [15, 15]
-    assert list(t["px_sum"]) == [8716447, 6928337]
+    assert list(t["px_sum"]) == [8612515, 6905200]
 
 
 def test_img_stats_and_resize_integer_digests_pinned(ray_session):
