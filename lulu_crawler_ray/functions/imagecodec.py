@@ -104,9 +104,54 @@ def decode_png(data: bytes) -> np.ndarray:
             break
         i += 12 + length
     scan = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, 1 + w * 3)
-    if (scan[:, 0] != 0).any():
-        raise ValueError("only filter type 0 supported")
-    return scan[:, 1:].reshape(h, w, 3).copy()
+    ftypes = scan[:, 0]
+    if (ftypes == 0).all():  # our encoder's output: zero-copy fast path
+        return scan[:, 1:].reshape(h, w, 3).copy()
+    return _png_unfilter(scan, w, h)
+
+
+def _png_unfilter(scan: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Reverse PNG row filters 0-4 (None/Sub/Up/Average/Paeth) so
+    FOREIGN 8-bit-RGB PNGs decode, not only our filter-0 encoder's
+    output. Up is fully vectorized; Sub/Average/Paeth recur on the
+    previous pixel so they run a per-row loop over columns-as-vectors
+    (3 bytes per step) — row count bounds the Python iteration."""
+    bpp = 3
+    out = np.zeros((h, w * bpp), np.uint16)
+    for y in range(h):
+        f = int(scan[y, 0])
+        cur = scan[y, 1:].astype(np.uint16)
+        prior = out[y - 1] if y else np.zeros(w * bpp, np.uint16)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + prior) & 0xFF
+        elif f in (1, 3, 4):
+            row = out[y]
+            for x in range(0, w * bpp, bpp):
+                left = row[x - bpp : x] if x else np.zeros(bpp, np.uint16)
+                if f == 1:  # Sub
+                    row[x : x + bpp] = (cur[x : x + bpp] + left) & 0xFF
+                elif f == 3:  # Average
+                    up = prior[x : x + bpp]
+                    row[x : x + bpp] = (cur[x : x + bpp] + ((left + up) >> 1)) & 0xFF
+                else:  # Paeth
+                    up = prior[x : x + bpp].astype(np.int32)
+                    ul = (
+                        prior[x - bpp : x].astype(np.int32)
+                        if x
+                        else np.zeros(bpp, np.int32)
+                    )
+                    a = left.astype(np.int32)
+                    p = a + up - ul
+                    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, up, ul)
+                    )
+                    row[x : x + bpp] = (cur[x : x + bpp] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {f}")
+    return out.astype(np.uint8).reshape(h, w, 3)
 
 
 # ---------------------------------------------------------------- ldt

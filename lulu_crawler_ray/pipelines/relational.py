@@ -412,6 +412,21 @@ def broadcast_sorted_keys(ds: ray.data.Dataset, col: str, broadcast_max: int = 5
     ``broadcast_max`` rows raises loudly (a broadcast that size is the
     wrong plan — use adaptive_semi_filter's shuffle path) instead of
     silently exhausting memory."""
+    # Ray's hash groupby mishandles uint64 keys >= 2^63 (Arrow
+    # conversion falls back to pickled objects), so shuffle the int64
+    # BIT-PATTERN view and restore the uint64 domain before the final
+    # sort in the build task
+    as_u64 = False
+    schema = ds.schema()
+    if schema is not None and col in schema.names:
+        as_u64 = pa.types.is_uint64(schema.base_schema.field(col).type)
+    if as_u64:
+        ds = ds.map_batches(
+            lambda t: pa.table(
+                {col: pa.array(t[col].to_numpy(zero_copy_only=False).view(np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
     distinct = _distinct(ds, col)
     refs, n = [], 0
     for b in distinct.iter_batches(batch_format="pyarrow", batch_size=262144):
@@ -425,8 +440,8 @@ def broadcast_sorted_keys(ds: ray.data.Dataset, col: str, broadcast_max: int = 5
         if b.num_rows:
             refs.append(ray.put(b))
     if not refs:
-        return ray.put(np.array([], np.int64))
-    return _build_sorted_keys.remote(col, *refs)
+        return ray.put(np.array([], np.uint64 if as_u64 else np.int64))
+    return _build_sorted_keys.remote(col, as_u64, *refs)
 
 
 def q3_shipping_priority(sf: str):
@@ -1800,7 +1815,7 @@ def adaptive_semi_filter(
             refs.append(ray.put(b))
 
     if small:
-        ref = _build_sorted_keys.remote(build_key, *refs) if refs else None
+        ref = _build_sorted_keys.remote(build_key, False, *refs) if refs else None
 
         def bcast_filter(t: pa.Table) -> pa.Table:
             if ref is None:
@@ -1837,11 +1852,17 @@ def adaptive_semi_filter(
 
 
 @ray.remote(num_cpus=1)
-def _build_sorted_keys(key: str, *blocks):
+def _build_sorted_keys(key: str, as_u64: bool, *blocks):
     """Sorted distinct key array for the broadcast semi/anti path —
-    built in a worker so the key set never lands on the driver."""
+    built in a worker so the key set never lands on the driver.
+    ``as_u64`` restores the uint64 domain (the shuffle ran on the
+    int64 bit-pattern view) before sorting, so probes searchsorted in
+    the caller's native order."""
     t = pa.concat_tables(blocks).combine_chunks()
-    return np.sort(t[key].to_numpy(zero_copy_only=False))
+    arr = t[key].to_numpy(zero_copy_only=False)
+    if as_u64:
+        arr = arr.view(np.uint64)
+    return np.sort(arr)
 
 
 def w2_sessionize(sf: str):

@@ -840,9 +840,13 @@ def t_decontaminate(sf: str, bench_mod: int = 10, k: int = 3):
             hs.update(tx.shingles(s, k))
         return pa.table({"h": pa.array(sorted(hs), pa.uint64())})
 
-    bench = ds.map_batches(bench_hashes, batch_format="pyarrow").unique("h")
-    # Dataset.unique returns a plain Python collection (set here)
-    bref = ray.put(np.sort(np.fromiter(bench, np.uint64, count=len(bench))))
+    from .relational import broadcast_sorted_keys
+
+    # distinct reduces through a grouped shuffle; the sorted array is
+    # built in a worker and bounded loudly (never a driver gather)
+    bref = broadcast_sorted_keys(
+        ds.map_batches(bench_hashes, batch_format="pyarrow"), "h"
+    )
 
     def probe(t: pa.Table) -> pa.Table:
         bh = ray.get(bref)
@@ -1146,8 +1150,11 @@ def t_prep_v2(sf: str, min_tokens: int = 10, bench_mod: int = 10, window: int = 
                 hs.update(tx.shingles(s, 3))
         return pa.table({"h": pa.array(sorted(hs), pa.uint64())})
 
-    bench = docs.map_batches(bench_hashes, batch_format="pyarrow").unique("h")
-    bref = ray.put(np.sort(np.fromiter(bench, np.uint64, count=len(bench))))
+    from .relational import broadcast_sorted_keys
+
+    bref = broadcast_sorted_keys(
+        docs.map_batches(bench_hashes, batch_format="pyarrow"), "h"
+    )
 
     def decon(t: pa.Table) -> pa.Table:
         bh = ray.get(bref)

@@ -273,3 +273,57 @@ def test_cuckoo_add_many_into_loaded_filter():
     f.add_many(second)
     assert f.contains_many_np(first).all()
     assert f.contains_many_np(second).all()
+
+
+def test_png_foreign_filters_decode():
+    """decode_png must accept FOREIGN PNGs using filter types 1-4
+    (Sub/Up/Average/Paeth), not only our filter-0 encoder output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lulu_crawler_ray.functions.imagecodec import _PNG_SIG, decode_png
+
+    rng = np.random.default_rng(8)
+    h, w = 10, 13
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = img.reshape(h, w * 3).astype(np.int32)
+
+    def filt_row(y, ftype):
+        cur = raw[y]
+        prior = raw[y - 1] if y else np.zeros(w * 3, np.int32)
+        left = np.r_[np.zeros(3, np.int32), cur[:-3]]
+        ul = np.r_[np.zeros(3, np.int32), prior[:-3]]
+        if ftype == 0:
+            return cur % 256
+        if ftype == 1:
+            return (cur - left) % 256
+        if ftype == 2:
+            return (cur - prior) % 256
+        if ftype == 3:
+            return (cur - ((left + prior) >> 1)) % 256
+        p = left + prior - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul))
+        return (cur - pred) % 256
+
+    scan = bytearray()
+    for y in range(h):
+        f = y % 5
+        scan.append(f)
+        scan += bytes(filt_row(y, f).astype(np.uint8))
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), img)
