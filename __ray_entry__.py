@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines.pq import e_pq_ann as _pq_ann
     from lulu_crawler_ray.pipelines.graph import x1_pagerank as _pagerank
     from lulu_crawler_ray.pipelines.graph import x2_triangles as _triangles
+    from lulu_crawler_ray.pipelines.graph import x3_components as _components
     from lulu_crawler_ray.pipelines.kmeans import e_kmeans_int as _kmeans
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
@@ -152,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s10_csv_roundtrip": rl.s10_csv_roundtrip,
         "x1_pagerank": _pagerank,
         "x2_triangles": _triangles,
+        "x3_components": _components,
         "j6_left_join": rl.j6_left_join,
         "j7_full_outer": rl.j7_full_outer,
         "g11_pivot": rl.g11_pivot,
@@ -499,6 +501,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.window_id, CAST(COUNT(l.l_shipdate) AS BIGINT) AS n_ships "
             "FROM w LEFT JOIN lineitem l ON l.l_shipdate >= w.lo AND l.l_shipdate < w.hi "
             "GROUP BY w.window_id"
+        ),
+        "x3_components": (
+            "WITH RECURSIVE e0 AS (SELECT l_orderkey % 8000 AS a, l_partkey % 8000 AS b FROM lineitem "
+            "WHERE (l_orderkey + l_partkey) % 101 = 0), "
+            "edges AS (SELECT DISTINCT LEAST(a,b) AS a, GREATEST(a,b) AS b FROM e0 WHERE a <> b), "
+            "nodes AS (SELECT a AS nd FROM e0 UNION SELECT b FROM e0), "
+            "bi AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges), "
+            "reach(node, root) AS (SELECT nd, nd FROM nodes UNION "
+            "SELECT bi.b, r.root FROM reach r JOIN bi ON bi.a = r.node WHERE r.root < bi.b), "
+            "comp AS (SELECT node, MIN(root) AS root FROM reach GROUP BY node) "
+            "SELECT root AS component_root, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+            "FROM comp GROUP BY root"
         ),
         "s11_pushdown_scan": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -207,3 +207,91 @@ def x2_triangles(sf: str, n_nodes: int = 1000, keep_mod: int = 13):
     )
     n = closed.count()
     return pa.table({"n_triangles": pa.array([int(n)], pa.int64())})
+
+
+def x3_components(sf: str, n_nodes: int = 8000, edge_mod: int = 101):
+    """Weakly-connected components over a SPARSE derived graph (edge
+    filter (orderkey+partkey) % edge_mod keeps ~1% of edges, so the
+    graph fractures into hundreds of components instead of one blob) —
+    the standalone, driver-checkable form of the label-propagation
+    engine that near-dedup uses internally (pipelines/components.py).
+    Output (component_root, n_nodes) per component; the SQL oracle is
+    the min-root recursive CTE. Distributed shape: distinct canonical
+    pairs shuffle once, each propagation round is one grouped Min with
+    a three-int convergence probe, isolated nodes (self-loops or no
+    surviving edge) root themselves via one broadcast anti-probe."""
+    from .components import _label_propagation_ds
+    from .relational import broadcast_sorted_keys, grouped_agg
+
+    ds = read_table(sf, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def e0(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        keep = (ok + pk) % edge_mod == 0
+        a = (ok[keep] % n_nodes).astype(np.int64)
+        b = (pk[keep] % n_nodes).astype(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    edges0 = ds.map_batches(e0, batch_format="pyarrow").materialize()
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        out = pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+        return out.group_by(["a", "b"]).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        edges0.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    )
+    labels = _label_propagation_ds(pairs)
+
+    def nodes_tbl(t: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()]))
+        return pa.table({"nd": pa.array(n.astype(np.int64))})
+
+    all_nodes = edges0.map_batches(nodes_tbl, batch_format="pyarrow")
+
+    # labeled nodes -> (node -> lbl) broadcast (component-table is
+    # node-bounded); unlabeled (isolated) nodes root themselves
+    lref = _x3_label_ref.remote(
+        *[ray.put(b) for b in labels.iter_batches(batch_format="pyarrow", batch_size=262144)]
+    )
+
+    def root_of(t: pa.Table) -> pa.Table:
+        ks, ls = ray.get(lref)
+        nd = t["nd"].to_numpy()
+        if len(ks):
+            idx = np.clip(np.searchsorted(ks, nd), 0, len(ks) - 1)
+            root = np.where(ks[idx] == nd, ls[idx], nd)
+        else:
+            root = nd
+        return pa.table({"component_root": pa.array(root.astype(np.int64))})
+
+    from .relational import _distinct
+
+    distinct_nodes = _distinct(all_nodes, "nd")
+    rooted = distinct_nodes.map_batches(root_of, batch_format="pyarrow")
+    return grouped_agg(
+        rooted, ["component_root"], [("n_nodes", "count", None)], round_to=None
+    ).sort("component_root")
+
+
+@ray.remote(num_cpus=1)
+def _x3_label_ref(*blocks):
+    """(sorted node array, aligned label array) built in a worker."""
+    if not blocks:
+        return np.array([], np.int64), np.array([], np.int64)
+    t = pa.concat_tables(list(blocks)).combine_chunks()
+    n = t["node"].to_numpy()
+    l = t["lbl"].to_numpy()
+    o = np.argsort(n, kind="stable")
+    return n[o], l[o]
