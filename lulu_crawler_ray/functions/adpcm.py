@@ -6,9 +6,9 @@ int16, step index uint8, reserved) followed by 4-bit nibbles, two
 samples per byte, low nibble first; samples_per_block = 1 +
 (block_align - 4) * 2. Blocks reset the predictor, so a corrupt block
 cannot poison the rest of the stream — and block decode is
-independently parallelizable. 4x compression vs PCM16. Mono only
-(stereo interleaves nibbles per channel per 4-byte group; declared
-NotImplementedError seam)."""
+independently parallelizable. 4x compression vs PCM16. Mono and
+stereo (channels interleave as alternating 4-byte nibble groups per
+the spec; stereo decodes and downmixes to mono like decode_wav_pcm)."""
 
 from __future__ import annotations
 
@@ -77,32 +77,48 @@ def _encode_block(samples: np.ndarray, pred: int, index: int) -> tuple[np.ndarra
 def encode_wav_ima_adpcm(
     pcm: np.ndarray, sample_rate: int = 8000, block_align: int = 256
 ) -> bytes:
-    """Mono float32 [-1, 1] -> IMA-ADPCM WAV bytes (fmt tag 0x11)."""
+    """(n,) mono or (n, 2) stereo float32 [-1, 1] -> IMA-ADPCM WAV
+    bytes (fmt tag 0x11). Stereo blocks: one 4-byte state header per
+    channel, then alternating 4-byte nibble groups (8 samples of L,
+    8 of R, ...) per the spec."""
     x = np.clip(np.asarray(pcm, np.float64), -1.0, 1.0)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.shape[1] not in (1, 2):
+        raise ValueError("adpcm: 1 or 2 channels")
+    nch = x.shape[1]
     s16 = np.rint(x * 32767.0).astype(np.int32)
-    spb = 1 + (block_align - 4) * 2
-    pred, index = 0, 0
+    spb = 1 + (block_align - 4 * nch) * 2 // nch
+    preds = [0] * nch
+    idxs = [0] * nch
     blocks = bytearray()
     n = len(s16)
     n_blocks = max(-(-n // spb), 1)
     for b in range(n_blocks):
         seg = s16[b * spb : (b + 1) * spb]
         if len(seg) == 0:
-            seg = np.zeros(1, np.int32)
-        first = int(seg[0])
-        pred = first  # block header carries the first sample verbatim
-        blocks += struct.pack("<hBB", pred, index, 0)
-        rest = seg[1:]
-        pad = (block_align - 4) * 2 - len(rest)
-        if pad:
-            rest = np.r_[rest, np.full(pad, pred, np.int32)]
-        nib, pred, index = _encode_block(rest, pred, index)
-        packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
-        blocks += packed.tobytes()
+            seg = np.zeros((1, nch), np.int32)
+        ch_nibs = []
+        for c in range(nch):
+            preds[c] = int(seg[0, c])  # header carries first sample
+            blocks += struct.pack("<hBB", preds[c], idxs[c], 0)
+            rest = seg[1:, c]
+            pad = spb - 1 - len(rest)
+            if pad:
+                rest = np.r_[rest, np.full(pad, preds[c], np.int32)]
+            nib, preds[c], idxs[c] = _encode_block(rest, preds[c], idxs[c])
+            ch_nibs.append((nib[0::2] | (nib[1::2] << 4)).astype(np.uint8))
+        # interleave 4-byte groups: L0..L3, R0..R3, L4..L7, ...
+        groups = len(ch_nibs[0]) // 4
+        inter = np.empty(groups * 4 * nch, np.uint8)
+        for c in range(nch):
+            g = ch_nibs[c].reshape(groups, 4)
+            inter.reshape(groups, nch, 4)[:, c, :] = g
+        blocks += inter.tobytes()
     data = bytes(blocks)
     byte_rate = sample_rate * block_align // spb
     fmt = struct.pack(
-        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+        "<HHIIHHHH", 0x11, nch, sample_rate, byte_rate, block_align, 4, 2, spb
     )
     out = bytearray()
     out += b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data)) + b"WAVE"
@@ -136,23 +152,34 @@ def decode_wav_ima_adpcm(data: bytes) -> tuple[np.ndarray, int]:
     wtag, nch, sr, _br, block_align = struct.unpack("<HHIIH", fmt[:14])
     if wtag != 0x11:
         raise ValueError(f"adpcm: not IMA ADPCM (fmt tag 0x{wtag:x})")
-    if nch != 1:
-        raise NotImplementedError("adpcm: stereo not supported")
+    if nch not in (1, 2):
+        raise NotImplementedError("adpcm: only mono/stereo supported")
     out = []
     # a foreign encoder may write a SHORT final block (sample count not
     # filling block_align) — decode whatever nibbles it carries rather
     # than silently dropping up to samples_per_block-1 samples
     for off in range(0, len(payload), block_align):
         blk = payload[off : off + block_align]
-        if len(blk) < 5:
+        if len(blk) < 4 * nch + 1:
             break
-        pred, index, _r = struct.unpack("<hBB", blk[:4])
-        packed = np.frombuffer(blk[4:], np.uint8)
-        nib = np.empty(len(packed) * 2, np.uint8)
-        nib[0::2] = packed & 0x0F
-        nib[1::2] = packed >> 4
-        out.append(np.r_[np.int32(pred), _decode_block(nib, int(pred), int(index))])
-    x = np.concatenate(out) if out else np.zeros(0, np.int32)
+        chans = []
+        for c in range(nch):
+            pred, index, _r = struct.unpack("<hBB", blk[4 * c : 4 * c + 4])
+            chans.append((int(pred), int(index)))
+        body = np.frombuffer(blk[4 * nch :], np.uint8)
+        groups = len(body) // (4 * nch)
+        per_ch = []
+        for c in range(nch):
+            packed = body[: groups * 4 * nch].reshape(groups, nch, 4)[:, c, :].reshape(-1)
+            nib = np.empty(len(packed) * 2, np.uint8)
+            nib[0::2] = packed & 0x0F
+            nib[1::2] = packed >> 4
+            pred, index = chans[c]
+            per_ch.append(np.r_[np.int32(pred), _decode_block(nib, pred, index)])
+        m = min(len(a) for a in per_ch)
+        frame = np.stack([a[:m] for a in per_ch], axis=1)
+        out.append(frame.mean(axis=1))  # downmix, matching decode_wav_pcm
+    x = np.concatenate(out) if out else np.zeros(0, np.float64)
     if n_samples is not None:
         x = x[:n_samples]
-    return (x.astype(np.float32) / 32767.0), sr
+    return (x / 32767.0).astype(np.float32), sr

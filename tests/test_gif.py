@@ -136,3 +136,24 @@ def test_adpcm_roundtrip_and_stage(ray_session):
 
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav_ima_adpcm(b"nope")
+
+
+def test_adpcm_stereo_roundtrip():
+    """Stereo IMA ADPCM (alternating 4-byte nibble groups per channel)
+    decodes and downmixes to mono with tolerable SNR vs the reference
+    downmix; mono behavior unchanged."""
+    from lulu_crawler_ray.functions.adpcm import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr
+    left = 0.6 * np.sin(2 * np.pi * 440 * t)
+    right = 0.4 * np.sin(2 * np.pi * 880 * t)
+    stereo = np.stack([left, right], axis=1).astype(np.float32)
+    out, sr2 = decode_wav_ima_adpcm(encode_wav_ima_adpcm(stereo, sr))
+    assert sr2 == sr and len(out) == sr
+    ref = ((left + right) / 2).astype(np.float32)
+    snr = 10 * np.log10((ref**2).mean() / max(float(((out - ref) ** 2).mean()), 1e-12))
+    assert snr > 20.0
