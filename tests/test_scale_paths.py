@@ -206,3 +206,28 @@ def test_broadcast_sorted_keys_loud_bound(ray_session):
     assert np.array_equal(ks, np.arange(37, dtype=np.int64))
     with pytest.raises(ValueError, match="adaptive_semi_filter"):
         broadcast_sorted_keys(ds, "k", broadcast_max=10)
+
+
+def test_adaptive_semi_filter_string_keys_both_paths(ray_session):
+    """String keys through broadcast AND shuffle paths: semi + anti
+    partition the probe set exactly."""
+    import ray.data
+    from lulu_crawler_ray.pipelines.relational import adaptive_semi_filter
+
+    probe = ray.data.from_arrow(
+        pa.table(
+            {
+                "name": pa.array([f"user-{i % 50}" for i in range(2000)]),
+                "v": pa.array(np.arange(2000, dtype=np.int64)),
+            }
+        )
+    ).repartition(4)
+    build = ray.data.from_arrow(
+        pa.table({"bn": pa.array([f"user-{i}" for i in range(0, 50, 3)])})
+    )
+    want = {f"user-{i}" for i in range(0, 50, 3)}
+    for bmax in (10**6, 0):
+        semi = adaptive_semi_filter(probe, build, "name", "bn", anti=False, broadcast_max=bmax).to_pandas()
+        anti = adaptive_semi_filter(probe, build, "name", "bn", anti=True, broadcast_max=bmax).to_pandas()
+        assert set(semi["name"]) == want
+        assert len(semi) + len(anti) == 2000
