@@ -2361,7 +2361,18 @@ def _roundtrip_dir(name: str, sf: str) -> str:
     (bench + pytest) from rmtree'ing each other's shards mid-read."""
     import hashlib
     import os
+    import re
+    import shutil
 
+    # opportunistic GC: drop siblings left by processes that no longer
+    # exist, so repeated bench/pytest runs don't accumulate dirs
+    try:
+        for d in os.listdir("/tmp"):
+            m = re.fullmatch(r"lulu-rt-.+-(\d+)", d)
+            if m and not os.path.exists(f"/proc/{m.group(1)}"):
+                shutil.rmtree(os.path.join("/tmp", d), ignore_errors=True)
+    except OSError:
+        pass
     tag = hashlib.sha1(sf.encode()).hexdigest()[:8]
     return os.path.join("/tmp", f"lulu-rt-{name}-{tag}-{os.getpid()}")
 
