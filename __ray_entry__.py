@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_near_dedup": im.img_near_dedup_query,
         "img_prep_pipeline": im.img_prep_pipeline_query,
         "img_jpeg_pipeline": im.img_jpeg_pipeline_query,
+        "img_blur_scores": im.img_blur_scores_query,
         "img_similar": im.img_similar_query,
         "audio_features": im.audio_features_query,
         "audio_segments": im.audio_segments_query,

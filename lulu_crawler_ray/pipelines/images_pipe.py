@@ -745,3 +745,68 @@ def img_jpeg_pipeline_query(sf: str):
             "px_sum": pa.array(out["px_sum"].astype(np.int64)),
         }
     )
+
+
+class BlurScoreStage:
+    """Actor-pool stage: decode + Laplacian-variance sharpness score
+    (the standard blur gate in LAION-style image curation — a blurry
+    image has low second-derivative energy). Integer contract:
+    var(Laplacian(gray)) in 1e-2 units, computed with the exact 4-
+    neighbor kernel on int32 so the score is bit-deterministic."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        scores = []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            g = (
+                299 * img[:, :, 0].astype(np.int64)
+                + 587 * img[:, :, 1].astype(np.int64)
+                + 114 * img[:, :, 2].astype(np.int64)
+            ) // 1000
+            lap = (
+                -4 * g[1:-1, 1:-1]
+                + g[:-2, 1:-1]
+                + g[2:, 1:-1]
+                + g[1:-1, :-2]
+                + g[1:-1, 2:]
+            )
+            v = lap.astype(np.float64)
+            var = float(v.var()) if v.size else 0.0
+            scores.append(int(np.rint(var * 100)))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "sharpness_c": pa.array(scores, pa.int64()),
+            }
+        )
+
+
+def img_blur_scores_query(sf: str, blur_threshold_c: int = 50_00):
+    """queries() entry (rows-only; digest pinned in tests): per-image
+    Laplacian-variance sharpness over the deterministic fixture plus
+    one summary row fold (n_sharp / n_blurry at the threshold) — the
+    blur gate a LAION-style curation run applies before near-dedup."""
+    n = 600 if _is_big_sf(sf) else 300
+    ds = fixture_dataset(n)
+    scored = ds.map_batches(
+        BlurScoreStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        s = t["sharpness_c"].to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "n_sharp": pa.array([int((s >= blur_threshold_c).sum())], pa.int64()),
+                "sum_sharp_c": pa.array([int(s.sum())], pa.int64()),
+            }
+        )
+
+    parts = scored.map_batches(fold, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n": pa.array([int(parts["n"].sum())], pa.int64()),
+            "n_sharp": pa.array([int(parts["n_sharp"].sum())], pa.int64()),
+            "sum_sharp_c": pa.array([int(parts["sum_sharp_c"].sum())], pa.int64()),
+        }
+    )

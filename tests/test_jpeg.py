@@ -138,3 +138,12 @@ def test_img_stats_and_resize_integer_digests_pinned(ray_session):
 
 PINNED_RESIZE_DIGEST = (885481482856359965, -6709845456964182415)
 PINNED_STATS_AVGPX = [12739, 12745, 12757]
+
+
+def test_img_blur_scores_digest_pinned(ray_session):
+    """Laplacian-variance blur gate over the deterministic fixture:
+    integer digest pinned (decode/grayscale/kernel regressions move it)."""
+    from lulu_crawler_ray.pipelines.images_pipe import img_blur_scores_query
+
+    t = img_blur_scores_query("/root/testdata/sf0.001").to_pandas()
+    assert t.iloc[0].to_dict() == {"n": 300, "n_sharp": 300, "sum_sharp_c": 1432037688}
