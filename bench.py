@@ -140,7 +140,7 @@ def run_bench() -> dict:
         "t_bpe_real", "t_prep_v3", "t_intradoc_repeats", "g20_quantile_hist",
         "g21_cms_registers", "g22_grouped_hll_registers", "j8_range_join",
         "j9_salted_join", "o8_percent_rank", "s11_pushdown_scan",
-        "img_jpeg_pipeline",
+        "img_jpeg_pipeline", "x3_components", "img_blur_scores",
     ]
     extras: dict[str, float] = {}
     for name in extra_queries:
