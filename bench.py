@@ -143,6 +143,8 @@ def run_bench() -> dict:
         "img_jpeg_pipeline", "x3_components", "img_blur_scores",
     ]
     extras: dict[str, float] = {}
+    if os.environ.get("GRAFT_SCALING_CRAWL") == "1":
+        extra_queries = []  # scaling reps measure the crawl; skip extras
     for name in extra_queries:
         if name not in qfns:
             continue
