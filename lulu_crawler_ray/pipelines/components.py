@@ -117,7 +117,11 @@ def _label_propagation_ds(
         )
     )
 
-    nparts = max(2, min(_npart(), int(ray.cluster_resources().get("CPU", 8))))
+    # size the per-round join from the DATA (edges is already
+    # materialized, so count() is metadata-cheap): 32 partitions of
+    # aggregator spin-up per round on a 100k-row join was the whole
+    # cost of label propagation at sf0.1 (the j2 lesson, round 3)
+    nparts = _npart(edges.count())
     cur_sum = _label_sum(labels)
     for _ in range(max_rounds):
         # propagate: each node takes min(own label, labels of neighbors)

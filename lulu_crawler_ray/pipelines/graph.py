@@ -209,7 +209,9 @@ def x2_triangles(sf: str, n_nodes: int = 1000, keep_mod: int = 13):
     return pa.table({"n_triangles": pa.array([int(n)], pa.int64())})
 
 
-def x3_components(sf: str, n_nodes: int = 8000, edge_mod: int = 101):
+def x3_components(
+    sf: str, n_nodes: int = 8000, edge_mod: int = 101, driver_max_pairs: int = 1_000_000
+):
     """Weakly-connected components over a SPARSE derived graph (edge
     filter (orderkey+partkey) % edge_mod keeps ~1% of edges, so the
     graph fractures into hundreds of components instead of one blob) —
@@ -220,7 +222,7 @@ def x3_components(sf: str, n_nodes: int = 8000, edge_mod: int = 101):
     pairs shuffle once, each propagation round is one grouped Min with
     a three-int convergence probe, isolated nodes (self-loops or no
     surviving edge) root themselves via one broadcast anti-probe."""
-    from .components import _label_propagation_ds
+    from .components import _label_propagation_ds, _union_find
     from .relational import broadcast_sorted_keys, grouped_agg
 
     ds = read_table(sf, "lineitem", ["l_orderkey", "l_partkey"])
@@ -252,7 +254,24 @@ def x3_components(sf: str, n_nodes: int = 8000, edge_mod: int = 101):
         .aggregate(Count(alias_name="__c"))
         .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
     )
-    labels = _label_propagation_ds(pairs)
+    # adaptive (the connected_components routing): this derived graph
+    # reduces to ~edge-filter-fraction of lineitem, so below the pair
+    # threshold a driver union-find finishes in milliseconds where
+    # O(diameter) grouped-Min rounds cost minutes; the distributed
+    # label-propagation path takes over above it and is equality-pinned
+    # vs this path in tests/test_scale_paths.py
+    pairs = pairs.materialize()
+    if pairs.count() <= driver_max_pairs:
+        comp = _union_find(pairs.to_pandas())
+        lt = pa.table(
+            {
+                "node": pa.array(list(comp.keys()), pa.int64()),
+                "lbl": pa.array(list(comp.values()), pa.int64()),
+            }
+        )
+        labels = ray.data.from_arrow(lt)
+    else:
+        labels = _label_propagation_ds(pairs)
 
     def nodes_tbl(t: pa.Table) -> pa.Table:
         n = np.unique(np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()]))

@@ -231,3 +231,15 @@ def test_adaptive_semi_filter_string_keys_both_paths(ray_session):
         anti = adaptive_semi_filter(probe, build, "name", "bn", anti=True, broadcast_max=bmax).to_pandas()
         assert set(semi["name"]) == want
         assert len(semi) + len(anti) == 2000
+
+
+def test_x3_components_paths_equal(ray_session):
+    """x3's driver union-find fast path == forced distributed label
+    propagation (driver_max_pairs=0), bit-equal."""
+    from lulu_crawler_ray.pipelines.graph import x3_components
+
+    sf = "/root/testdata/sf0.001"
+    fast = x3_components(sf).to_pandas().reset_index(drop=True)
+    slow = x3_components(sf, driver_max_pairs=0).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
