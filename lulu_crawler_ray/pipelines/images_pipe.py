@@ -810,3 +810,63 @@ def img_blur_scores_query(sf: str, blur_threshold_c: int = 50_00):
             "sum_sharp_c": pa.array([int(parts["sum_sharp_c"].sum())], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 one-row digest forms (VERDICT r4 item 8). Each folds the
+# corresponding multimodal query's (already-small, integer-only)
+# output into a single row so the driver's value hash is well-defined
+# and can be pinned. The matching oracle_sql() entries are GOLDEN PINS
+# (literal constants), NOT independent SQL derivations — SQL cannot
+# decode JPEG/WAV/AVI. The pins are validated independently by the
+# pytest decode oracles (tests/test_jpeg.py, tests/test_multimodal.py
+# roundtrip + digest tests), so a driver hash-match here is a
+# bit-exact regression check on the real decode paths, upgraded from
+# the rows-only check these surfaces had in rounds 1-4.
+
+
+def _one_row_digest(t: pa.Table, keys: list[str]) -> pa.Table:
+    """Fold an integer table to one row: n_rows + per-column int sum +
+    per-column xor-of-(value * (rank+1)) so row ORDER and pairing are
+    captured, not just the multiset of values."""
+    cols: dict[str, pa.Array] = {"n_rows": pa.array([t.num_rows], pa.int64())}
+    for k in keys:
+        v = t[k].to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.arange(1, len(v) + 1, dtype=np.int64)
+        cols[f"sum_{k}"] = pa.array([int(v.sum())], pa.int64())
+        cols[f"mix_{k}"] = pa.array(
+            [int(np.bitwise_xor.reduce(v * rank)) if len(v) else 0], pa.int64()
+        )
+    return pa.table(cols)
+
+
+def img_jpeg_digest_query(sf: str) -> pa.Table:
+    """One-row digest of img_jpeg_pipeline (real baseline-JPEG decode,
+    all subsampling modes): per-mode rows folded with order-sensitive
+    mixing."""
+    t = img_jpeg_pipeline_query(sf)
+    return _one_row_digest(t, ["n_ok", "px_sum"])
+
+
+def img_blur_digest_query(sf: str) -> pa.Table:
+    """One-row digest of the Laplacian blur gate (already one row —
+    re-emitted under the digest column contract)."""
+    t = img_blur_scores_query(sf)
+    return _one_row_digest(t, ["n_sharp", "sum_sharp_c"])
+
+
+def audio_digest_query(sf: str) -> pa.Table:
+    """One-row digest of audio_segments (real WAV decode + energy VAD):
+    segment boundaries folded order-sensitively."""
+    t = audio_segments_query(sf)
+    if not isinstance(t, pa.Table):
+        t = pa.Table.from_pandas(t.to_pandas())
+    return _one_row_digest(t, ["seg_idx", "start_ms", "end_ms"])
+
+
+def video_digest_query(sf: str) -> pa.Table:
+    """One-row digest of video_scenes (real AVI decode + scene cuts)."""
+    t = video_scenes_query(sf)
+    if not isinstance(t, pa.Table):
+        t = pa.Table.from_pandas(t.to_pandas())
+    return _one_row_digest(t, ["cut_idx", "diff_e4"])
