@@ -243,3 +243,75 @@ def test_x3_components_paths_equal(ray_session):
     slow = x3_components(sf, driver_max_pairs=0).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
     assert len(fast) > 0
+
+
+def test_adaptive_dim_join_paths_equal(ray_session):
+    """Round-5: decoration joins (the TPC-H q10/q14/q18 'dimension'
+    sides) must produce identical results on the broadcast path and
+    the forced hash-co-partitioned path, for inner and left, with
+    matched dtypes (nulls on left misses)."""
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.relational import adaptive_dim_join
+
+    rng = np.random.default_rng(7)
+    fact = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, 500), pa.int64()),
+            "x": pa.array(np.arange(500), pa.int64()),
+        }
+    )
+    dim = pa.table(
+        {
+            "dk": pa.array(np.arange(0, 40, dtype=np.int64)),  # keys 40..49 miss
+            "name": pa.array([f"n{i}" for i in range(40)]),
+            "w": pa.array(np.arange(40, dtype=np.int64) * 10),
+        }
+    )
+    for how in ("inner", "left"):
+        fast = (
+            adaptive_dim_join(
+                ray.data.from_arrow(fact), "k", ray.data.from_arrow(dim), "dk",
+                ["name", "w"], how=how,
+            )
+            .to_pandas()
+            .sort_values(["x"])
+            .reset_index(drop=True)
+        )
+        slow = (
+            adaptive_dim_join(
+                ray.data.from_arrow(fact), "k", ray.data.from_arrow(dim), "dk",
+                ["name", "w"], how=how, broadcast_max=0,
+            )
+            .to_pandas()
+            .sort_values(["x"])
+            .reset_index(drop=True)
+        )
+        fast = fast[sorted(fast.columns)]
+        slow = slow[sorted(slow.columns)]
+        assert list(fast.columns) == list(slow.columns)
+        pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+        if how == "inner":
+            assert (fast["k"] < 40).all() and len(fast) > 0
+        else:
+            assert len(fast) == 500
+            assert fast.loc[fast["k"] >= 40, "name"].isna().all()
+
+
+def test_dim_ref_loud_bound(ray_session):
+    """dim_ref must raise loudly (not OOM silently) when the broadcast
+    side exceeds the bound, and must stream-build in a worker below it."""
+    import ray
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.relational import dim_ref
+
+    dim = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(1000, dtype=np.int64)),
+                  "v": pa.array(np.arange(1000, dtype=np.int64) * 2)})
+    )
+    with pytest.raises(ValueError, match="dim_ref"):
+        dim_ref(dim, "k", ("v",), dim_max=10)
+    ref = dim_ref(dim, "k", ("v",))
+    ks, vs = ray.get(ref)
+    assert np.array_equal(ks, np.arange(1000)) and vs[3] == 6
