@@ -302,10 +302,17 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self._overrun = 0
 
     def _fill(self) -> None:
         if self.pos >= len(self.data):
-            # past EOI padding: feed 1-bits (decoder will have finished)
+            # past EOI padding: feed 1-bits (a finished decoder reads a
+            # few pad bits here), but a TRUNCATED scan would otherwise
+            # silently decode garbage pixels — allow a small post-end
+            # tail then raise (ADVICE r4)
+            self._overrun += 8
+            if self._overrun > 64:
+                raise ValueError("jpeg: entropy-coded data truncated (read past end of scan)")
             self.acc = (self.acc << 8) | 0xFF
             self.nbits += 8
             return
@@ -461,6 +468,11 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError(
+                        f"jpeg: missing restart segment {seg_idx} "
+                        f"(stream carries {len(segments)}, restart_interval implies more)"
+                    )
                 br = _BitReader(segments[seg_idx])
                 pred = {c["id"]: 0 for c in comps}
             for c in comps:

@@ -538,22 +538,19 @@ def near_dedup_minhash(
                 kb.append(b)
         return pa.table({"a": pa.array(ka, pa.int64()), "b": pa.array(kb, pa.int64())})
 
-    # component stage takes the verified pair DATASET (component_nonroots:
-    # driver union-find under its threshold, distributed label
-    # propagation above — the pair set never touches the driver; only
-    # the dup-sized drop set does, which the keep filter broadcasts)
+    # component stage takes the verified pair DATASET (drop_nonroots:
+    # driver union-find + broadcast drop array under its threshold;
+    # above it distributed label propagation + a co-partitioned ANTI
+    # semi-join — the drop set never materializes on the driver at
+    # scale, VERDICT r4 item 3)
     verified = j.map_batches(verify, batch_format="pyarrow")
-    from .components import component_nonroots
+    from .components import drop_nonroots
 
-    ref = ray.put(component_nonroots(verified))
-
-    def keep(t: pa.Table) -> pa.Table:
-        d = ray.get(ref)
-        return t.select(["doc_id"]).filter(
-            pa.array(~np.isin(t["doc_id"].to_numpy(), d))
-        )
-
-    return docs.map_batches(keep, batch_format="pyarrow")
+    return drop_nonroots(
+        docs.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
+        "doc_id",
+        verified,
+    )
 
 
 def t_near_dedup(sf: str):

@@ -147,3 +147,32 @@ def test_img_blur_scores_digest_pinned(ray_session):
 
     t = img_blur_scores_query("/root/testdata/sf0.001").to_pandas()
     assert t.iloc[0].to_dict() == {"n": 300, "n_sharp": 300, "sum_sharp_c": 1432037688}
+
+
+def test_truncated_scan_raises_not_garbage():
+    """ADVICE r4: a truncated entropy-coded scan must raise, not decode
+    1-bit padding into garbage pixels."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 48, 3), np.uint8)
+    data = encode_jpeg_baseline(img, quality=90)
+    # cut the stream well inside the scan (markers intact up to SOS)
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    truncated = data[: sos + (len(data) - sos) // 3]
+    with pytest.raises(ValueError, match="jpeg"):
+        decode_jpeg_baseline(truncated)
+
+
+def test_missing_restart_segment_raises():
+    """ADVICE r4: fewer restart segments than restart_interval implies
+    must raise a ValueError, not IndexError."""
+    img = np.full((32, 32, 3), 128, np.uint8)
+    data = encode_jpeg_baseline(img, quality=85)
+    assert b"\xff\xdd" not in data[:2]  # encoder writes no DRI
+    # inject a DRI segment (restart_interval=1) right before SOS: the
+    # scan then promises a restart marker per MCU that is not there
+    sos = data.find(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    patched = data[:sos] + dri + data[sos:]
+    with pytest.raises((ValueError, KeyError)):
+        decode_jpeg_baseline(patched)

@@ -315,3 +315,81 @@ def test_dim_ref_loud_bound(ray_session):
     ref = dim_ref(dim, "k", ("v",))
     ks, vs = ray.get(ref)
     assert np.array_equal(ks, np.arange(1000)) and vs[3] == 6
+
+
+def test_drop_nonroots_paths_equal(ray_session):
+    """Round-5: keep-min component dedup must produce the same
+    survivor set on the driver union-find path and the forced
+    label-propagation + co-partitioned-anti-join path (no driver-side
+    drop array)."""
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.components import drop_nonroots
+
+    # three components: {1,2,3}, {10,11}, {20}; plus isolated docs
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 2, 10, 20], pa.int64()),
+            "b": pa.array([2, 3, 11, 20], pa.int64()),
+        }
+    )
+    docs = pa.table({"doc_id": pa.array(np.arange(0, 25, dtype=np.int64))})
+    fast = (
+        drop_nonroots(ray.data.from_arrow(docs), "doc_id", ray.data.from_arrow(pairs))
+        .to_pandas()["doc_id"].sort_values().to_numpy()
+    )
+    # driver_max_pairs=0 forces label propagation; broadcast_max=0
+    # additionally forces the anti-join's co-partitioned shuffle path
+    slow = (
+        drop_nonroots(
+            ray.data.from_arrow(docs), "doc_id", ray.data.from_arrow(pairs),
+            driver_max_pairs=0, broadcast_max=0,
+        )
+        .to_pandas()["doc_id"].sort_values().to_numpy()
+    )
+    assert np.array_equal(fast, slow)
+    # non-roots 2,3,11 dropped; roots + isolated nodes kept
+    assert set(np.setdiff1d(np.arange(25), fast)) == {2, 3, 11}
+
+
+def test_topk_no_global_sort_matches_sort_limit(ray_session):
+    """Round-5: the combiner top-k must equal sort+limit bit-for-bit
+    (ties broken by the total-order key), while touching only
+    k-rows-per-block in the exchange."""
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.relational import topk
+
+    rng = np.random.default_rng(11)
+    t = pa.table(
+        {
+            "v": pa.array(rng.integers(0, 100, 5000), pa.int64()),  # heavy ties
+            "id": pa.array(rng.permutation(5000).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = (
+        topk(ds, ["v", "id"], [True, False], 10)
+        .to_pandas().reset_index(drop=True)
+    )
+    want = (
+        t.to_pandas()
+        .sort_values(["v", "id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_key_hash_u64_mid_string_entropy(ray_session):
+    """Round-5 (ADVICE r4): same-length keys differing only in the
+    middle (templated URLs with fixed-width ids) must not collide
+    systematically."""
+    from lulu_crawler_ray.pipelines.relational import key_hash_u64
+
+    urls = [f"http://shop.test/item/{i:06d}/view" for i in range(2000)]
+    h = key_hash_u64(pa.table({"u": pa.array(urls)}), ["u"])
+    assert len(np.unique(h)) == 2000  # zero collisions on 2k ids
+    parts = h % np.uint64(16)
+    counts = np.bincount(parts.astype(np.int64), minlength=16)
+    assert counts.max() < 2000 * 0.2  # balanced, not collapsed
