@@ -142,15 +142,28 @@ def run_bench() -> dict:
         "j9_salted_join", "o8_percent_rank", "s11_pushdown_scan",
         "img_jpeg_pipeline", "x3_components", "img_blur_scores",
     ]
+    # round-5 additions, same discipline: timed outside the frozen total
+    extra_queries_r5 = [
+        "img_jpeg_digest", "img_blur_digest", "audio_digest", "video_digest",
+        "t_near_dedup", "q18_large_orders", "q16_supplier_cnt",
+    ]
     extras: dict[str, float] = {}
+    extras5: dict[str, float] = {}
     if os.environ.get("GRAFT_SCALING_CRAWL") == "1":
         extra_queries = []  # scaling reps measure the crawl; skip extras
+        extra_queries_r5 = []
     for name in extra_queries:
         if name not in qfns:
             continue
         t0 = time.time()
         _consume(qfns[name](sf))
         extras[name] = round(time.time() - t0, 3)
+    for name in extra_queries_r5:
+        if name not in qfns:
+            continue
+        t0 = time.time()
+        _consume(qfns[name](sf))
+        extras5[name] = round(time.time() - t0, 3)
 
     result = {
         "metric": "headline pipelines wall time (crawl + relational/text/ann) at sf",
@@ -158,6 +171,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": times,
         "extra_queries_r4": extras,
+        "extra_queries_r5": extras5,
         "sf": sf,
         "num_cpus": num_cpus,
         "crawl": crawl,
