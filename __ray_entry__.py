@@ -83,6 +83,8 @@ _PRIORITY_R5 = [
     # red/ERR driver rows whose fixes are in-tree (r3 g11 hash-fail,
     # r2 t_prep ERR) — the only red marks left
     "g11_pivot", "t_prep_pipeline",
+    # new round-5 operators (chunk dedup / winnowing / integer MIPS)
+    "t_chunk_dedup", "t_winnow", "e_mips_topk",
     # oracle-ready, never driver-sampled in r1-r4
     "w9_late_data", "t_heavy_hitters", "t_tfidf", "g13_cube", "o7_ntile",
     "g20_quantile_hist", "g21_cms_registers", "g22_grouped_hll_registers",
@@ -106,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import images_pipe as im
     from lulu_crawler_ray.pipelines import relational as rl
     from lulu_crawler_ray.pipelines import textops as to
+    from lulu_crawler_ray.pipelines import textops2 as to2
     from lulu_crawler_ray.pipelines.pq import e_pq_ann as _pq_ann
     from lulu_crawler_ray.pipelines.graph import x1_pagerank as _pagerank
     from lulu_crawler_ray.pipelines.graph import x2_triangles as _triangles
@@ -211,6 +214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d8_semi_join": rl.d8_semi_join,
         "o7_ntile": rl.o7_ntile,
         # text / training-data ops (documents)
+        "t_chunk_dedup": to2.t_chunk_dedup,
+        "t_winnow": to2.t_winnow,
+        "e_mips_topk": to2.e_mips_topk,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -292,6 +298,11 @@ def _bpe_real_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
+    from lulu_crawler_ray.pipelines.textops2 import (
+        e_mips_topk_sql,
+        t_chunk_dedup_sql,
+        t_winnow_sql,
+    )
     from lulu_crawler_ray.pipelines.minhash_oracle import (
         cms_registers_sql,
         grouped_hll_registers_sql,
@@ -303,6 +314,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     base = {
+        "t_chunk_dedup": t_chunk_dedup_sql(),
+        "t_winnow": t_winnow_sql(),
+        "e_mips_topk": e_mips_topk_sql(),
         "t_lm_score": (
             "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "

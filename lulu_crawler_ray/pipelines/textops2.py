@@ -1,0 +1,283 @@
+"""Round-5 corpus operators: chunk-level (paragraph-style) exact
+dedup, winnowing document fingerprints (the MOSS/local-fingerprint
+algorithm), and exact-integer max-inner-product search. Each is a
+`queries()` entry with a bit-exact DuckDB oracle (__ray_entry__), built
+on the adaptive scale machinery from relational.py.
+
+No reference file:line citations are possible — /root/reference is
+empty (SURVEY.md §0); the spec base is BASELINE.json + public
+algorithm descriptions (winnowing: Schleimer/Wilkerson/Aiken,
+SIGMOD'03)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..sources.testdata import read_table
+from .relational import adaptive_dim_join, grouped_agg
+
+CHUNK_TOKENS = 10
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # k-grams per window
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.split() if t]
+
+
+def _explode_chunks(t: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, chunk_idx, chunk): consecutive
+    CHUNK_TOKENS-token chunks (the corpus has no newlines, so fixed
+    token windows stand in for paragraphs; the oracle slices the same
+    way). Empty docs emit no chunks."""
+    ids, idxs, chunks = [], [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = _tokens(text)
+        for i in range(0, len(toks), CHUNK_TOKENS):
+            ids.append(did)
+            idxs.append(i // CHUNK_TOKENS)
+            chunks.append(" ".join(toks[i : i + CHUNK_TOKENS]))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "chunk": pa.array(chunks, pa.string()),
+        }
+    )
+
+
+def t_chunk_dedup(sf: str):
+    """Paragraph-level exact dedup (the chunk-granular form of
+    ExactSubstr-style corpus cleaning): explode docs into 10-token
+    chunks, keep each distinct chunk's FIRST occurrence in (doc_id,
+    chunk_idx) order, report per-doc (n_chunks, n_kept). Distributed
+    shape: per-batch explode -> grouped MIN of the packed order key
+    (the shuffle carries one row per distinct chunk per block after
+    the batch combiner inside grouped_agg) -> adaptive join back ->
+    vectorized keep filter -> two small grouped counts. The chunk
+    strings ride exactly two exchanges; no driver gather anywhere."""
+    docs = read_table(sf, "documents", ["doc_id", "text"])
+    exploded = docs.map_batches(_explode_chunks, batch_format="pyarrow")
+
+    def pack_order(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        cidx = t["chunk_idx"].to_numpy()
+        if len(did) and (did.max() >= (1 << 31) or cidx.max() >= (1 << 32)):
+            # (doc_id, chunk_idx) packs into one int64 for the grouped
+            # MIN; outside this domain the pack would collide — fail
+            # loudly rather than silently misorder
+            raise ValueError("t_chunk_dedup: doc_id/chunk_idx outside packable domain")
+        return t.append_column("ord", pa.array(did * (1 << 32) + cidx, pa.int64()))
+
+    ordered = exploded.map_batches(pack_order, batch_format="pyarrow")
+    mins = grouped_agg(ordered, ["chunk"], [("mo", "min", "ord")], round_to=None)
+    joined = adaptive_dim_join(ordered, "chunk", mins, "chunk", ["mo"])
+    kept = joined.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                t["ord"].to_numpy(zero_copy_only=False)
+                == t["mo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    n_all = grouped_agg(exploded, ["doc_id"], [("n_chunks", "count", None)], round_to=None)
+    n_kept = grouped_agg(kept, ["doc_id"], [("n_kept", "count", None)], round_to=None)
+
+    all_docs = docs.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    out = adaptive_dim_join(all_docs, "doc_id", n_all, "doc_id", ["n_chunks"], how="left")
+    out = adaptive_dim_join(out, "doc_id", n_kept, "doc_id", ["n_kept"], how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        def fill(col):
+            v = t[col].to_pandas().fillna(0).to_numpy(np.int64)
+            return pa.array(v, pa.int64())
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chunks": fill("n_chunks"),
+                "n_kept": fill("n_kept"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def t_chunk_dedup_sql() -> str:
+    p = CHUNK_TOKENS
+    return (
+        "WITH d2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '') AS l FROM documents), "
+        "chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+        f"array_to_string(l[(CAST(i AS BIGINT)*{p}+1):(CAST(i AS BIGINT)*{p}+{p})], ' ') AS chunk "
+        "FROM d2 CROSS JOIN LATERAL (SELECT UNNEST(range(0, "
+        f"CAST(ceil(len(l)/{p}.0) AS BIGINT))) AS i) t WHERE len(l) > 0), "
+        "ranked AS (SELECT doc_id, chunk_idx, chunk, ROW_NUMBER() OVER "
+        "(PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM chunks) "
+        "SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_chunks, "
+        "CAST(COALESCE(k.n, 0) AS BIGINT) AS n_kept "
+        "FROM (SELECT doc_id FROM documents) d "
+        "LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM chunks GROUP BY 1) c USING (doc_id) "
+        "LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM ranked WHERE rn = 1 GROUP BY 1) k "
+        "USING (doc_id) ORDER BY doc_id"
+    )
+
+
+def _winnow_doc(toks: list[str]) -> tuple[int, int]:
+    """(n_fingerprints, xor of selected 60-bit hashes) for one doc via
+    winnowing: hash every WINNOW_K-token gram (md5-derived 60-bit int,
+    BIGINT-safe on the oracle side), slide a WINNOW_W window, select
+    the window MIN with RIGHTMOST tie-break, dedup selected (pos, h)
+    pairs. Inner math is numpy over the doc's gram array."""
+    n = len(toks) - WINNOW_K + 1
+    if n <= 0:
+        return 0, 0
+    h = np.empty(n, np.int64)
+    for i in range(n):
+        g = " ".join(toks[i : i + WINNOW_K])
+        h[i] = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+    if n <= WINNOW_W:
+        mn = h.min()
+        pos = int(np.flatnonzero(h == mn).max())
+        return 1, int(h[pos])
+    win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    idx = WINNOW_W - 1 - rev_arg  # rightmost min per window
+    pos = np.arange(len(win)) + idx
+    sel = np.unique(pos)
+    return len(sel), int(np.bitwise_xor.reduce(h[sel]))
+
+
+def t_winnow(sf: str):
+    """Winnowing document fingerprints (Schleimer et al., the standard
+    local fingerprinting scheme for near-dup detection at scale): per
+    doc, the count and xor-fold of selected k-gram hashes. One
+    streaming map — no shuffle at all; each batch loops docs but the
+    per-doc window math is numpy."""
+    docs = read_table(sf, "documents", ["doc_id", "text"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids, ns, xs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            nfp, x = _winnow_doc(_tokens(text))
+            ids.append(did)
+            ns.append(nfp)
+            xs.append(x)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_fp": pa.array(ns, pa.int64()),
+                "fp_xor": pa.array(xs, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def t_winnow_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return (
+        "WITH d2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '') AS l FROM documents), "
+        "grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        "CAST(CAST('0x' || substr(md5(array_to_string("
+        f"l[CAST(i AS BIGINT):(CAST(i AS BIGINT)+{k}-1)], ' ')), 1, 15) AS UBIGINT) AS BIGINT) AS h "
+        f"FROM d2 CROSS JOIN LATERAL (SELECT UNNEST(range(1, len(l)-{k}+2)) AS i) t "
+        f"WHERE len(l) >= {k}), "
+        "nn AS (SELECT doc_id, MAX(pos) AS np FROM grams GROUP BY 1), "
+        "starts AS (SELECT doc_id, CAST(w0 AS BIGINT) AS w0 FROM nn CROSS JOIN LATERAL "
+        f"(SELECT UNNEST(range(1, GREATEST(np-{w}+1, 1)+1)) AS w0) s), "
+        "wins AS (SELECT g.doc_id, st.w0, MIN(g.h) AS mh FROM grams g "
+        "JOIN starts st ON g.doc_id = st.doc_id AND g.pos BETWEEN st.w0 AND st.w0+"
+        f"{w}-1 GROUP BY 1, 2), "
+        "sel0 AS (SELECT wi.doc_id, wi.w0, wi.mh, MAX(g.pos) AS spos FROM wins wi "
+        "JOIN grams g ON g.doc_id = wi.doc_id AND g.h = wi.mh AND g.pos BETWEEN "
+        f"wi.w0 AND wi.w0+{w}-1 GROUP BY 1, 2, 3), "
+        "fp AS (SELECT DISTINCT doc_id, spos, mh FROM sel0), "
+        "agg AS (SELECT doc_id, COUNT(*) AS n_fp, bit_xor(mh) AS fx FROM fp GROUP BY 1) "
+        "SELECT d.doc_id, CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fp, "
+        "CAST(COALESCE(a.fx, 0) AS BIGINT) AS fp_xor "
+        "FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id) "
+        "ORDER BY doc_id"
+    )
+
+
+def e_mips_topk(sf: str, k: int = 5, n_queries: int = 3):
+    """Exact-integer max-inner-product top-k (the retrieval scoring a
+    recommender / reranker runs; cosine's unnormalized sibling):
+    embeddings quantize to e6 ints, scores are exact int64 inner
+    products, per-block partial top-k + one small finalize (the
+    relational.topk shape applied per query). Ties break neighbor_id
+    asc; self excluded."""
+    emb = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+    q_t = emb.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], n_queries)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id")
+    qids = q_t["vec_id"].to_numpy(np.int64)
+    qm = np.rint(np.array(q_t["embedding"].tolist(), np.float64) * 1e6).astype(np.int64)
+    ref = ray.put((qids, qm))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(ref)
+        ids = t["vec_id"].to_numpy()
+        m = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6).astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids_)):
+            ip = m @ qm_[qi]
+            mask = ids != qids_[qi]
+            cid, cip = ids[mask], ip[mask]
+            order = np.lexsort((cid, -cip))[:k]
+            out_q.extend([int(qids_[qi])] * len(order))
+            out_n.extend(cid[order].tolist())
+            out_s.extend(cip[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "ip_e12": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = {"query_id": [], "neighbor_id": [], "ip_e12": [], "rnk": []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.drop_duplicates(["neighbor_id"]).sort_values(
+            ["ip_e12", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        rows["query_id"].extend([qid] * len(g))
+        rows["neighbor_id"].extend(g["neighbor_id"])
+        rows["ip_e12"].extend(g["ip_e12"])
+        rows["rnk"].extend(range(1, len(g) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+            "ip_e12": pa.array(rows["ip_e12"], pa.int64()),
+            "rnk": pa.array(rows["rnk"], pa.int64()),
+        }
+    )
+
+
+def e_mips_topk_sql(k: int = 5, n_queries: int = 3) -> str:
+    return (
+        "WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v "
+        "FROM embeddings), "
+        f"q AS (SELECT * FROM u WHERE vec_id < {n_queries}), "
+        "s AS (SELECT q.vec_id AS qid, u.vec_id AS nid, "
+        "CAST(SUM(q.v * u.v) AS BIGINT) AS ip FROM q JOIN u "
+        "ON q.i = u.i AND u.vec_id <> q.vec_id GROUP BY 1, 2), "
+        "r AS (SELECT qid, nid, ip, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY ip DESC, nid) AS rn FROM s) "
+        "SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id, "
+        f"ip AS ip_e12, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= {k} "
+        "ORDER BY query_id, rnk"
+    )
