@@ -493,32 +493,26 @@ def near_dedup_minhash(
             }
         )
 
-    from .relational import _nonempty
+    from .relational import adaptive_dim_join
 
-    # the sh() filter EMPTIES whole blocks when few docs are pair-touched
-    # (routine when the input was already gated/deduped upstream, as in
-    # t_prep_pipeline); Ray emits those as schema-less RefBundles, and a
-    # join partition made only of them dies with ArrowInvalid on the key
-    # FieldRef — a parallelism-dependent failure (more CPUs -> more
-    # partitions). _nonempty drops them from every join input.
-    shingles = _nonempty(docs.map_batches(sh, batch_format="pyarrow"))
+    # Attach both signatures through adaptive_dim_join (round 5): the
+    # pair-touched shingle table is candidate-sized, so under the
+    # (blob-aware, lowered) bound it broadcasts once as a worker-built
+    # sorted tuple and the pair list streams through two searchsorted
+    # decorations — no acero join pools at all (rounds 2-4 paid two
+    # 16-partition hash joins ~1.4 s each at sf0.1 mostly in aggregator
+    # spin-up). Above the bound it falls back to the co-partitioned
+    # shuffle join automatically (blob payloads ride the exchange).
+    shingles = docs.map_batches(sh, batch_format="pyarrow")
     sh_a = shingles.map_batches(
-        lambda t: t.rename_columns(["__a", "sh_a"]), batch_format="pyarrow"
+        lambda t: t.rename_columns(["doc_id", "sh_a"]), batch_format="pyarrow"
     )
     sh_b = shingles.map_batches(
-        lambda t: t.rename_columns(["__b", "sh_b"]), batch_format="pyarrow"
+        lambda t: t.rename_columns(["doc_id", "sh_b"]), batch_format="pyarrow"
     )
-    # chained hash joins deadlock when both aggregator pools outsize the
-    # cluster: cap partitions at the CPU count and MATERIALIZE between
-    # the two joins so the first pool releases before the second spawns
-    # (_nonempty's materialize doubles as that barrier)
-    nparts = max(2, min(num_partitions, int(ray.cluster_resources().get("CPU", 8))))
-    j = _nonempty(
-        _nonempty(pairs).join(
-            sh_a, join_type="inner", num_partitions=nparts, on=("a",), right_on=("__a",)
-        )
-    )
-    j = j.join(sh_b, join_type="inner", num_partitions=nparts, on=("b",), right_on=("__b",))
+    blob_max = 200_000  # rows; signatures are ~KB blobs, not 8B keys
+    j = adaptive_dim_join(pairs, "a", sh_a, "doc_id", ["sh_a"], broadcast_max=blob_max)
+    j = adaptive_dim_join(j, "b", sh_b, "doc_id", ["sh_b"], broadcast_max=blob_max)
 
     def verify(t: pa.Table) -> pa.Table:
         ka, kb = [], []
