@@ -83,8 +83,9 @@ _PRIORITY_R5 = [
     # red/ERR driver rows whose fixes are in-tree (r3 g11 hash-fail,
     # r2 t_prep ERR) — the only red marks left
     "g11_pivot", "t_prep_pipeline",
-    # new round-5 operators (chunk dedup / winnowing / integer MIPS)
-    "t_chunk_dedup", "t_winnow", "e_mips_topk",
+    # new round-5 operators (chunk dedup / winnowing / fingerprint
+    # pairs / split / integer MIPS)
+    "t_chunk_dedup", "t_winnow", "t_winnow_pairs", "t_split", "e_mips_topk",
     # oracle-ready, never driver-sampled in r1-r4
     "w9_late_data", "t_heavy_hitters", "t_tfidf", "g13_cube", "o7_ntile",
     "g20_quantile_hist", "g21_cms_registers", "g22_grouped_hll_registers",
@@ -216,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / training-data ops (documents)
         "t_chunk_dedup": to2.t_chunk_dedup,
         "t_winnow": to2.t_winnow,
+        "t_winnow_pairs": to2.t_winnow_pairs,
+        "t_split": to2.t_split,
         "e_mips_topk": to2.e_mips_topk,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
@@ -301,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.textops2 import (
         e_mips_topk_sql,
         t_chunk_dedup_sql,
+        t_split_sql,
+        t_winnow_pairs_sql,
         t_winnow_sql,
     )
     from lulu_crawler_ray.pipelines.minhash_oracle import (
@@ -316,6 +321,8 @@ def oracle_sql() -> dict[str, str]:
     base = {
         "t_chunk_dedup": t_chunk_dedup_sql(),
         "t_winnow": t_winnow_sql(),
+        "t_winnow_pairs": t_winnow_pairs_sql(),
+        "t_split": t_split_sql(),
         "e_mips_topk": e_mips_topk_sql(),
         "t_lm_score": (
             "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "

@@ -281,3 +281,151 @@ def e_mips_topk_sql(k: int = 5, n_queries: int = 3) -> str:
         f"ip AS ip_e12, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= {k} "
         "ORDER BY query_id, rnk"
     )
+
+
+def _explode_fps(t: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, h): the doc's winnowing fingerprint
+    hashes (selected k-gram hashes, deduped per doc)."""
+    ids, hs = [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = _tokens(text)
+        n = len(toks) - WINNOW_K + 1
+        if n <= 0:
+            continue
+        h = np.empty(n, np.int64)
+        for i in range(n):
+            h[i] = int(
+                hashlib.md5(" ".join(toks[i : i + WINNOW_K]).encode()).hexdigest()[:15], 16
+            )
+        if n <= WINNOW_W:
+            sel = np.array([int(np.flatnonzero(h == h.min()).max())])
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+            idx = WINNOW_W - 1 - np.argmin(win[:, ::-1], axis=1)
+            sel = np.unique(np.arange(len(win)) + idx)
+        for hv in np.unique(h[sel]):
+            ids.append(did)
+            hs.append(int(hv))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.int64())})
+
+
+def t_winnow_pairs(sf: str, min_shared: int = 2):
+    """Fingerprint-based near-dup candidates (the winnowing sibling of
+    MinHash LSH banding): docs sharing >= min_shared selected
+    fingerprints. Distributed shape identical to the LSH band join —
+    explode (doc, fingerprint), groupby fingerprint, emit in-bucket
+    pairs, grouped count, HAVING filter. Buckets are
+    shared-substring-sized; a pathological corpus-wide boilerplate
+    gram makes a hot bucket exactly as it does for LSH bands (salt /
+    cap strategies documented there apply)."""
+    docs = read_table(sf, "documents", ["doc_id", "text"])
+    fps = docs.map_batches(_explode_fps, batch_format="pyarrow")
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        # one whole hash-partition per call: emit all in-bucket pairs
+        df = t.to_pandas()
+        out_a, out_b = [], []
+        for _, g in df.groupby("h"):
+            ids = np.sort(g["doc_id"].to_numpy(np.int64))
+            ids = np.unique(ids)
+            if len(ids) > 1:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.extend(ids[ia].tolist())
+                out_b.extend(ids[ib].tolist())
+        return pa.table(
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+        )
+
+    from .relational import _hash_partitioned_any
+
+    pairs = _hash_partitioned_any(fps, ["h"], 16).map_groups(
+        lambda t: bucket_pairs(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    counted = grouped_agg(pairs, ["a", "b"], [("n_shared", "count", None)], round_to=None)
+    return counted.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"].cast(pa.int64()),
+                "b": t["b"].cast(pa.int64()),
+                "n_shared": t["n_shared"].cast(pa.int64()),
+            }
+        ).filter(pa.compute.greater_equal(t["n_shared"].cast(pa.int64()), min_shared)),
+        batch_format="pyarrow",
+    ).sort(["a", "b"])
+
+
+def t_winnow_pairs_sql(min_shared: int = 2) -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return (
+        "WITH d2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '') AS l FROM documents), "
+        "grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        "CAST(CAST('0x' || substr(md5(array_to_string("
+        f"l[CAST(i AS BIGINT):(CAST(i AS BIGINT)+{k}-1)], ' ')), 1, 15) AS UBIGINT) AS BIGINT) AS h "
+        f"FROM d2 CROSS JOIN LATERAL (SELECT UNNEST(range(1, len(l)-{k}+2)) AS i) t "
+        f"WHERE len(l) >= {k}), "
+        "nn AS (SELECT doc_id, MAX(pos) AS np FROM grams GROUP BY 1), "
+        "starts AS (SELECT doc_id, CAST(w0 AS BIGINT) AS w0 FROM nn CROSS JOIN LATERAL "
+        f"(SELECT UNNEST(range(1, GREATEST(np-{w}+1, 1)+1)) AS w0) s), "
+        "wins AS (SELECT g.doc_id, st.w0, MIN(g.h) AS mh FROM grams g "
+        f"JOIN starts st ON g.doc_id = st.doc_id AND g.pos BETWEEN st.w0 AND st.w0+{w}-1 "
+        "GROUP BY 1, 2), "
+        "fp AS (SELECT DISTINCT doc_id, mh FROM wins), "
+        "p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared "
+        "FROM fp x JOIN fp y ON x.mh = y.mh AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+        f"SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared FROM p WHERE n_shared >= {min_shared} "
+        "ORDER BY a, b"
+    )
+
+
+def t_split(sf: str, val_pct: int = 5, test_pct: int = 5):
+    """Deterministic train/val/test split (the last step of every
+    corpus build): md5-residue on doc_id — reproducible across runs,
+    engines, and shard layouts (no RNG, no order dependence). Returns
+    per-(source, split) counts so the driver hash checks the full
+    assignment."""
+    docs = read_table(sf, "documents", ["doc_id", "source"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        r = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 for i in ids],
+            np.int64,
+        )
+        split = np.where(r < val_pct, "val", np.where(r < val_pct + test_pct, "test", "train"))
+        return pa.table(
+            {
+                "source": t["source"],
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    out = grouped_agg(
+        docs.map_batches(assign, batch_format="pyarrow"),
+        ["source", "split"],
+        [("n_docs", "count", None)],
+        round_to=None,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "split": t["split"],
+                "n_docs": t["n_docs"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["source", "split"])
+
+
+def t_split_sql(val_pct: int = 5, test_pct: int = 5) -> str:
+    return (
+        "WITH a AS (SELECT source, CASE "
+        "WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS UBIGINT) "
+        f"AS BIGINT) % 100 < {val_pct} THEN 'val' "
+        "WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS UBIGINT) "
+        f"AS BIGINT) % 100 < {val_pct + test_pct} THEN 'test' "
+        "ELSE 'train' END AS split FROM documents) "
+        "SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM a "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
