@@ -309,31 +309,55 @@ def _explode_fps(t: pa.Table) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.int64())})
 
 
-def t_winnow_pairs(sf: str, min_shared: int = 2):
+def t_winnow_pairs(sf: str, min_shared: int = 2, max_df: int = 256):
     """Fingerprint-based near-dup candidates (the winnowing sibling of
     MinHash LSH banding): docs sharing >= min_shared selected
     fingerprints. Distributed shape identical to the LSH band join —
     explode (doc, fingerprint), groupby fingerprint, emit in-bucket
-    pairs, grouped count, HAVING filter. Buckets are
-    shared-substring-sized; a pathological corpus-wide boilerplate
-    gram makes a hot bucket exactly as it does for LSH bands (salt /
-    cap strategies documented there apply)."""
+    pairs, grouped count, HAVING filter. A bucket larger than
+    ``max_df`` docs is a corpus-boilerplate fingerprint whose pair
+    explosion is quadratic (the hot-bucket problem; the 10x scale
+    smoke hit it at 28.9 s) — it is DROPPED, the standard
+    stop-fingerprint cut, and the oracle applies the identical cut so
+    the gate stays bit-exact."""
     docs = read_table(sf, "documents", ["doc_id", "text"])
     fps = docs.map_batches(_explode_fps, batch_format="pyarrow")
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        # one whole hash-partition per call: emit all in-bucket pairs
-        df = t.to_pandas()
-        out_a, out_b = [], []
-        for _, g in df.groupby("h"):
-            ids = np.sort(g["doc_id"].to_numpy(np.int64))
-            ids = np.unique(ids)
-            if len(ids) > 1:
-                ia, ib = np.triu_indices(len(ids), k=1)
-                out_a.extend(ids[ia].tolist())
-                out_b.extend(ids[ib].tolist())
+        # one whole hash-partition per call: emit all in-bucket pairs,
+        # fully vectorized (the 10x scale smoke measured the per-group
+        # Python loop at ~30 s for 12.5M intermediate pairs; this is
+        # one segmented-expansion pass)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(h) == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        order = np.lexsort((d, h))
+        h_s, d_s = h[order], d[order]
+        # group boundaries per fingerprint ((doc, h) pairs are unique
+        # by construction of _explode_fps)
+        starts = np.r_[0, np.flatnonzero(h_s[1:] != h_s[:-1]) + 1]
+        sizes = np.r_[starts[1:], len(h_s)] - starts
+        keep = (sizes > 1) & (sizes <= max_df)
+        if not keep.any():
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        g_start = starts[keep]
+        g_size = sizes[keep]
+        # absolute indices of kept-group members and their in-group pos
+        mem = np.repeat(g_start, g_size) + (
+            np.arange(int(g_size.sum())) - np.repeat(np.cumsum(g_size) - g_size, g_size)
+        )
+        pos = mem - np.repeat(g_start, g_size)
+        rep = np.repeat(g_size, g_size) - 1 - pos  # pairs each member opens
+        total = int(rep.sum())
+        if total == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        a_idx = np.repeat(mem, rep)
+        # b runs over the members AFTER a within the same group
+        csum = np.cumsum(rep) - rep
+        b_idx = a_idx + 1 + (np.arange(total) - np.repeat(csum, rep))
         return pa.table(
-            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+            {"a": pa.array(d_s[a_idx], pa.int64()), "b": pa.array(d_s[b_idx], pa.int64())}
         )
 
     from .relational import _hash_partitioned_any
@@ -341,20 +365,27 @@ def t_winnow_pairs(sf: str, min_shared: int = 2):
     pairs = _hash_partitioned_any(fps, ["h"], 16).map_groups(
         lambda t: bucket_pairs(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
-    counted = grouped_agg(pairs, ["a", "b"], [("n_shared", "count", None)], round_to=None)
-    return counted.map_batches(
-        lambda t: pa.table(
-            {
-                "a": t["a"].cast(pa.int64()),
-                "b": t["b"].cast(pa.int64()),
-                "n_shared": t["n_shared"].cast(pa.int64()),
-            }
-        ).filter(pa.compute.greater_equal(t["n_shared"].cast(pa.int64()), min_shared)),
-        batch_format="pyarrow",
-    ).sort(["a", "b"])
+    # count shared fingerprints per pair with a co-partitioned exchange
+    # + one C++ group_by per partition: the intermediate pair set is
+    # near-unique per block, so grouped_agg's generic path degenerated
+    # to a full Ray sort-aggregate over every intermediate pair (10x
+    # smoke: 20.6 s of the op's 24 s); hash-partitioning by (a, b) and
+    # counting inside the partition is the same exchange volume with a
+    # vectorized finalize.
+    def count_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        g = t.group_by(["a", "b"]).aggregate([("a", "count")])
+        n = g["a_count"].cast(pa.int64())
+        g = pa.table({"a": g["a"], "b": g["b"], "n_shared": n})
+        return g.filter(pa.compute.greater_equal(n, min_shared))
+
+    counted = _hash_partitioned_any(pairs, ["a", "b"], 16).map_groups(
+        count_part, batch_format="pyarrow"
+    )
+    return counted.sort(["a", "b"])
 
 
-def t_winnow_pairs_sql(min_shared: int = 2) -> str:
+def t_winnow_pairs_sql(min_shared: int = 2, max_df: int = 256) -> str:
     k, w = WINNOW_K, WINNOW_W
     return (
         "WITH d2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
@@ -370,7 +401,10 @@ def t_winnow_pairs_sql(min_shared: int = 2) -> str:
         "wins AS (SELECT g.doc_id, st.w0, MIN(g.h) AS mh FROM grams g "
         f"JOIN starts st ON g.doc_id = st.doc_id AND g.pos BETWEEN st.w0 AND st.w0+{w}-1 "
         "GROUP BY 1, 2), "
-        "fp AS (SELECT DISTINCT doc_id, mh FROM wins), "
+        "fp0 AS (SELECT DISTINCT doc_id, mh FROM wins), "
+        "ok AS (SELECT mh FROM fp0 GROUP BY mh "
+        f"HAVING COUNT(*) BETWEEN 2 AND {max_df}), "
+        "fp AS (SELECT fp0.* FROM fp0 JOIN ok USING (mh)), "
         "p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared "
         "FROM fp x JOIN fp y ON x.mh = y.mh AND x.doc_id < y.doc_id GROUP BY 1, 2) "
         f"SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared FROM p WHERE n_shared >= {min_shared} "

@@ -1,0 +1,110 @@
+"""10x scale smoke: synthesize a documents/embeddings table 10x the
+size of sf0.1 (deterministic doc_id-offset replication with token
+perturbation so dedup ops see realistic, not degenerate, duplication)
+and run the heaviest corpus operators end to end. The point is not
+timing precision — it is proving that no operator hides a driver-side
+gather or a CPU-sized shuffle that only bites beyond bench scale.
+
+Usage: python scripts/scale_smoke.py [--copies 10]
+Writes scratch under /tmp/lulu_scale_smoke; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def build(src_sf: str, out_dir: str, copies: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(f"{src_sf}/documents.parquet")
+    n = t.num_rows
+    parts = []
+    for c in range(copies):
+        ids = pa.array(t["doc_id"].to_numpy(zero_copy_only=False) + c * n, pa.int64())
+        if c == 0:
+            texts = t["text"]
+        else:
+            # perturb: prefix a copy-tag token on ~half the docs so
+            # exact/chunk dedup sees both true dups and near-dups
+            tx = t["text"].to_pylist()
+            texts = pa.array(
+                [s if (i + c) % 2 else f"c{c} {s}" for i, s in enumerate(tx)]
+            )
+        cols = {"doc_id": ids, "text": texts}
+        for name in t.column_names:
+            if name not in cols:
+                cols[name] = t[name]
+        parts.append(pa.table(cols).select(t.column_names))
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/documents.parquet")
+    e = pq.read_table(f"{src_sf}/embeddings.parquet")
+    eparts = []
+    for c in range(copies):
+        ids = pa.array(e["vec_id"].to_numpy(zero_copy_only=False) + c * e.num_rows, pa.int64())
+        eparts.append(pa.table({"vec_id": ids, "embedding": e["embedding"]}))
+    pq.write_table(pa.concat_tables(eparts), f"{out_dir}/embeddings.parquet")
+    # relational ops aren't the target here; link the rest for read_table
+    for name in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+        dst = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{src_sf}/{name}.parquet", dst)
+
+
+def main() -> None:
+    copies = 10
+    if "--copies" in sys.argv:
+        copies = int(sys.argv[sys.argv.index("--copies") + 1])
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out_dir = "/tmp/lulu_scale_smoke"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    build("/root/testdata/sf0.1", out_dir, copies)
+
+    import __ray_entry__ as em
+
+    q = em.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in (
+        "t_exact_dedup", "t_chunk_dedup", "t_winnow", "t_winnow_pairs",
+        "t_near_dedup", "t_minhash_pairs", "t_split", "e_mips_topk",
+        "t_decontaminate", "t_pack",
+    ):
+        t0 = time.time()
+        res = q[name](out_dir)
+        if hasattr(res, "count"):
+            rows[name] = res.count()
+        else:
+            rows[name] = res.num_rows if hasattr(res, "num_rows") else len(res)
+        timings[name] = round(time.time() - t0, 2)
+    print(json.dumps({
+        "copies": copies,
+        "docs": copies * 5000,
+        "timings": timings,
+        "rows": rows,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

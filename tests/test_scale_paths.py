@@ -393,3 +393,37 @@ def test_key_hash_u64_mid_string_entropy(ray_session):
     parts = h % np.uint64(16)
     counts = np.bincount(parts.astype(np.int64), minlength=16)
     assert counts.max() < 2000 * 0.2  # balanced, not collapsed
+
+
+def test_grouped_agg_large_path_equals_task_path(ray_session):
+    """Round-5: grouped_agg's co-partitioned large path (task_max=0
+    forces it) must equal the one-task path bit-for-bit across every
+    aggregate kind, including composite string keys."""
+    import ray.data
+
+    from lulu_crawler_ray.pipelines.relational import grouped_agg
+
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "k1": pa.array([f"g{i % 7}" for i in range(4000)]),
+            "k2": pa.array((rng.integers(0, 5, 4000)).astype(np.int64)),
+            "v": pa.array(rng.integers(-50, 50, 4000).astype(np.int64)),
+            "f": pa.array(rng.normal(size=4000)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    specs = [
+        ("n", "count", None), ("s", "sum", "v"), ("mn", "min", "v"),
+        ("mx", "max", "v"), ("avg", "mean", "f"), ("sd", "std", "f"),
+    ]
+    a = (
+        grouped_agg(ds, ["k1", "k2"], specs)
+        .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    )
+    b = (
+        grouped_agg(ray.data.from_arrow(t).repartition(6), ["k1", "k2"], specs, task_max=0)
+        .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 35
