@@ -84,13 +84,20 @@ def shuffle_join(
 def _distinct(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
     """Dataset-side DISTINCT on one column (unsorted): per-batch
     pyarrow distinct combiner (shrinks the shuffle to unique-per-block
-    keys), then a grouped Count whose key rows ARE the distinct keys.
-    The driver never gathers the key set."""
+    keys), then hash-co-partition and one C++ group_by per partition
+    (round 5: a DISTINCT key set is near-unique by definition, exactly
+    the shape where Ray's sort-based Aggregate measured 10x slower
+    than the co-partitioned exchange — see grouped_agg's large path).
+    As a bonus the partition key is key_hash_u64, so uint64 key
+    columns ride as plain data instead of tripping Ray's uint64
+    group-key fallback. The driver never gathers the key set."""
     combined = ds.map_batches(
         lambda t: t.group_by([key]).aggregate([]), batch_format="pyarrow"
     )
-    agg = combined.groupby(key).aggregate(Count(alias_name="__c"))
-    return agg.map_batches(lambda t: t.select([key]), batch_format="pyarrow")
+    return _hash_partitioned_any(combined, [key], _npart()).map_groups(
+        lambda t: t.drop_columns(["__part"]).group_by([key]).aggregate([]),
+        batch_format="pyarrow",
+    )
 
 
 def _distinct_sorted(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
