@@ -406,7 +406,9 @@ def _band_pairs_task(*blocks):
 
 
 def minhash_candidate_pairs(
-    docs: ray.data.Dataset, concurrency: int = 2, driver_max: int = 5_000_000
+    docs: ray.data.Dataset,
+    concurrency: tuple[int, int] | int = (2, 16),
+    driver_max: int = 5_000_000,
 ) -> ray.data.Dataset:
     """documents(doc_id, text) -> candidate near-dup pair DATASET (a, b)
     via MinHash LSH: shingle -> signature -> band rows -> bucket-group ->
