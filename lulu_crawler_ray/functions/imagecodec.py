@@ -3,7 +3,9 @@
 
     raw — b"RAW0" + w:uint32le + h:uint32le + RGB8 C-order pixels
     ppm — binary P6, maxval 255
-    png — real PNG: 8-bit RGB, zlib IDAT, filter type 0 only
+    png — real PNG: 8-bit gray/RGB/palette/gray+alpha/RGBA, all five
+          row filters, Adam7 interlace (decode); encoder writes 8-bit
+          RGB filter-0
     ldt — LOSSY: JPEG-style 8x8 DCT + quality-scaled quantization over
           YCbCr with 4:2:0 chroma subsampling, zlib-packed int16
           coefficients. This makes the ``PSNR >= 40 dB for lossy``
@@ -86,37 +88,99 @@ def encode_png(img: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+# PNG color types -> raw channels per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_to_rgb(raw: np.ndarray, ctype: int, plte: bytes | None) -> np.ndarray:
+    """(h, w, channels) uint8 -> (h, w, 3) RGB: gray replicates, alpha
+    drops (the curation pipelines operate on RGB), palette indexes
+    PLTE."""
+    if ctype == 2:
+        return raw
+    if ctype == 6:
+        return raw[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(raw, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(raw[:, :, :1], 3, axis=2)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal.reshape(len(pal) // 3, 3)
+        return pal[raw[:, :, 0]]
+    raise ValueError(f"png: unsupported color type {ctype}")
+
+
 def decode_png(data: bytes) -> np.ndarray:
+    """Real-web PNG decode: 8-bit gray / RGB / palette / gray+alpha /
+    RGBA, all five row filters, and Adam7 interlace (round 5; rounds
+    1-4 decoded 8-bit RGB non-interlaced only). Alpha drops and gray
+    replicates so every variant lands in the pipelines' (h, w, 3)
+    uint8 contract. Sub-8-bit depths and 16-bit remain declared
+    NotImplementedError seams."""
     if data[:8] != _PNG_SIG:
         raise ValueError("bad png signature")
     i, w, h, idat = 8, 0, 0, b""
+    ctype, interlace, plte = 2, 0, None
     while i < len(data):
         (length,) = struct.unpack(">I", data[i : i + 4])
         tag = data[i + 4 : i + 8]
         payload = data[i + 8 : i + 8 + length]
         if tag == b"IHDR":
-            w, h, bit, ctype = struct.unpack(">IIBB", payload[:10])
-            if bit != 8 or ctype != 2:
-                raise ValueError("only 8-bit RGB supported")
+            w, h, bit, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+            if bit != 8:
+                raise NotImplementedError("png: only 8-bit channel depth supported")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"png: unsupported color type {ctype}")
+        elif tag == b"PLTE":
+            plte = payload
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
         i += 12 + length
-    scan = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, 1 + w * 3)
-    ftypes = scan[:, 0]
-    if (ftypes == 0).all():  # our encoder's output: zero-copy fast path
-        return scan[:, 1:].reshape(h, w, 3).copy()
-    return _png_unfilter(scan, w, h)
+    bpp = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    if interlace == 0:
+        scan = raw.reshape(h, 1 + w * bpp)
+        if (scan[:, 0] == 0).all():  # our encoder's output: fast path
+            img = scan[:, 1:].reshape(h, w, bpp).copy()
+        else:
+            img = _png_unfilter(scan, w, h, bpp)
+    elif interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        img = np.zeros((h, w, bpp), np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:
+                continue
+            nbytes = ph * (1 + pw * bpp)
+            sub = raw[off : off + nbytes].reshape(ph, 1 + pw * bpp)
+            off += nbytes
+            dec = _png_unfilter(sub, pw, ph, bpp)
+            img[y0::ys, x0::xs] = dec
+    else:
+        raise ValueError(f"png: unknown interlace method {interlace}")
+    return _png_to_rgb(img, ctype, plte)
 
 
-def _png_unfilter(scan: np.ndarray, w: int, h: int) -> np.ndarray:
+def _png_unfilter(scan: np.ndarray, w: int, h: int, bpp: int = 3) -> np.ndarray:
     """Reverse PNG row filters 0-4 (None/Sub/Up/Average/Paeth) so
-    FOREIGN 8-bit-RGB PNGs decode, not only our filter-0 encoder's
-    output. Up is fully vectorized; Sub/Average/Paeth recur on the
-    previous pixel so they run a per-row loop over columns-as-vectors
-    (3 bytes per step) — row count bounds the Python iteration."""
-    bpp = 3
+    FOREIGN PNGs decode, not only our filter-0 encoder's output —
+    any channel count (gray=1, gray+alpha=2, RGB=3, RGBA=4). Up is
+    fully vectorized; Sub/Average/Paeth recur on the previous pixel so
+    they run a per-row loop over columns-as-vectors (bpp bytes per
+    step) — row count bounds the Python iteration."""
     out = np.zeros((h, w * bpp), np.uint16)
     for y in range(h):
         f = int(scan[y, 0])
@@ -151,7 +215,7 @@ def _png_unfilter(scan: np.ndarray, w: int, h: int) -> np.ndarray:
                     row[x : x + bpp] = (cur[x : x + bpp] + pred) & 0xFF
         else:
             raise ValueError(f"png: unknown filter type {f}")
-    return out.astype(np.uint8).reshape(h, w, 3)
+    return out.astype(np.uint8).reshape(h, w, bpp)
 
 
 # ---------------------------------------------------------------- ldt

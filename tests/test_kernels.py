@@ -327,3 +327,126 @@ def test_png_foreign_filters_decode():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(png), img)
+
+
+def _png_chunk(tag, payload):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(w, h, ctype, raw_rows, interlace=0, plte=b""):
+    """Assemble a PNG from pre-filtered scanline bytes (filter 0)."""
+    import struct
+    import zlib
+
+    from lulu_crawler_ray.functions.imagecodec import _PNG_SIG
+
+    out = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    )
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    out += _png_chunk(b"IDAT", zlib.compress(raw_rows)) + _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_png_color_type_variants_decode():
+    """Round-5: real-web PNG variants — grayscale, palette, gray+alpha,
+    RGBA — all decode to the (h, w, 3) RGB contract (alpha drops, gray
+    replicates, palette indexes PLTE)."""
+    import numpy as np
+
+    from lulu_crawler_ray.functions.imagecodec import decode_png
+
+    rng = np.random.default_rng(4)
+    h, w = 9, 11
+
+    def rows(px):  # filter-0 scanlines from (h, w, c) uint8
+        c = px.shape[2]
+        scan = np.empty((h, 1 + w * c), np.uint8)
+        scan[:, 0] = 0
+        scan[:, 1:] = px.reshape(h, w * c)
+        return scan.tobytes()
+
+    gray = rng.integers(0, 256, (h, w, 1), np.uint8)
+    out = decode_png(_make_png(w, h, 0, rows(gray)))
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+
+    ga = rng.integers(0, 256, (h, w, 2), np.uint8)
+    out = decode_png(_make_png(w, h, 4, rows(ga)))
+    assert np.array_equal(out, np.repeat(ga[:, :, :1], 3, axis=2))
+
+    rgba = rng.integers(0, 256, (h, w, 4), np.uint8)
+    out = decode_png(_make_png(w, h, 6, rows(rgba)))
+    assert np.array_equal(out, rgba[:, :, :3])
+
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    idx = rng.integers(0, 16, (h, w, 1), np.uint8)
+    out = decode_png(_make_png(w, h, 3, rows(idx), plte=pal.tobytes()))
+    assert np.array_equal(out, pal[idx[:, :, 0]])
+
+
+def test_png_adam7_interlace_decode():
+    """Round-5: Adam7-interlaced RGB decode — the 7 pass sub-images
+    (each independently filtered) must reassemble pixel-exactly."""
+    import numpy as np
+
+    from lulu_crawler_ray.functions.imagecodec import _ADAM7, decode_png
+
+    rng = np.random.default_rng(6)
+    for h, w in ((16, 16), (13, 9), (5, 3), (1, 1), (2, 10)):
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        raw = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = img[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            scan = np.empty((ph, 1 + pw * 3), np.uint8)
+            scan[:, 0] = 0
+            scan[:, 1:] = sub.reshape(ph, pw * 3)
+            raw += scan.tobytes()
+        out = decode_png(_make_png(w, h, 2, bytes(raw), interlace=1))
+        assert np.array_equal(out, img), (h, w)
+
+
+def test_png_rgba_foreign_filters_decode():
+    """Filters 1-4 must unfilter correctly at bpp=4 (RGBA), not just
+    the bpp=3 path the round-4 decoder hardcoded."""
+    import numpy as np
+
+    from lulu_crawler_ray.functions.imagecodec import decode_png
+
+    rng = np.random.default_rng(9)
+    h, w, c = 8, 7, 4
+    img = rng.integers(0, 256, (h, w, c), np.uint8)
+    raw = img.reshape(h, w * c).astype(np.int32)
+    scan = bytearray()
+    for y in range(h):
+        f = y % 5
+        cur = raw[y]
+        prior = raw[y - 1] if y else np.zeros(w * c, np.int32)
+        left = np.r_[np.zeros(c, np.int32), cur[:-c]]
+        ul = np.r_[np.zeros(c, np.int32), prior[:-c]]
+        if f == 0:
+            enc = cur % 256
+        elif f == 1:
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prior) % 256
+        elif f == 3:
+            enc = (cur - ((left + prior) >> 1)) % 256
+        else:
+            p = left + prior - ul
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, prior, ul))
+            enc = (cur - pred) % 256
+        scan.append(f)
+        scan += bytes(enc.astype(np.uint8))
+    out = decode_png(_make_png(w, h, 6, bytes(scan)))
+    assert np.array_equal(out, img[:, :, :3])
