@@ -70,22 +70,63 @@ def encode_wav_pcm16(pcm: np.ndarray, sample_rate: int = 8000, n_channels: int =
     return buf.getvalue()
 
 
+def _parse_riff_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Minimal RIFF/WAVE walk -> (audio_format, n_channels,
+    sample_rate, bits_per_sample, data bytes). Used for the formats
+    stdlib wave refuses (IEEE float, tag 3)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE file")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    afmt, nch, sr, _br, _ba, bits = fmt
+    return afmt, nch, sr, bits, payload
+
+
 def decode_wav_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
     """PCM WAV bytes -> (mono float32 in [-1, 1], sample_rate,
-    n_channels). Stdlib wave handles the RIFF container; 16-bit and
-    8-bit PCM supported (the common training-corpus cases)."""
+    n_channels). Stdlib wave handles the RIFF container for integer
+    PCM (8/16/24-bit); IEEE-float32 WAVs (format tag 3, which stdlib
+    wave refuses) decode through a manual RIFF walk — together the
+    real-web WAV variants a crawl actually ingests."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as w:
-        sr = w.getframerate()
-        nch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        afmt, nch, sr, bits, raw = _parse_riff_wav(data)
+        if afmt == 3 and bits == 32:
+            x = np.frombuffer(raw, "<f4").astype(np.float32)
+        else:
+            raise NotImplementedError(f"wav: format tag {afmt} / {bits}-bit unsupported")
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return np.clip(x, -1.0, 1.0), sr, nch
     if width == 2:
         x = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
     elif width == 1:
         x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 127.0
+    elif width == 3:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = (v ^ 0x800000) - 0x800000  # sign-extend 24 bits
+        x = v.astype(np.float32) / 8388607.0
     else:
         raise NotImplementedError(f"PCM width {width} not supported")
     if nch > 1:

@@ -946,3 +946,50 @@ def test_bpe_tokenize_semantics():
     # split because '<pa><r>' does not contain '<a><r>'
     m2 = [("p", "a"), ("a", "r")]
     assert bpe_tokenize("par", m2) == ["pa", "r"]
+
+
+def test_wav_24bit_and_float32_decode():
+    """Round-5: the real-web WAV variants — 24-bit integer PCM (stdlib
+    wave container) and IEEE-float32 (format tag 3, which stdlib wave
+    refuses; manual RIFF walk) — must decode to the same mono float
+    contract as 16-bit PCM."""
+    import struct
+
+    import numpy as np
+
+    from lulu_crawler_ray.stages.multimodal import decode_wav_pcm
+
+    sr = 8000
+    t = np.arange(sr // 4, dtype=np.float64) / sr
+    ref = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+
+    # 24-bit PCM via a hand-assembled RIFF (stdlib wave writes it too,
+    # but assembling keeps the byte layout explicit)
+    v = np.rint(ref * 8388607.0).astype(np.int32)
+    b = np.empty((len(v), 3), np.uint8)
+    b[:, 0] = v & 0xFF
+    b[:, 1] = (v >> 8) & 0xFF
+    b[:, 2] = (v >> 16) & 0xFF
+    payload = b.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 3, 3, 24)
+    wav24 = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    x, got_sr, nch = decode_wav_pcm(wav24)
+    assert got_sr == sr and nch == 1
+    assert np.abs(x - ref).max() < 1e-5
+
+    # float32 (format tag 3), stereo -> downmixed mono
+    st = np.stack([ref, -ref], axis=1).astype("<f4")
+    payload = st.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 2, sr, sr * 8, 8, 32)
+    wavf = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    x, got_sr, nch = decode_wav_pcm(wavf)
+    assert got_sr == sr and nch == 2
+    assert np.abs(x).max() < 1e-6  # L/-L downmix cancels exactly
