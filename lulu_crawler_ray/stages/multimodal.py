@@ -225,11 +225,53 @@ def encode_avi_rgb24(frames: list[np.ndarray], fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10, quality: int = 85) -> bytes:
+    """(h, w, 3) uint8 frames -> an MJPEG AVI (fourcc MJPG, one
+    standalone baseline JPEG per '00dc' chunk — the real motion-JPEG
+    container convention). Pure stdlib/numpy via functions/jpeg.py."""
+    import struct
+
+    from ..functions.jpeg import encode_jpeg_baseline
+
+    h, w, _ = frames[0].shape
+    movi_body = b"movi"
+    maxbuf = 0
+    for f in frames:
+        d = encode_jpeg_baseline(f, quality=quality)
+        maxbuf = max(maxbuf, len(d))
+        movi_body += b"00dc" + struct.pack("<I", len(d)) + d
+        if len(d) % 2:
+            movi_body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+
+    us_per_frame = int(1_000_000 / fps)
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0x10, len(frames), 0, 1, maxbuf, w, h, 0, 0, 0, 0,
+    )
+    strh = b"strh" + struct.pack("<I", 56) + b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIIHHHH", 0, 0, 0, 0, 1, fps, 0, len(frames), maxbuf, 0xFFFFFFFF, 0, 0, 0, w, h
+    )
+    strf = (
+        b"strf" + struct.pack("<I", 40)
+        + struct.pack("<IiiHH", 40, w, h, 1, 24)
+        + b"MJPG" + struct.pack("<IiiII", 0, 0, 0, 0, 0)
+    )
+    strl_body = b"strl" + strh + strf
+    strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    hdrl_body = b"hdrl" + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def decode_avi_rgb24(data: bytes):
-    """Uncompressed RGB24 AVI -> (frames list of (h, w, 3) uint8 RGB,
-    fps). Parses the RIFF chunk tree for avih (dims, frame timing) and
-    the movi '00db'/'00dc' DIB payloads (bottom-up BGR, 4-byte row
-    stride). Raises on compressed streams."""
+    """AVI -> (frames list of (h, w, 3) uint8 RGB, fps). Parses the
+    RIFF chunk tree for avih (dims, frame timing) and the movi
+    '00db'/'00dc' payloads: uncompressed RGB24 DIBs (bottom-up BGR,
+    4-byte row stride) AND MJPEG frames (standalone JPEGs, decoded by
+    the in-repo T.81 codec — round 5). Other compressions raise the
+    declared NotImplementedError seam."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
@@ -253,12 +295,20 @@ def decode_avi_rgb24(data: bytes):
             elif cid in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("movi before avih")
-                stride = (w * 3 + 3) & ~3
-                if sz < stride * h:
-                    raise NotImplementedError("compressed AVI stream not supported")
-                arr = np.frombuffer(data[body : body + stride * h], np.uint8)
-                rows = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-                frames.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR -> RGB
+                payload = data[body : body + sz]
+                if payload[:2] == b"\xFF\xD8":
+                    # MJPEG stream: each frame is a standalone JPEG
+                    # (round 5 — rides the in-repo T.81 decoder)
+                    from ..functions.jpeg import decode_jpeg_baseline
+
+                    frames.append(decode_jpeg_baseline(payload))
+                else:
+                    stride = (w * 3 + 3) & ~3
+                    if sz < stride * h:
+                        raise NotImplementedError("compressed AVI stream not supported")
+                    arr = np.frombuffer(data[body : body + stride * h], np.uint8)
+                    rows = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    frames.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR -> RGB
             pos = body + sz + (sz & 1)
 
     walk(12, len(data))

@@ -993,3 +993,55 @@ def test_wav_24bit_and_float32_decode():
     x, got_sr, nch = decode_wav_pcm(wavf)
     assert got_sr == sr and nch == 2
     assert np.abs(x).max() < 1e-6  # L/-L downmix cancels exactly
+
+
+def test_mjpeg_avi_roundtrip_and_stages(ray_session):
+    """Round-5: MJPEG-in-AVI (fourcc MJPG, one standalone JPEG per
+    frame) decodes through the in-repo T.81 codec — PSNR gate per
+    frame — and flows the VideoFrameSampler / SceneCutDetector stages
+    exactly like uncompressed AVI."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lulu_crawler_ray.stages.multimodal import (
+        SceneCutDetector,
+        VideoFrameSampler,
+        decode_avi_rgb24,
+        encode_avi_mjpeg,
+    )
+
+    gy, gx = np.mgrid[0:32, 0:40]
+    frames = []
+    for k in range(12):
+        scene = k // 6  # hard cut at frame 6
+        img = np.stack(
+            [(gy * 3 + k) % 64 + scene * 128, (gx * 5) % 64, (gy + gx) % 64], -1
+        ).astype(np.uint8)
+        frames.append(img)
+    data = encode_avi_mjpeg(frames, fps=6, quality=92)
+    out, _fps = decode_avi_rgb24(data)
+    assert len(out) == 12
+    for a, b in zip(frames, out):
+        mse = float(((a.astype(float) - b.astype(float)) ** 2).mean())
+        assert mse == 0 or 10 * np.log10(255 * 255 / mse) >= 35.0
+
+    t = pa.table(
+        {
+            "media_id": pa.array(["m0"]),
+            "bytes": pa.array([data], pa.binary()),
+            "codec": pa.array(["avi"]),
+            "fps": pa.array([6.0], pa.float32()),
+            "n_frames": pa.array([12], pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    sampled = ds.map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"every_k": 4},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert list(sampled["frame_idx"]) == [0, 4, 8]
+    cuts = ds.map_batches(
+        SceneCutDetector, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert 6 in list(cuts["cut_idx"])  # the planted hard cut survives MJPEG
