@@ -472,6 +472,7 @@ def dim_ref(
     val_cols: tuple = (),
     dim_max: int = 50_000_000,
     on_overflow: str = "raise",
+    with_schema: bool = False,
 ):
     """Dimension table -> ONE worker-built (sorted keys, value
     arrays...) tuple in the object store, for searchsorted probes
@@ -484,12 +485,14 @@ def dim_ref(
     (on_overflow='none') so the caller can fall back to a
     hash-co-partitioned shuffle join (adaptive_dim_join does this
     automatically)."""
-    refs, n = [], 0
+    refs, n, bschema = [], 0, None
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=262144):
+        if bschema is None:
+            bschema = b.schema
         n += b.num_rows
         if n > dim_max:
             if on_overflow == "none":
-                return None
+                return (None, None) if with_schema else None
             raise ValueError(
                 f"dim_ref: >{dim_max} rows in broadcast dimension on {key} — "
                 "a side this large must hash-co-partition (shuffle_join / "
@@ -508,8 +511,10 @@ def dim_ref(
             )
         except Exception:
             empty = pa.table({c: pa.array([], pa.int64()) for c in (key, *val_cols)})
-        return _build_dim.remote(key, tuple(val_cols), empty)
-    return _build_dim.remote(key, tuple(val_cols), *refs)
+        r = _build_dim.remote(key, tuple(val_cols), empty)
+        return (r, bschema or empty.schema) if with_schema else r
+    r = _build_dim.remote(key, tuple(val_cols), *refs)
+    return (r, bschema) if with_schema else r
 
 
 def adaptive_dim_join(
@@ -532,10 +537,15 @@ def adaptive_dim_join(
     how='inner' drops fact rows without a dim match, how='left' keeps
     them with nulls. Value dtypes are pinned from the dim schema so
     both paths emit identical types."""
-    schema = dim.schema()
-    val_types = [schema.base_schema.field(c).type for c in val_cols]
-    ref = dim_ref(dim, dim_key, tuple(val_cols), broadcast_max, on_overflow="none")
+    # the value dtypes come from the SAME streamed batches dim_ref
+    # consumes — calling dim.schema() up front would execute the dim
+    # pipeline a second time (for an AllToAll-rooted dim like a
+    # grouped_agg output, schema() runs the whole upstream)
+    ref, bschema = dim_ref(
+        dim, dim_key, tuple(val_cols), broadcast_max, on_overflow="none", with_schema=True
+    )
     if ref is not None:
+        val_types = [bschema.field(c).type for c in val_cols]
 
         def decorate(t: pa.Table) -> pa.Table:
             tup = ray.get(ref)

@@ -1,12 +1,16 @@
 """Multimodal columns as opaque binary + typed metadata.
 
 Image decode/resize/phash are REAL in this repo (in-repo codecs —
-stages/crawl_stages.py, pipelines/images_pipe.py). Audio and video
-libraries are not installed in this sandbox, so those decoders are
-STUBS behind clearly-marked NotImplementedError with the Ray-side
-plumbing (schemas, actor signature, batch sizing, output layout) real
-and tested: swap ``_decode_*`` for a real library call and the stage
-works unchanged.
+stages/crawl_stages.py, pipelines/images_pipe.py), and so are the
+common audio/video containers: integer PCM WAV (8/16/24-bit),
+IEEE-float32 WAV, IMA ADPCM WAV (functions/adpcm.py), uncompressed
+RGB24 AVI, and MJPEG AVI (per-frame baseline JPEG through
+functions/jpeg.py). Codecs beyond those (MP3, H.264, ...) have no
+library in this sandbox and remain STUBS behind clearly-marked
+NotImplementedError with the Ray-side plumbing (schemas, actor
+signature, batch sizing, output layout) real and tested: swap the
+``_decode_*`` branch for a real library call and the stage works
+unchanged.
 """
 
 from __future__ import annotations
