@@ -118,16 +118,32 @@ def _png_to_rgb(raw: np.ndarray, ctype: int, plte: bytes | None) -> np.ndarray:
     raise ValueError(f"png: unsupported color type {ctype}")
 
 
+def _png_samples(rows: np.ndarray, w: int, bit: int, ch: int) -> np.ndarray:
+    """(h, rowbytes) unfiltered scanline bytes -> (h, w, ch) uint8
+    sample values. 16-bit reduces via the big-endian MSB (the exact
+    v >> 8 reduction); 1/2/4-bit rows unpack big-endian-within-byte
+    and return RAW code values (gray scaling / palette indexing is the
+    caller's per-color-type concern)."""
+    h = rows.shape[0]
+    if bit == 8:
+        return rows.reshape(h, w, ch)
+    if bit == 16:
+        return rows.reshape(h, w, ch, 2)[..., 0].copy()
+    per = 8 // bit  # 1/2/4-bit: ch == 1 (gray or palette index)
+    shifts = (np.arange(per - 1, -1, -1, np.uint8) * bit).astype(np.uint8)
+    vals = (rows[:, :, None] >> shifts[None, None, :]) & ((1 << bit) - 1)
+    return vals.reshape(h, -1)[:, :w].reshape(h, w, 1)
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Real-web PNG decode: 8-bit gray / RGB / palette / gray+alpha /
-    RGBA, all five row filters, and Adam7 interlace (round 5; rounds
-    1-4 decoded 8-bit RGB non-interlaced only). Alpha drops and gray
-    replicates so every variant lands in the pipelines' (h, w, 3)
-    uint8 contract. Sub-8-bit depths and 16-bit remain declared
-    NotImplementedError seams."""
+    """Real-web PNG decode: gray / RGB / palette / gray+alpha / RGBA at
+    bit depths 1/2/4/8/16 (as the spec allows per color type), all five
+    row filters, and Adam7 interlace. Alpha drops, gray replicates and
+    scales to full 8-bit range, 16-bit reduces to the high byte, so
+    every variant lands in the pipelines' (h, w, 3) uint8 contract."""
     if data[:8] != _PNG_SIG:
         raise ValueError("bad png signature")
-    i, w, h, idat = 8, 0, 0, b""
+    i, w, h, idat, bit = 8, 0, 0, b"", 8
     ctype, interlace, plte = 2, 0, None
     while i < len(data):
         (length,) = struct.unpack(">I", data[i : i + 4])
@@ -137,10 +153,11 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, bit, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload[:13]
             )
-            if bit != 8:
-                raise NotImplementedError("png: only 8-bit channel depth supported")
             if ctype not in _PNG_CHANNELS:
                 raise ValueError(f"png: unsupported color type {ctype}")
+            allowed = (1, 2, 4, 8) if ctype == 3 else (1, 2, 4, 8, 16) if ctype == 0 else (8, 16)
+            if bit not in allowed:
+                raise ValueError(f"png: bit depth {bit} invalid for color type {ctype}")
         elif tag == b"PLTE":
             plte = payload
         elif tag == b"IDAT":
@@ -148,44 +165,55 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         i += 12 + length
-    bpp = _PNG_CHANNELS[ctype]
+    ch = _PNG_CHANNELS[ctype]
+    step = max(1, ch * bit // 8)  # filter step: bytes per pixel, min 1
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
-    if interlace == 0:
-        scan = raw.reshape(h, 1 + w * bpp)
+
+    def unfilter_region(buf: np.ndarray, pw: int, ph: int) -> np.ndarray:
+        rowbytes = (pw * ch * bit + 7) // 8
+        scan = buf[: ph * (1 + rowbytes)].reshape(ph, 1 + rowbytes)
         if (scan[:, 0] == 0).all():  # our encoder's output: fast path
-            img = scan[:, 1:].reshape(h, w, bpp).copy()
+            rows = scan[:, 1:].copy()
         else:
-            img = _png_unfilter(scan, w, h, bpp)
+            rows = _png_unfilter(scan, rowbytes, step)
+        return _png_samples(rows, pw, bit, ch), ph * (1 + rowbytes)
+
+    if interlace == 0:
+        img, _ = unfilter_region(raw, w, h)
     elif interlace == 1:  # Adam7: 7 independently-filtered sub-images
-        img = np.zeros((h, w, bpp), np.uint8)
+        img = np.zeros((h, w, ch), np.uint8)
         off = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
             if pw == 0 or ph == 0:
                 continue
-            nbytes = ph * (1 + pw * bpp)
-            sub = raw[off : off + nbytes].reshape(ph, 1 + pw * bpp)
-            off += nbytes
-            dec = _png_unfilter(sub, pw, ph, bpp)
+            dec, used = unfilter_region(raw[off:], pw, ph)
+            off += used
             img[y0::ys, x0::xs] = dec
     else:
         raise ValueError(f"png: unknown interlace method {interlace}")
+    if ctype in (0, 4) and bit < 8:  # gray codes -> full 8-bit range
+        img = img * np.uint8(255 // ((1 << bit) - 1))
     return _png_to_rgb(img, ctype, plte)
 
 
-def _png_unfilter(scan: np.ndarray, w: int, h: int, bpp: int = 3) -> np.ndarray:
-    """Reverse PNG row filters 0-4 (None/Sub/Up/Average/Paeth) so
-    FOREIGN PNGs decode, not only our filter-0 encoder's output —
-    any channel count (gray=1, gray+alpha=2, RGB=3, RGBA=4). Up is
-    fully vectorized; Sub/Average/Paeth recur on the previous pixel so
-    they run a per-row loop over columns-as-vectors (bpp bytes per
-    step) — row count bounds the Python iteration."""
-    out = np.zeros((h, w * bpp), np.uint16)
+def _png_unfilter(scan: np.ndarray, rowbytes: int, bpp: int = 3) -> np.ndarray:
+    """Reverse PNG row filters 0-4 (None/Sub/Up/Average/Paeth) on raw
+    scanline BYTES so FOREIGN PNGs decode, not only our filter-0
+    encoder's output — ``bpp`` is the spec's filter step (bytes per
+    complete pixel, min 1, so it covers 1/2/4-bit packed rows and
+    16-bit samples too). Up is fully vectorized; Sub/Average/Paeth
+    recur on the previous pixel so they run a per-row loop over
+    columns-as-vectors (bpp bytes per step) — row count bounds the
+    Python iteration. Returns (h, rowbytes) uint8."""
+    h = scan.shape[0]
+    w = rowbytes // bpp  # whole filter steps; any remainder bytes ride
+    out = np.zeros((h, rowbytes), np.uint16)
     for y in range(h):
         f = int(scan[y, 0])
         cur = scan[y, 1:].astype(np.uint16)
-        prior = out[y - 1] if y else np.zeros(w * bpp, np.uint16)
+        prior = out[y - 1] if y else np.zeros(rowbytes, np.uint16)
         if f == 0:
             out[y] = cur
         elif f == 2:  # Up
@@ -215,7 +243,7 @@ def _png_unfilter(scan: np.ndarray, w: int, h: int, bpp: int = 3) -> np.ndarray:
                     row[x : x + bpp] = (cur[x : x + bpp] + pred) & 0xFF
         else:
             raise ValueError(f"png: unknown filter type {f}")
-    return out.astype(np.uint8).reshape(h, w, bpp)
+    return out.astype(np.uint8)
 
 
 # ---------------------------------------------------------------- ldt

@@ -632,11 +632,13 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             o = 0
             while o < len(seg):
                 pq, tq = seg[o] >> 4, seg[o] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant tables")
-                tbl = np.frombuffer(seg[o + 1 : o + 65], np.uint8).astype(np.int32)
+                if pq:  # 16-bit (big-endian) table entries — rare but legal
+                    tbl = np.frombuffer(seg[o + 1 : o + 129], ">u2").astype(np.int32)
+                    o += 129
+                else:
+                    tbl = np.frombuffer(seg[o + 1 : o + 65], np.uint8).astype(np.int32)
+                    o += 65
                 qt[tq] = tbl[_UNZZ].reshape(8, 8)
-                o += 65
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]

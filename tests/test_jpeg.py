@@ -221,3 +221,40 @@ def test_progressive_psnr_and_marker_shape():
     assert data.count(b"\xFF\xDA") == 2 + 2 * 3
     out = decode_jpeg_baseline(data)
     assert psnr(img, out) >= 30.0
+
+
+def test_16bit_quant_table_decode():
+    """DQT pq=1 (16-bit big-endian entries) is legal T.81; rewriting an
+    encoded stream's 8-bit DQTs to 16-bit form must decode to
+    IDENTICAL pixels (same table values, wider encoding)."""
+    import struct
+
+    from lulu_crawler_ray.functions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = _gradient(40, 56)
+    data = encode_jpeg_baseline(img, quality=80)
+    out = bytearray()
+    pos = 0
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] == 0xDB:
+            seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+            seg = data[pos + 4 : pos + 2 + seglen]
+            new = bytearray()
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                assert pq == 0  # our encoder writes 8-bit tables
+                new.append(0x10 | tq)  # pq=1
+                for v in seg[o + 1 : o + 65]:
+                    new += struct.pack(">H", v)
+                o += 65
+            out += b"\xFF\xDB" + struct.pack(">H", 2 + len(new)) + new
+            pos += 2 + seglen
+        else:
+            out.append(data[pos])
+            pos += 1
+    out.append(data[-1])
+    assert np.array_equal(decode_jpeg_baseline(bytes(out)), decode_jpeg_baseline(data))

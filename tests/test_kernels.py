@@ -339,7 +339,7 @@ def _png_chunk(tag, payload):
     )
 
 
-def _make_png(w, h, ctype, raw_rows, interlace=0, plte=b""):
+def _make_png(w, h, ctype, raw_rows, interlace=0, plte=b"", bit=8):
     """Assemble a PNG from pre-filtered scanline bytes (filter 0)."""
     import struct
     import zlib
@@ -347,7 +347,7 @@ def _make_png(w, h, ctype, raw_rows, interlace=0, plte=b""):
     from lulu_crawler_ray.functions.imagecodec import _PNG_SIG
 
     out = _PNG_SIG + _png_chunk(
-        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+        b"IHDR", struct.pack(">IIBBBBB", w, h, bit, ctype, 0, 0, interlace)
     )
     if plte:
         out += _png_chunk(b"PLTE", plte)
@@ -450,3 +450,102 @@ def test_png_rgba_foreign_filters_decode():
         scan += bytes(enc.astype(np.uint8))
     out = decode_png(_make_png(w, h, 6, bytes(scan)))
     assert np.array_equal(out, img[:, :, :3])
+
+
+def test_png_16bit_decode():
+    """Round-5: 16-bit-per-channel PNGs (gray / RGB / RGBA / gray+alpha)
+    reduce to the big-endian high byte and land in the (h, w, 3)
+    contract."""
+    import numpy as np
+
+    from lulu_crawler_ray.functions.imagecodec import decode_png
+
+    rng = np.random.default_rng(11)
+    h, w = 7, 10
+
+    def rows16(px16):  # (h, w, c) uint16 -> filter-0 big-endian scanlines
+        c = px16.shape[2]
+        be = px16.astype(">u2").view(np.uint8).reshape(h, w * c * 2)
+        scan = np.empty((h, 1 + w * c * 2), np.uint8)
+        scan[:, 0] = 0
+        scan[:, 1:] = be
+        return scan.tobytes()
+
+    for ctype, c in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = rng.integers(0, 1 << 16, (h, w, c), np.uint16)
+        out = decode_png(_make_png(w, h, ctype, rows16(px), bit=16))
+        hi = (px >> 8).astype(np.uint8)
+        want = {0: np.repeat(hi, 3, 2), 2: hi, 4: np.repeat(hi[:, :, :1], 3, 2), 6: hi[:, :, :3]}[ctype]
+        assert np.array_equal(out, want), ctype
+
+
+def test_png_16bit_foreign_filters_decode():
+    """16-bit rows filtered with Sub/Up/Average/Paeth must unfilter at
+    the spec's byte step (bpp = channels*2), not per 8-bit pixel."""
+    import numpy as np
+
+    from lulu_crawler_ray.functions.imagecodec import decode_png
+
+    rng = np.random.default_rng(12)
+    h, w, c = 9, 6, 3
+    px = rng.integers(0, 1 << 16, (h, w, c), np.uint16)
+    raw = px.astype(">u2").view(np.uint8).reshape(h, w * c * 2).astype(np.int32)
+    bpp = c * 2
+    scan = bytearray()
+    for y in range(h):
+        f = (y % 4) + 1  # filters 1-4 only
+        cur = raw[y]
+        prior = raw[y - 1] if y else np.zeros(w * bpp, np.int32)
+        left = np.r_[np.zeros(bpp, np.int32), cur[:-bpp]]
+        ul = np.r_[np.zeros(bpp, np.int32), prior[:-bpp]]
+        if f == 1:
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prior) % 256
+        elif f == 3:
+            enc = (cur - ((left + prior) >> 1)) % 256
+        else:
+            p = left + prior - ul
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, prior, ul))
+            enc = (cur - pred) % 256
+        scan.append(f)
+        scan += bytes(enc.astype(np.uint8))
+    out = decode_png(_make_png(w, h, 2, bytes(scan), bit=16))
+    assert np.array_equal(out, (px >> 8).astype(np.uint8))
+
+
+def test_png_sub8bit_decode():
+    """1/2/4-bit gray (full-range scaled) and 1/2/4-bit palette
+    (PLTE-indexed) decode, including non-byte-aligned row widths."""
+    import numpy as np
+
+    from lulu_crawler_ray.functions.imagecodec import decode_png
+
+    rng = np.random.default_rng(13)
+    h, w = 6, 11  # 11 pixels: ragged at every sub-byte depth
+
+    def pack_rows(codes, bit):  # (h, w) codes -> filter-0 packed scanlines
+        per = 8 // bit
+        padw = (w + per - 1) // per * per
+        c = np.zeros((h, padw), np.uint8)
+        c[:, :w] = codes
+        shifts = (np.arange(per)[::-1] * bit).astype(np.uint8)
+        packed = np.zeros((h, padw // per), np.uint8)
+        for j in range(per):
+            packed |= (c[:, j::per] << shifts[j]).astype(np.uint8)
+        rowbytes = packed.shape[1]
+        scan = np.empty((h, 1 + rowbytes), np.uint8)
+        scan[:, 0] = 0
+        scan[:, 1:] = packed
+        return scan.tobytes()
+
+    for bit in (1, 2, 4):
+        codes = rng.integers(0, 1 << bit, (h, w), np.uint8)
+        out = decode_png(_make_png(w, h, 0, pack_rows(codes, bit), bit=bit))
+        scale = 255 // ((1 << bit) - 1)
+        assert np.array_equal(out, np.repeat((codes * scale)[:, :, None].astype(np.uint8), 3, 2)), bit
+
+        pal = rng.integers(0, 256, (1 << bit, 3), np.uint8)
+        out = decode_png(_make_png(w, h, 3, pack_rows(codes, bit), plte=pal.tobytes(), bit=bit))
+        assert np.array_equal(out, pal[codes]), bit
