@@ -96,7 +96,11 @@ _PRIORITY_R5 = [
     # last sampled before their oracles became bit-exact (r3 item 6)
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
     "t_langid", "t_fingerprint",
-    # rows-only surfaces never sampled at all (multimodal + approx)
+    # late round-5 SQL-checked ops (dup-span coverage + SemDeDup)
+    "t_dupspans", "e_semdedup",
+    # rows-only surfaces never sampled at all (multimodal + approx);
+    # video_frames/video_scenes fall past the 50-key window — their
+    # hash-checked digest twins (video_digest) stay inside it
     "img_jpeg_digest", "img_blur_digest", "audio_digest", "video_digest",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
     "img_near_dedup", "img_prep_pipeline", "img_similar",
@@ -220,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_winnow_pairs": to2.t_winnow_pairs,
         "t_split": to2.t_split,
         "e_mips_topk": to2.e_mips_topk,
+        "t_dupspans": to2.t_dupspans,
+        "e_semdedup": to2.e_semdedup,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -303,7 +309,9 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
     from lulu_crawler_ray.pipelines.textops2 import (
         e_mips_topk_sql,
+        e_semdedup_sql,
         t_chunk_dedup_sql,
+        t_dupspans_sql,
         t_split_sql,
         t_winnow_pairs_sql,
         t_winnow_sql,
@@ -324,6 +332,8 @@ def oracle_sql() -> dict[str, str]:
         "t_winnow_pairs": t_winnow_pairs_sql(),
         "t_split": t_split_sql(),
         "e_mips_topk": e_mips_topk_sql(),
+        "t_dupspans": t_dupspans_sql(),
+        "e_semdedup": e_semdedup_sql(),
         "t_lm_score": (
             "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "

@@ -119,10 +119,13 @@ def e_kmeans_int(sf: str, k: int = 4, iters: int = 3):
         cent = new
 
 
-def kmeans_sql(k: int = 4, iters: int = 3) -> str:
-    """Unrolled-iteration DuckDB oracle for e_kmeans_int (the
-    minhash_oracle/pagerank pattern: the whole iterative algorithm as
-    one CTE chain, exact because every quantity is a positive int)."""
+def kmeans_assign_ctes(k: int = 4, iters: int = 3) -> tuple[list[str], str, str]:
+    """The unrolled k-means CTE chain, shared by the e_kmeans_int and
+    e_semdedup oracles: returns (ctes, final_centroid_cte,
+    final_assignment_cte) where the assignment CTE maps every vec_id to
+    its last-iteration cluster (a{iters}, computed against the
+    centroids after iters-1 updates — exactly the Ray side's final
+    pass)."""
     ctes = [
         "u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
         f"CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {SCALE}, 0) AS BIGINT) "
@@ -150,9 +153,15 @@ def kmeans_sql(k: int = 4, iters: int = 3) -> str:
             f"FROM {prev} p LEFT JOIN m{it} m ON m.cid = p.cid AND m.i = p.i)"
         )
         prev = f"c{it}"
-    ctes.append(
-        f"nn AS (SELECT cid, COUNT(*) AS n FROM a{iters} GROUP BY 1)"
-    )
+    return ctes, prev, f"a{iters}"
+
+
+def kmeans_sql(k: int = 4, iters: int = 3) -> str:
+    """Unrolled-iteration DuckDB oracle for e_kmeans_int (the
+    minhash_oracle/pagerank pattern: the whole iterative algorithm as
+    one CTE chain, exact because every quantity is a positive int)."""
+    ctes, prev, assign = kmeans_assign_ctes(k, iters)
+    ctes.append(f"nn AS (SELECT cid, COUNT(*) AS n FROM {assign} GROUP BY 1)")
     return (
         "WITH "
         + ", ".join(ctes)
@@ -160,3 +169,82 @@ def kmeans_sql(k: int = 4, iters: int = 3) -> str:
         f"CAST(SUM(c.cv) AS BIGINT) AS c_sum FROM {prev} c "
         "LEFT JOIN nn ON nn.cid = c.cid GROUP BY c.cid, nn.n ORDER BY c.cid"
     )
+
+
+def kmeans_assignments(ds: "ray.data.Dataset", k: int = 4, iters: int = 3):
+    """Ray-side final cluster assignment matching kmeans_assign_ctes's
+    a{iters}: run iters-1 integer-exact centroid updates, then ONE
+    streaming assignment pass that tags every vec_id with the nearest
+    centroid (ties -> lowest cid). Centroids broadcast via ray.put;
+    the pass never shuffles vectors. ``ds`` must carry (vec_id,
+    embedding) and be materialized by the caller if reused."""
+    from .relational import grouped_agg
+
+    seed = (
+        ds.map_batches(
+            lambda t: t.filter(pa.compute.less(t["vec_id"], k)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cent = _quantize(np.array(seed["embedding"].tolist()))
+    dim = cent.shape[1]
+
+    for _ in range(iters - 1):
+        cref = ray.put(cent)
+
+        def par(t: pa.Table, _c=cref) -> pa.Table:
+            c = ray.get(_c)
+            if t.num_rows == 0:
+                return pa.table(
+                    {"key": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+                )
+            q = _quantize(np.array(t["embedding"].to_pylist()))
+            d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            keys, svals = [], []
+            for j in range(k):
+                rows = q[a == j]
+                keys.append(np.int64(k * dim + j))
+                svals.append(np.int64(len(rows)))
+                if len(rows):
+                    keys.extend((np.arange(dim, dtype=np.int64) + j * dim).tolist())
+                    svals.extend(rows.sum(axis=0).tolist())
+            return pa.table(
+                {"key": pa.array(keys, pa.int64()), "s": pa.array(svals, pa.int64())}
+            )
+
+        agg = grouped_agg(
+            ds.map_batches(par, batch_format="pyarrow"),
+            ["key"],
+            [("s", "sum", "s")],
+            round_to=None,
+        ).to_pandas()
+        lut = dict(zip(agg["key"].astype(np.int64), agg["s"].astype(np.int64)))
+        counts = np.array([lut.get(k * dim + j, 0) for j in range(k)], np.int64)
+        new = cent.copy()
+        for j in range(k):
+            if counts[j] > 0:
+                s = np.array([lut.get(j * dim + d_, 0) for d_ in range(dim)], np.int64)
+                new[j] = s // counts[j]
+        cent = new
+
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cid": pa.array([], pa.int64())}
+            )
+        q = _quantize(np.array(t["embedding"].to_pylist()))
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "cid": pa.array(d.argmin(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

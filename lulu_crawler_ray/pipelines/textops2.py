@@ -463,3 +463,248 @@ def t_split_sql(val_pct: int = 5, test_pct: int = 5) -> str:
         "SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM a "
         "GROUP BY 1, 2 ORDER BY 1, 2"
     )
+
+
+# ------------------------------------------------------------- dupspans
+DUPSPAN_K = 8  # tokens per duplicated span unit
+
+
+def _explode_span_grams(t: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, pos, h): every overlapping
+    DUPSPAN_K-token gram with its 1-based start position and md5-60-bit
+    hash (the winnowing hash convention — BIGINT-safe on the oracle
+    side). Docs shorter than K tokens emit nothing."""
+    ids, poss, hs = [], [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = _tokens(text)
+        n = len(toks) - DUPSPAN_K + 1
+        for i in range(max(n, 0)):
+            g = " ".join(toks[i : i + DUPSPAN_K])
+            ids.append(did)
+            poss.append(i + 1)
+            hs.append(int(hashlib.md5(g.encode()).hexdigest()[:15], 16))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+        }
+    )
+
+
+def t_dupspans(sf: str):
+    """ExactSubstr-style duplicate-span coverage (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'): a
+    token position is duplicated if any DUPSPAN_K-token gram covering
+    it occurs >= 2 times ANYWHERE in the corpus (cross-doc or
+    within-doc). Per doc: (n_tokens, dup_tokens) where dup_tokens is
+    the exact interval-union size of [pos, pos+K) over duplicated gram
+    starts — the number the span-cutting pass would remove.
+
+    Distributed shape (the suffix-array alternative needs global order;
+    this is the shuffle-native equivalent): streaming gram explode ->
+    grouped count (combiner inside grouped_agg) -> dup-hash semi-filter
+    (adaptive: broadcast small, co-partitioned above 5M) -> per-doc
+    interval union co-partitioned by doc_id (whole-partition vectorized
+    numpy, no per-group Python) -> left-decorate the doc table. Gram
+    strings never shuffle — only (doc_id, pos, h) triples."""
+    from .relational import _hash_partitioned_any, _npart, adaptive_semi_filter
+
+    docs = read_table(sf, "documents", ["doc_id", "text"])
+    grams = docs.map_batches(_explode_span_grams, batch_format="pyarrow")
+    counts = grouped_agg(grams, ["h"], [("c", "count", None)], round_to=None)
+    dup_h = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["c"], 2)).select(["h"]),
+        batch_format="pyarrow",
+    )
+    dup_occ = adaptive_semi_filter(grams, dup_h, "h", "h")
+
+    def union_cover(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        if len(did) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "dup_tokens": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((pos, did))
+        did, pos = did[order], pos[order]
+        same_next = np.r_[did[1:] == did[:-1], False]
+        nxt = np.r_[pos[1:], 0]
+        contrib = np.where(same_next, np.minimum(DUPSPAN_K, nxt - pos), DUPSPAN_K)
+        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(did[starts], pa.int64()),
+                "dup_tokens": pa.array(
+                    np.add.reduceat(contrib, starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cover = _hash_partitioned_any(dup_occ, ["doc_id"], _npart()).map_groups(
+        lambda t: union_cover(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+    def ntok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(
+                    [len(_tokens(s)) for s in t["text"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    out = adaptive_dim_join(
+        docs.map_batches(ntok, batch_format="pyarrow"),
+        "doc_id",
+        cover,
+        "doc_id",
+        ["dup_tokens"],
+        how="left",
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        v = t["dup_tokens"].to_pandas().fillna(0).to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "dup_tokens": pa.array(v, pa.int64()),
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow").sort("doc_id")
+
+
+def t_dupspans_sql() -> str:
+    k = DUPSPAN_K
+    return (
+        "WITH d2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '') AS l FROM documents), "
+        "grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        "CAST(CAST('0x' || substr(md5(array_to_string("
+        f"l[CAST(i AS BIGINT):(CAST(i AS BIGINT)+{k}-1)], ' ')), 1, 15) AS UBIGINT) AS BIGINT) AS h "
+        f"FROM d2 CROSS JOIN LATERAL (SELECT UNNEST(range(1, len(l)-{k}+2)) AS i) t "
+        f"WHERE len(l) >= {k}), "
+        "dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2), "
+        "occ AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)), "
+        "cov AS (SELECT doc_id, pos, LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt "
+        "FROM occ), "
+        f"agg AS (SELECT doc_id, SUM(CASE WHEN nxt IS NULL THEN {k} "
+        f"ELSE LEAST({k}, nxt - pos) END) AS dup_tokens FROM cov GROUP BY 1) "
+        "SELECT d.doc_id, CASE WHEN trim(d.text) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(d.text), '\\s+')) END AS n_tokens, "
+        "CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+# ------------------------------------------------------------- semdedup
+SEM_SCALE = 1000  # e3 quantization: int64-safe exact cosine comparisons
+
+
+def e_semdedup(
+    sf: str,
+    k: int = 4,
+    iters: int = 3,
+    tau_num: int = 2,
+    tau_den: int = 5,
+    group_max: int = 200_000,
+):
+    """SemDeDup (Abbas et al. 2023): embedding-level semantic dedup —
+    k-means-cluster the embeddings, then inside each cluster drop every
+    vector that has an earlier (lower vec_id) cluster-mate with cosine
+    similarity >= tau. Output one row per vector: (vec_id, cid, kept).
+
+    Exactness contract: the clustering is the integer-exact k-means of
+    e_kmeans_int (same constants, same final assignment), and the
+    cosine test is the integer comparison tau_den^2*ip^2 >= tau_num^2*
+    |a|^2*|b|^2 (with ip > 0) over e3-quantized components — bit-equal
+    on both engines (DuckDB's SUM(BIGINT) is HUGEINT, numpy's int64
+    bounds are proven in-range for dim<=64, |x|<=1). tau defaults to
+    0.4 (~6% drops) because the synthetic embeddings are
+    near-orthogonal (max observed cosine ~0.51); real corpora run
+    ~0.9.
+
+    Scale shape: assignment is one broadcast streaming pass (k*(dim+1)
+    aggregate per update); the pairwise stage co-partitions by cid and
+    runs ONE matmul per cluster — SemDeDup's cost model is exactly
+    'clusters small enough to do pairwise', so at 100 TB you raise k
+    (e.g. n/10k clusters) and this stage stays bounded; a cluster over
+    ``group_max`` fails loudly rather than OOMing the worker."""
+    from .kmeans import kmeans_assignments
+
+    emb = read_table(sf, "embeddings", ["vec_id", "embedding"]).materialize()
+    assign = kmeans_assignments(emb, k, iters)
+    dec = adaptive_dim_join(emb, "vec_id", assign, "vec_id", ["cid"])
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) > group_max:
+            raise ValueError(
+                f"e_semdedup: cluster of {len(ids)} rows exceeds group_max="
+                f"{group_max}; raise k so clusters stay pairwise-sized"
+            )
+        cid = t["cid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * SEM_SCALE).astype(
+            np.int64
+        )
+        order = np.argsort(ids)
+        ids, cid, q = ids[order], cid[order], q[order]
+        ip = q @ q.T
+        nrm = np.diag(ip).copy()
+        with np.errstate(over="raise"):  # bounds proven; fail loud if violated
+            lhs = (tau_den * tau_den) * ip * ip
+            rhs = (tau_num * tau_num) * np.outer(nrm, nrm)
+        near = (ip > 0) & (lhs >= rhs)
+        dropped = np.triu(near, 1).any(axis=0)  # exists earlier near-dup
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cid": pa.array(cid, pa.int64()),
+                "kept": pa.array((~dropped).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        dec.groupby("cid")
+        .map_groups(per_cluster, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
+def e_semdedup_sql(
+    k: int = 4, iters: int = 3, tau_num: int = 2, tau_den: int = 5
+) -> str:
+    from .kmeans import kmeans_assign_ctes
+
+    ctes, _prev, assign = kmeans_assign_ctes(k, iters)
+    ctes.append(
+        "s AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+        f"CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {SEM_SCALE}, 0) AS BIGINT) AS v "
+        "FROM embeddings)"
+    )
+    ctes.append("nrm AS (SELECT vec_id, SUM(v*v) AS n2 FROM s GROUP BY 1)")
+    ctes.append(
+        f"pr AS (SELECT a.vec_id AS ua, b.vec_id AS ub FROM {assign} a "
+        f"JOIN {assign} b ON a.cid = b.cid AND a.vec_id < b.vec_id)"
+    )
+    ctes.append(
+        "ipt AS (SELECT pr.ua, pr.ub, SUM(x.v * y.v) AS ip FROM pr "
+        "JOIN s x ON x.vec_id = pr.ua JOIN s y ON y.vec_id = pr.ub AND y.i = x.i "
+        "GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "dr AS (SELECT DISTINCT i.ub AS vec_id FROM ipt i "
+        "JOIN nrm na ON na.vec_id = i.ua JOIN nrm nb ON nb.vec_id = i.ub "
+        f"WHERE i.ip > 0 AND {tau_den * tau_den} * i.ip * i.ip >= "
+        f"{tau_num * tau_num} * na.n2 * nb.n2)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, "
+        "CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept "
+        f"FROM {assign} a LEFT JOIN dr ON dr.vec_id = a.vec_id ORDER BY a.vec_id"
+    )

@@ -105,3 +105,71 @@ def test_mips_matches_bruteforce(ray_session):
         g = got[got["query_id"] == qi].sort_values("rnk")
         assert np.array_equal(g["neighbor_id"].to_numpy(np.int64), want_n)
         assert np.array_equal(g["ip_e12"].to_numpy(np.int64), ip[mask][order])
+
+
+def test_dupspans_planted(ray_session):
+    """Cross-doc shared runs, within-doc self-repeats, and unique docs
+    get the exact interval-union coverage (K=8)."""
+    import ray
+    import ray.data
+
+    from lulu_crawler_ray.pipelines import textops2 as t2
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(f"w{i}" for i in range(20)),  # 20 toks
+                    " ".join(f"a{i}" for i in range(5))
+                    + " "
+                    + " ".join(f"w{i}" for i in range(10)),  # shares w0..w9
+                    " ".join(f"r{i % 8}" for i in range(16)),  # self-repeat
+                    " ".join(f"x{i}" for i in range(10)),  # unique
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    orig = t2.read_table
+    t2.read_table = lambda sf, name, cols: ds
+    try:
+        out = t2.t_dupspans(SF).to_pandas().set_index("doc_id")
+    finally:
+        t2.read_table = orig
+    # doc1/doc2 share the 10-token run w0..w9 -> 3 dup grams -> 10 covered
+    assert out.loc[1, "n_tokens"] == 20 and out.loc[1, "dup_tokens"] == 10
+    assert out.loc[2, "n_tokens"] == 15 and out.loc[2, "dup_tokens"] == 10
+    # doc3 = r0..r7 r0..r7: the 8-gram at pos 1 equals the one at pos 9
+    # (the cyclic middle grams are unique) -> union [1,8]+[9,16] = 16
+    assert out.loc[3, "n_tokens"] == 16 and out.loc[3, "dup_tokens"] == 16
+    assert out.loc[4, "n_tokens"] == 10 and out.loc[4, "dup_tokens"] == 0
+
+
+def test_semdedup_planted_twins(ray_session):
+    """Identical vectors co-cluster (exact-int ties) and the larger
+    vec_id of each twin pair is dropped; singletons survive."""
+    import ray
+    import ray.data
+
+    from lulu_crawler_ray.pipelines import textops2 as t2
+
+    base = np.eye(4, 8, dtype=np.float64) * 0.3  # 4 well-separated seeds
+    vecs = np.vstack([base, base[0:1], base[3:4]])  # 4=twin of 0, 5=twin of 3
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(6, dtype=np.int64)),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(emb)
+    orig = t2.read_table
+    t2.read_table = lambda sf, name, cols: ds
+    try:
+        out = t2.e_semdedup(SF).to_pandas().set_index("vec_id")
+    finally:
+        t2.read_table = orig
+    assert out.loc[4, "kept"] == 0 and out.loc[5, "kept"] == 0
+    assert (out.loc[[0, 1, 2, 3], "kept"] == 1).all()
+    assert out.loc[4, "cid"] == out.loc[0, "cid"]
+    assert out.loc[5, "cid"] == out.loc[3, "cid"]
