@@ -427,8 +427,21 @@ def decode_gif(data: bytes) -> np.ndarray:
     return _dec(data)
 
 
-_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt, "jpeg": encode_jpeg, "gif": encode_gif}
-_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt, "jpeg": decode_jpeg, "gif": decode_gif}
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Real Windows DIB (see functions/bmp.py) — 24-bit BI_RGB."""
+    from .bmp import encode_bmp as _enc
+
+    return _enc(img)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    from .bmp import decode_bmp as _dec
+
+    return _dec(data)
+
+
+_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt, "jpeg": encode_jpeg, "gif": encode_gif, "bmp": encode_bmp}
+_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt, "jpeg": decode_jpeg, "gif": decode_gif, "bmp": decode_bmp}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:

@@ -98,12 +98,33 @@ def _parse_riff_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
     return afmt, nch, sr, bits, payload
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(mu-law, A-law) 256-entry int16 expansion tables, built from the
+    ITU-T G.711 segment formulas (the Sun g711.c expansion — pytest
+    checks byte-for-byte parity against stdlib audioop)."""
+    u = np.arange(256, dtype=np.uint8)
+    v = (~u) & 0xFF  # mu-law codes transmit complemented
+    t = ((((v & 0x0F).astype(np.int32)) << 3) + 0x84) << ((v >> 4) & 0x07)
+    mu = np.where(v & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    a = u ^ 0x55  # A-law codes transmit with even bits inverted
+    ta = ((a & 0x0F).astype(np.int32)) << 4
+    seg = ((a >> 4) & 0x07).astype(np.int32)
+    ta = np.where(
+        seg == 0,
+        ta + 8,
+        np.where(seg == 1, ta + 0x108, (ta + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    al = np.where(a & 0x80, ta, -ta).astype(np.int16)
+    return mu, al
+
+
 def decode_wav_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
     """PCM WAV bytes -> (mono float32 in [-1, 1], sample_rate,
     n_channels). Stdlib wave handles the RIFF container for integer
-    PCM (8/16/24-bit); IEEE-float32 WAVs (format tag 3, which stdlib
-    wave refuses) decode through a manual RIFF walk — together the
-    real-web WAV variants a crawl actually ingests."""
+    PCM (8/16/24-bit); the manual RIFF walk decodes the tags stdlib
+    wave refuses — IEEE-float32 (tag 3) and G.711 A-law / mu-law
+    telephony (tags 6/7) — together the real-web WAV variants a crawl
+    actually ingests."""
     import io
     import wave
 
@@ -117,6 +138,10 @@ def decode_wav_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
         afmt, nch, sr, bits, raw = _parse_riff_wav(data)
         if afmt == 3 and bits == 32:
             x = np.frombuffer(raw, "<f4").astype(np.float32)
+        elif afmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law telephony
+            mu, al = _g711_tables()
+            codes = np.frombuffer(raw, np.uint8)
+            x = (al if afmt == 6 else mu)[codes].astype(np.float32) / 32768.0
         else:
             raise NotImplementedError(f"wav: format tag {afmt} / {bits}-bit unsupported")
         if nch > 1:

@@ -995,6 +995,40 @@ def test_wav_24bit_and_float32_decode():
     assert np.abs(x).max() < 1e-6  # L/-L downmix cancels exactly
 
 
+def test_wav_g711_ulaw_alaw_decode():
+    """G.711 telephony WAVs (format tags 6 A-law / 7 mu-law): the
+    in-repo segment-formula tables must match stdlib audioop (CPython's
+    g711.c) byte-for-byte over ALL 256 codes, and the RIFF walk must
+    route the tags."""
+    import struct
+
+    import audioop
+    import numpy as np
+
+    from lulu_crawler_ray.stages.multimodal import _g711_tables, decode_wav_pcm
+
+    mu, al = _g711_tables()
+    codes = bytes(range(256))
+    want_mu = np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2")
+    want_al = np.frombuffer(audioop.alaw2lin(codes, 2), "<i2")
+    assert np.array_equal(mu, want_mu)
+    assert np.array_equal(al, want_al)
+    # known anchors: 0xFF is mu-law digital silence; A-law 0x55 = -8
+    assert mu[0xFF] == 0 and al[0x55] == -8 and al[0xD5] == 8
+
+    sr = 8000
+    for tag, table in ((7, mu), (6, al)):
+        fmt = struct.pack("<HHIIHH", tag, 1, sr, sr, 1, 8)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + 256) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 256) + codes
+        )
+        x, got_sr, nch = decode_wav_pcm(wav)
+        assert got_sr == sr and nch == 1
+        assert np.allclose(x, table.astype(np.float32) / 32768.0)
+
+
 def test_mjpeg_avi_roundtrip_and_stages(ray_session):
     """Round-5: MJPEG-in-AVI (fourcc MJPG, one standalone JPEG per
     frame) decodes through the in-repo T.81 codec — PSNR gate per
