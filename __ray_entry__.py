@@ -96,8 +96,9 @@ _PRIORITY_R5 = [
     # last sampled before their oracles became bit-exact (r3 item 6)
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
     "t_langid", "t_fingerprint",
-    # late round-5 SQL-checked ops (dup-span coverage + SemDeDup)
-    "t_dupspans", "e_semdedup",
+    # late round-5 SQL-checked ops (dup-span coverage + SemDeDup +
+    # the v4 corpus-prep capstone composing them)
+    "t_dupspans", "e_semdedup", "t_prep_v4",
     # rows-only surfaces never sampled at all (multimodal + approx);
     # video_frames/video_scenes fall past the 50-key window — their
     # hash-checked digest twins (video_digest) stay inside it
@@ -226,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_mips_topk": to2.e_mips_topk,
         "t_dupspans": to2.t_dupspans,
         "e_semdedup": to2.e_semdedup,
+        "t_prep_v4": to2.t_prep_v4,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -312,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         e_semdedup_sql,
         t_chunk_dedup_sql,
         t_dupspans_sql,
+        t_prep_v4_sql,
         t_split_sql,
         t_winnow_pairs_sql,
         t_winnow_sql,
@@ -334,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         "e_mips_topk": e_mips_topk_sql(),
         "t_dupspans": t_dupspans_sql(),
         "e_semdedup": e_semdedup_sql(),
+        "t_prep_v4": t_prep_v4_sql(),
         "t_lm_score": (
             "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "

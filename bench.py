@@ -146,7 +146,7 @@ def run_bench() -> dict:
     extra_queries_r5 = [
         "img_jpeg_digest", "img_blur_digest", "audio_digest", "video_digest",
         "t_near_dedup", "q18_large_orders", "q16_supplier_cnt",
-        "t_dupspans", "e_semdedup",
+        "t_dupspans", "e_semdedup", "t_prep_v4",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

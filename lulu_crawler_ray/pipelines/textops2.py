@@ -493,6 +493,12 @@ def _explode_span_grams(t: pa.Table) -> pa.Table:
 
 
 def t_dupspans(sf: str):
+    """Sorted query surface over dupspan_coverage (see there for the
+    algorithm and scale shape)."""
+    return dupspan_coverage(sf).sort("doc_id")
+
+
+def dupspan_coverage(sf: str):
     """ExactSubstr-style duplicate-span coverage (Lee et al. 2022,
     'Deduplicating Training Data Makes Language Models Better'): a
     token position is duplicated if any DUPSPAN_K-token gram covering
@@ -574,29 +580,38 @@ def t_dupspans(sf: str):
             }
         )
 
-    return out.map_batches(fill, batch_format="pyarrow").sort("doc_id")
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+def _dupspan_ctes() -> list[str]:
+    """The dup-span CTE chain ending with ``agg`` (per-doc dup_tokens)
+    — shared with the t_prep_v4 oracle."""
+    k = DUPSPAN_K
+    return [
+        "ds_l AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '') AS l FROM documents)",
+        "ds_grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        "CAST(CAST('0x' || substr(md5(array_to_string("
+        f"l[CAST(i AS BIGINT):(CAST(i AS BIGINT)+{k}-1)], ' ')), 1, 15) AS UBIGINT) AS BIGINT) AS h "
+        f"FROM ds_l CROSS JOIN LATERAL (SELECT UNNEST(range(1, len(l)-{k}+2)) AS i) t "
+        f"WHERE len(l) >= {k})",
+        "ds_dup AS (SELECT h FROM ds_grams GROUP BY h HAVING COUNT(*) >= 2)",
+        "ds_occ AS (SELECT g.doc_id, g.pos FROM ds_grams g JOIN ds_dup USING (h))",
+        "ds_cov AS (SELECT doc_id, pos, LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt "
+        "FROM ds_occ)",
+        f"ds_agg AS (SELECT doc_id, SUM(CASE WHEN nxt IS NULL THEN {k} "
+        f"ELSE LEAST({k}, nxt - pos) END) AS dup_tokens FROM ds_cov GROUP BY 1)",
+    ]
 
 
 def t_dupspans_sql() -> str:
-    k = DUPSPAN_K
     return (
-        "WITH d2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
-        "x -> x <> '') AS l FROM documents), "
-        "grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
-        "CAST(CAST('0x' || substr(md5(array_to_string("
-        f"l[CAST(i AS BIGINT):(CAST(i AS BIGINT)+{k}-1)], ' ')), 1, 15) AS UBIGINT) AS BIGINT) AS h "
-        f"FROM d2 CROSS JOIN LATERAL (SELECT UNNEST(range(1, len(l)-{k}+2)) AS i) t "
-        f"WHERE len(l) >= {k}), "
-        "dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2), "
-        "occ AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)), "
-        "cov AS (SELECT doc_id, pos, LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt "
-        "FROM occ), "
-        f"agg AS (SELECT doc_id, SUM(CASE WHEN nxt IS NULL THEN {k} "
-        f"ELSE LEAST({k}, nxt - pos) END) AS dup_tokens FROM cov GROUP BY 1) "
-        "SELECT d.doc_id, CASE WHEN trim(d.text) = '' THEN 0 ELSE "
+        "WITH "
+        + ", ".join(_dupspan_ctes())
+        + " SELECT d.doc_id, CASE WHEN trim(d.text) = '' THEN 0 ELSE "
         "len(string_split_regex(trim(d.text), '\\s+')) END AS n_tokens, "
         "CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens "
-        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+        "FROM documents d LEFT JOIN ds_agg a USING (doc_id) ORDER BY d.doc_id"
     )
 
 
@@ -604,7 +619,13 @@ def t_dupspans_sql() -> str:
 SEM_SCALE = 1000  # e3 quantization: int64-safe exact cosine comparisons
 
 
-def e_semdedup(
+def e_semdedup(sf: str, **kw):
+    """Sorted query surface over semdedup_flags (see there for the
+    algorithm and scale shape)."""
+    return semdedup_flags(sf, **kw).sort("vec_id")
+
+
+def semdedup_flags(
     sf: str,
     k: int = 4,
     iters: int = 3,
@@ -670,13 +691,15 @@ def e_semdedup(
     return (
         dec.groupby("cid")
         .map_groups(per_cluster, batch_format="pyarrow")
-        .sort("vec_id")
     )
 
 
-def e_semdedup_sql(
+def _semdedup_ctes(
     k: int = 4, iters: int = 3, tau_num: int = 2, tau_den: int = 5
-) -> str:
+) -> tuple[list[str], str]:
+    """(ctes, assignment_cte_name): the full semdedup CTE chain ending
+    with ``dr`` (the dropped vec_ids) — shared with the t_prep_v4
+    oracle."""
     from .kmeans import kmeans_assign_ctes
 
     ctes, _prev, assign = kmeans_assign_ctes(k, iters)
@@ -701,10 +724,120 @@ def e_semdedup_sql(
         f"WHERE i.ip > 0 AND {tau_den * tau_den} * i.ip * i.ip >= "
         f"{tau_num * tau_num} * na.n2 * nb.n2)"
     )
+    return ctes, assign
+
+
+def e_semdedup_sql(
+    k: int = 4, iters: int = 3, tau_num: int = 2, tau_den: int = 5
+) -> str:
+    ctes, assign = _semdedup_ctes(k, iters, tau_num, tau_den)
     return (
         "WITH "
         + ", ".join(ctes)
         + f" SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, "
         "CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept "
         f"FROM {assign} a LEFT JOIN dr ON dr.vec_id = a.vec_id ORDER BY a.vec_id"
+    )
+
+
+# ------------------------------------------------------------- prep v4
+def t_prep_v4(
+    sf: str,
+    min_tokens: int = 30,
+    max_dup_num: int = 1,
+    max_dup_den: int = 5,
+):
+    """Round-5 corpus-prep capstone: the v3 gates' modern siblings in
+    one composed DAG — (1) length gate (n_tokens >= min_tokens),
+    (2) duplicate-span gate (dup-span coverage <= max_dup_num/
+    max_dup_den of the doc, from dupspan_coverage), (3) SemDeDup gate
+    (docs whose embedding was semantically dropped go; docs without an
+    embedding row stay), (4) exact-text dedup among the survivors
+    (keep min doc_id per distinct text, carried as an md5 so the
+    shuffle never moves text). Output: per-source (n_docs, sum_tokens)
+    of the final kept set.
+
+    Every stage is a streaming map or an adaptive join/shuffle from
+    the scale toolkit; nothing gathers to the driver."""
+    from .relational import _min_set_filter
+
+    cov = dupspan_coverage(sf)
+    flags = semdedup_flags(sf).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["vec_id"].cast(pa.int64()), "kept": t["kept"]}
+        ),
+        batch_format="pyarrow",
+    )
+    docs = read_table(sf, "documents", ["doc_id", "source", "text"])
+    dec = adaptive_dim_join(
+        docs, "doc_id", cov, "doc_id", ["n_tokens", "dup_tokens"]
+    )
+    dec = adaptive_dim_join(dec, "doc_id", flags, "doc_id", ["kept"], how="left")
+
+    def gate(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = t["dup_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = t["kept"].to_pandas().fillna(1).to_numpy(np.int64)
+        mask = (nt >= min_tokens) & (max_dup_den * dup <= max_dup_num * nt) & (kept != 0)
+        t = t.filter(pa.array(mask))
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "source": t["source"],
+                "n_tokens": t["n_tokens"].cast(pa.int64()),
+                "h": pa.array(hs, pa.string()),
+            }
+        )
+
+    gated = dec.map_batches(gate, batch_format="pyarrow")
+    kept_docs = _min_set_filter(gated, "h", "doc_id")
+    out = grouped_agg(
+        kept_docs,
+        ["source"],
+        [("n_docs", "count", None), ("sum_tokens", "sum", "n_tokens")],
+        round_to=None,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "sum_tokens": t["sum_tokens"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("source")
+
+
+def t_prep_v4_sql(
+    min_tokens: int = 30, max_dup_num: int = 1, max_dup_den: int = 5
+) -> str:
+    ctes = _dupspan_ctes()
+    sem_ctes, _assign = _semdedup_ctes()
+    ctes += sem_ctes
+    ctes.append(
+        "v4base AS (SELECT d.doc_id, d.source, d.text, "
+        "CASE WHEN trim(d.text) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(d.text), '\\s+')) END AS n_tokens, "
+        "COALESCE(a.dup_tokens, 0) AS dup_tokens "
+        "FROM documents d LEFT JOIN ds_agg a USING (doc_id))"
+    )
+    ctes.append(
+        "v4g AS (SELECT b.doc_id, b.source, b.text, b.n_tokens FROM v4base b "
+        "LEFT JOIN dr ON dr.vec_id = b.doc_id "
+        f"WHERE b.n_tokens >= {min_tokens} "
+        f"AND {max_dup_den} * b.dup_tokens <= {max_dup_num} * b.n_tokens "
+        "AND dr.vec_id IS NULL)"
+    )
+    ctes.append(
+        "v4r AS (SELECT source, n_tokens, ROW_NUMBER() OVER "
+        "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM v4g)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens "
+        "FROM v4r WHERE rn = 1 GROUP BY source ORDER BY source"
     )
