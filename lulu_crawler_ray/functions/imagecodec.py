@@ -440,8 +440,21 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return _dec(data)
 
 
-_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt, "jpeg": encode_jpeg, "gif": encode_gif, "bmp": encode_bmp}
-_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt, "jpeg": decode_jpeg, "gif": decode_gif, "bmp": decode_bmp}
+def encode_tiff(img: np.ndarray) -> bytes:
+    """Real baseline TIFF (see functions/tiff.py) — 8-bit RGB LZW."""
+    from .tiff import encode_tiff as _enc
+
+    return _enc(img, compression=5)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    from .tiff import decode_tiff as _dec
+
+    return _dec(data)
+
+
+_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt, "jpeg": encode_jpeg, "gif": encode_gif, "bmp": encode_bmp, "tiff": encode_tiff}
+_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt, "jpeg": decode_jpeg, "gif": decode_gif, "bmp": decode_bmp, "tiff": decode_tiff}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:
