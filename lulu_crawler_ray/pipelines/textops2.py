@@ -631,7 +631,7 @@ def semdedup_flags(
     iters: int = 3,
     tau_num: int = 2,
     tau_den: int = 5,
-    group_max: int = 200_000,
+    group_max: int = 10_000,
 ):
     """SemDeDup (Abbas et al. 2023): embedding-level semantic dedup —
     k-means-cluster the embeddings, then inside each cluster drop every
@@ -653,7 +653,9 @@ def semdedup_flags(
     runs ONE matmul per cluster — SemDeDup's cost model is exactly
     'clusters small enough to do pairwise', so at 100 TB you raise k
     (e.g. n/10k clusters) and this stage stays bounded; a cluster over
-    ``group_max`` fails loudly rather than OOMing the worker."""
+    ``group_max`` fails loudly rather than OOMing the worker (the
+    bound is QUADRATIC in memory — 10k rows is ~2.4 GB of int64
+    ip/lhs/rhs matrices, sized to a worker heap)."""
     from .kmeans import kmeans_assignments
 
     emb = read_table(sf, "embeddings", ["vec_id", "embedding"]).materialize()

@@ -88,7 +88,8 @@ def main() -> None:
     for name in (
         "t_exact_dedup", "t_chunk_dedup", "t_winnow", "t_winnow_pairs",
         "t_near_dedup", "t_minhash_pairs", "t_split", "e_mips_topk",
-        "t_decontaminate", "t_pack",
+        "t_decontaminate", "t_pack", "t_dupspans", "e_semdedup",
+        "t_prep_v4",
     ):
         t0 = time.time()
         res = q[name](out_dir)
