@@ -98,7 +98,7 @@ _PRIORITY_R5 = [
     "t_langid", "t_fingerprint",
     # late round-5 SQL-checked ops (dup-span coverage + SemDeDup +
     # the v4 corpus-prep capstone composing them)
-    "t_dupspans", "e_semdedup", "t_prep_v4",
+    "t_dupspans", "e_semdedup", "t_prep_v4", "j10_asof",
     # rows-only surfaces never sampled at all (multimodal + approx);
     # video_frames/video_scenes fall past the 50-key window — their
     # hash-checked digest twins (video_digest) stay inside it
@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_dupspans": to2.t_dupspans,
         "e_semdedup": to2.e_semdedup,
         "t_prep_v4": to2.t_prep_v4,
+        "j10_asof": rl.j10_asof,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -309,6 +310,7 @@ def _bpe_real_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
+    from lulu_crawler_ray.pipelines.relational import j10_asof_sql as _j10_asof_sql
     from lulu_crawler_ray.pipelines.textops2 import (
         e_mips_topk_sql,
         e_semdedup_sql,
@@ -338,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "t_dupspans": t_dupspans_sql(),
         "e_semdedup": e_semdedup_sql(),
         "t_prep_v4": t_prep_v4_sql(),
+        "j10_asof": _j10_asof_sql(),
         "t_lm_score": (
             "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "

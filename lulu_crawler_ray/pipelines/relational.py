@@ -3900,3 +3900,85 @@ def g22_grouped_hll_registers(sf: str, p: int = 12):
             "n_nonzero": pa.array(out_n, pa.int64()),
         }
     )
+
+
+def j10_asof(sf: str):
+    """AS-OF JOIN (the time-series join Ray Data lacks; DuckDB runs it
+    natively as the oracle): each 'click' event matches the latest
+    'view' event of the same user at or before its timestamp — the
+    classic attribution join. Output per click: (event_id, user_id,
+    ts_us, view_ts_us, gap_us), sentinel -1 for never-viewed users
+    (null-free hash compare, the w7 convention). Deterministic even
+    under tied view timestamps: the JOINED VALUE is the max view ts,
+    which is unique regardless of which tied row an engine picks.
+
+    Distributed shape: both sides co-partition by user_id in ONE
+    hash shuffle (side-tagged union); within a partition one lexsort
+    by (user_id, ts, side) with views ordered before clicks at equal
+    ts (>= semantics), then a grouped forward-max fills the latest
+    view ts — no per-key loop, no driver state; the merge is
+    O(partition) after sort exactly like a multi-node sort-merge
+    as-of."""
+    ds = read_table(sf, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "view") | (et == "click")
+        t = t.filter(pa.array(keep))
+        side = (t["event_type"].to_numpy(zero_copy_only=False) == "click").astype(np.int8)
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "user_id": t["user_id"].cast(pa.int64()),
+                "ts_us": pa.array(
+                    t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+                ),
+                "side": pa.array(side.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def asof_part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ts, uid))  # views before clicks at ties
+        uid, ts, side, eid = uid[order], ts[order], side[order], eid[order]
+        seg = np.cumsum(np.r_[True, uid[1:] != uid[:-1]])
+        v = np.where(side == 0, ts, np.int64(-1))
+        # grouped forward max: latest view ts seen so far within user
+        last_view = pd.Series(v).groupby(seg).cummax().to_numpy()
+        clicks = side == 1
+        vts = last_view[clicks]
+        gap = np.where(vts >= 0, ts[clicks] - vts, np.int64(-1))
+        return pa.table(
+            {
+                "event_id": pa.array(eid[clicks], pa.int64()),
+                "user_id": pa.array(uid[clicks], pa.int64()),
+                "ts_us": pa.array(ts[clicks], pa.int64()),
+                "view_ts_us": pa.array(vts, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        _hash_partitioned(tagged, "user_id", _npart())
+        .map_groups(asof_part, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+def j10_asof_sql() -> str:
+    return (
+        "WITH c AS (SELECT * FROM events WHERE event_type = 'click'), "
+        "v AS (SELECT * FROM events WHERE event_type = 'view') "
+        "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, "
+        "COALESCE(epoch_us(v.ts), -1) AS view_ts_us, "
+        "COALESCE(epoch_us(c.ts) - epoch_us(v.ts), -1) AS gap_us "
+        "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts "
+        "ORDER BY c.event_id"
+    )
