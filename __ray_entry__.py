@@ -99,6 +99,7 @@ _PRIORITY_R5 = [
     # late round-5 SQL-checked ops (dup-span coverage + SemDeDup +
     # the v4 corpus-prep capstone composing them)
     "t_dupspans", "e_semdedup", "t_prep_v4", "j10_asof",
+    "o9_topk_per_group", "w11_sessionize",
     # rows-only surfaces never sampled at all (multimodal + approx);
     # video_frames/video_scenes fall past the 50-key window — their
     # hash-checked digest twins (video_digest) stay inside it
@@ -229,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_semdedup": to2.e_semdedup,
         "t_prep_v4": to2.t_prep_v4,
         "j10_asof": rl.j10_asof,
+        "o9_topk_per_group": rl.o9_topk_per_group,
+        "w11_sessionize": rl.w11_sessionize,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -311,6 +314,10 @@ def _bpe_real_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
     from lulu_crawler_ray.pipelines.relational import j10_asof_sql as _j10_asof_sql
+    from lulu_crawler_ray.pipelines.relational import (
+        o9_topk_per_group_sql as _o9_sql,
+        w11_sessionize_sql as _w11_sql,
+    )
     from lulu_crawler_ray.pipelines.textops2 import (
         e_mips_topk_sql,
         e_semdedup_sql,
@@ -341,6 +348,8 @@ def oracle_sql() -> dict[str, str]:
         "e_semdedup": e_semdedup_sql(),
         "t_prep_v4": t_prep_v4_sql(),
         "j10_asof": _j10_asof_sql(),
+        "o9_topk_per_group": _o9_sql(),
+        "w11_sessionize": _w11_sql(),
         "t_lm_score": (
             "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "

@@ -3982,3 +3982,152 @@ def j10_asof_sql() -> str:
         "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts "
         "ORDER BY c.event_id"
     )
+
+
+def o9_topk_per_group(sf: str, k: int = 3):
+    """Top-k per group (grouped LIMIT — the per-category leaderboard
+    every analytics pipeline runs): top-k orders by price within each
+    order priority. Same combiner discipline as the global topk
+    (VERDICT r4 item 4): each block keeps at most k rows PER GROUP, so
+    the shuffle carries k x groups x blocks rows, then one small
+    per-group finalize; the full table never range-sorts."""
+    ds = read_table(sf, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        p = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "price_c": pa.array(p, pa.int64()),
+            }
+        )
+
+    keys = [
+        ("o_orderpriority", "ascending"),
+        ("price_c", "descending"),
+        ("o_orderkey", "ascending"),
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        g = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        # rank within group after the sort: position since group start
+        starts = np.r_[True, g[1:] != g[:-1]]
+        gidx = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(g)), 0)
+        )
+        return t.filter(pa.array(gidx < k))
+
+    parts = ds.map_batches(cents, batch_format="pyarrow").map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"]).take(pc.sort_indices(t, sort_keys=keys))
+        g = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        starts = np.r_[True, g[1:] != g[:-1]]
+        gidx = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(g)), 0)
+        )
+        t = t.filter(pa.array(gidx < k))
+        g2 = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        starts2 = np.r_[True, g2[1:] != g2[:-1]]
+        rnk = np.arange(len(g2)) - np.maximum.accumulate(
+            np.where(starts2, np.arange(len(g2)), 0)
+        )
+        return t.append_column("rnk", pa.array(rnk + 1, pa.int64()))
+
+    return (
+        _hash_partitioned_any(parts, ["o_orderpriority"], _npart())
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort(["o_orderpriority", "rnk"])
+    )
+
+
+def o9_topk_per_group_sql(k: int = 3) -> str:
+    return (
+        "SELECT o_orderpriority, o_orderkey, price_c, rnk FROM ("
+        "SELECT o_orderpriority, o_orderkey, "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c, "
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey) AS rnk "
+        f"FROM orders) WHERE rnk <= {k} ORDER BY o_orderpriority, rnk"
+    )
+
+
+def w11_sessionize(sf: str, gap_minutes: int = 30):
+    """Gap-based sessionization (the canonical streaming-analytics
+    windowing op): per user, a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. Output one row per session:
+    (user_id, session_start_us, n_events, dur_us). One hash shuffle
+    co-partitions by user_id; within a partition one sort + vectorized
+    gap/cumsum/reduceat — all sessions of a user live in one partition
+    by construction, so the segment aggregation is exact."""
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+    ds = read_table(sf, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "us": pa.array(
+                    t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+                ),
+            }
+        )
+
+    def sess_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, uid))
+        uid, us = uid[order], us[order]
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_start_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "dur_us": pa.array([], pa.int64()),
+                }
+            )
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = new_user | np.r_[True, (us[1:] - us[:-1]) > gap_us]
+        starts = np.flatnonzero(brk)
+        n_ev = np.diff(np.r_[starts, len(uid)])
+        ends = np.r_[starts[1:], len(uid)] - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_start_us": pa.array(us[starts], pa.int64()),
+                "n_events": pa.array(n_ev.astype(np.int64), pa.int64()),
+                "dur_us": pa.array(us[ends] - us[starts], pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow")
+    return (
+        _hash_partitioned(tagged, "user_id", _npart())
+        .map_groups(
+            lambda t: sess_part(t.drop_columns(["__part"]) if "__part" in t.column_names else t),
+            batch_format="pyarrow",
+        )
+        .sort(["user_id", "session_start_us"])
+    )
+
+
+def w11_sessionize_sql(gap_minutes: int = 30) -> str:
+    g = gap_minutes * 60 * 1_000_000
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "m AS (SELECT user_id, us, CASE WHEN us - LAG(us) OVER "
+        f"(PARTITION BY user_id ORDER BY us) > {g} OR LAG(us) OVER "
+        "(PARTITION BY user_id ORDER BY us) IS NULL THEN 1 ELSE 0 END AS brk FROM e), "
+        "s AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+        "SELECT user_id, MIN(us) AS session_start_us, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, MAX(us) - MIN(us) AS dur_us "
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"
+    )
