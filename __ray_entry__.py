@@ -100,6 +100,12 @@ _PRIORITY_R5 = [
     # the v4 corpus-prep capstone composing them)
     "t_dupspans", "e_semdedup", "t_prep_v4", "j10_asof",
     "o9_topk_per_group", "w11_sessionize",
+    # final round-5 additions: 3rd/4th-moment stats, deterministic
+    # weighted sampling, anti-join gaps-and-islands, EXCEPT ALL, and
+    # the two pinned image digests (perceptual-hash family +
+    # augmentation stage)
+    "g24_skew_kurt", "o10_weighted_sample", "m17_gaps_islands",
+    "d9_except_all", "img_hash_variants_digest", "img_augment_digest",
     # rows-only surfaces never sampled at all (multimodal + approx);
     # video_frames/video_scenes fall past the 50-key window — their
     # hash-checked digest twins (video_digest) stay inside it
@@ -232,6 +238,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j10_asof": rl.j10_asof,
         "o9_topk_per_group": rl.o9_topk_per_group,
         "w11_sessionize": rl.w11_sessionize,
+        "g24_skew_kurt": rl.g24_skew_kurt,
+        "o10_weighted_sample": rl.o10_weighted_sample,
+        "m17_gaps_islands": rl.m17_gaps_islands,
+        "d9_except_all": rl.d9_except_all,
+        "img_hash_variants_digest": im.img_hash_variants_digest_query,
+        "img_augment_digest": im.img_augment_digest_query,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -315,7 +327,11 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
     from lulu_crawler_ray.pipelines.relational import j10_asof_sql as _j10_asof_sql
     from lulu_crawler_ray.pipelines.relational import (
+        d9_except_all_sql as _d9_sql,
+        g24_skew_kurt_sql as _g24_sql,
+        m17_gaps_islands_sql as _m17_sql,
         o9_topk_per_group_sql as _o9_sql,
+        o10_weighted_sample_sql as _o10_sql,
         w11_sessionize_sql as _w11_sql,
     )
     from lulu_crawler_ray.pipelines.textops2 import (
@@ -350,6 +366,30 @@ def oracle_sql() -> dict[str, str]:
         "j10_asof": _j10_asof_sql(),
         "o9_topk_per_group": _o9_sql(),
         "w11_sessionize": _w11_sql(),
+        "g24_skew_kurt": _g24_sql(),
+        "o10_weighted_sample": _o10_sql(),
+        "m17_gaps_islands": _m17_sql(),
+        "d9_except_all": _d9_sql(),
+        # golden pins for the two new image digests (same contract as
+        # img_jpeg_digest below: constants validated by the pytest
+        # kernel oracles, NOT SQL derivations — SQL cannot decode
+        # images). n_phash_match == n_rows is the cross-engine check
+        # that the stage decoded the exact pixels the fixture hashed.
+        "img_hash_variants_digest": (
+            "SELECT CAST(300 AS BIGINT) AS n_rows, "
+            "CAST(300 AS BIGINT) AS n_phash_match, "
+            "CAST(2905097331346681019 AS BIGINT) AS xor_ahash, "
+            "CAST(1892837448488679188 AS BIGINT) AS xor_dhash"
+        ),
+        "img_augment_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(742923719296 AS BIGINT) AS sum_flip_wsum, "
+            "CAST(828026698176 AS BIGINT) AS mix_flip_wsum, "
+            "CAST(49742657233664 AS BIGINT) AS sum_rot_wsum, "
+            "CAST(238931052453440 AS BIGINT) AS mix_rot_wsum, "
+            "CAST(743363940992 AS BIGINT) AS sum_crop_wsum, "
+            "CAST(965966953216 AS BIGINT) AS mix_crop_wsum"
+        ),
         "t_lm_score": (
             "WITH d2 AS (SELECT doc_id, l, len(l) AS ntok FROM (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "

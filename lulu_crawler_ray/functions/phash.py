@@ -57,3 +57,30 @@ def hamming64_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     for s in range(0, 64, 8):
         out += _POP[((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.intp)]
     return out
+
+
+def _gray_small(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Shared helper: nearest-resize then exact integer-sum grayscale
+    (same commuting argument as phash64)."""
+    small3 = resize_nearest(img, w, h)
+    return small3.sum(axis=2, dtype=np.int64).astype(np.float64) / 3.0
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Average hash: gray 8x8, bit = pixel > mean. The cheapest of the
+    perceptual-hash family (no DCT) — the first-pass gate LAION-style
+    curation runs before the more selective pHash."""
+    g = _gray_small(img, 8, 8)
+    bits = (g > g.mean()).ravel()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.int64(np.uint64(val)))
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash: gray 9x8, bit = left pixel > right neighbor
+    (horizontal gradient sign). Robust to uniform brightness shifts,
+    which flip every ahash bit but no dhash bit."""
+    g = _gray_small(img, 9, 8)
+    bits = (g[:, :-1] > g[:, 1:]).ravel()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.int64(np.uint64(val)))

@@ -870,3 +870,144 @@ def video_digest_query(sf: str) -> pa.Table:
     if not isinstance(t, pa.Table):
         t = pa.Table.from_pandas(t.to_pandas())
     return _one_row_digest(t, ["cut_idx", "diff_e4"])
+
+
+class HashVariantsStage:
+    """Actor-pool stage: decode + the full perceptual-hash family
+    (ahash / dhash / phash) per image. One decode feeds all three —
+    the curation pattern where a cheap ahash prefilter gates the
+    DCT phash, so computing them in one pass saves a second decode
+    at 100 TB."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.phash import ahash64, dhash64
+
+        a, d, p = [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            a.append(ahash64(img))
+            d.append(dhash64(img))
+            p.append(phash64(img))
+        out = {
+            "image_id": t["image_id"],
+            "ahash": pa.array(a, pa.int64()),
+            "dhash": pa.array(d, pa.int64()),
+            "phash2": pa.array(p, pa.int64()),
+        }
+        if "phash" in t.column_names:  # stored hash rides for cross-check
+            out["phash"] = t["phash"]
+        return pa.table(out)
+
+
+def img_hash_variants_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle; variants pinned in
+    tests/test_kernels.py): ahash + dhash + recomputed phash over the
+    deterministic fixture, folded to one digest row (xor folds are
+    commutative, so the digest is block-order independent by
+    construction). Cross-check: the recomputed phash must equal the
+    fixture's stored phash column bit-for-bit (n_phash_match ==
+    n_rows), proving the stage decodes the same pixels the fixture
+    hashed."""
+    n = 600 if _is_big_sf(sf) else 300
+    ds = fixture_dataset(n)
+    hashed = ds.map_batches(
+        HashVariantsStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        a = t["ahash"].to_numpy().view(np.uint64)
+        d = t["dhash"].to_numpy().view(np.uint64)
+        m = int(
+            (t["phash2"].to_numpy() == t["phash"].to_numpy()).sum()
+        )
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "n_phash_match": pa.array([m], pa.int64()),
+                "xor_ahash": pa.array(
+                    [int(np.bitwise_xor.reduce(a).astype(np.int64)) if len(a) else 0],
+                    pa.int64(),
+                ),
+                "xor_dhash": pa.array(
+                    [int(np.bitwise_xor.reduce(d).astype(np.int64)) if len(d) else 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # per-block folds carry 4 ints each; the driver merge is xor/sum
+    parts = hashed.map_batches(fold, batch_format="pyarrow").to_pandas()
+
+    def _xorfold(col: str) -> int:
+        v = parts[col].to_numpy().view(np.uint64)
+        return int(np.bitwise_xor.reduce(v).astype(np.int64)) if len(v) else 0
+
+    return pa.table(
+        {
+            "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+            "n_phash_match": pa.array(
+                [int(parts["n_phash_match"].sum())], pa.int64()
+            ),
+            "xor_ahash": pa.array([_xorfold("xor_ahash")], pa.int64()),
+            "xor_dhash": pa.array([_xorfold("xor_dhash")], pa.int64()),
+        }
+    )
+
+
+class AugmentStage:
+    """Actor-pool stage: deterministic augmentation triple per image —
+    horizontal flip, rot90, center-crop(3/4)+nearest-resize-back. The
+    standard contrastive-training augmentation set, integer-exact so
+    the digest pins. Emits one int64 pixel-sum per variant (the
+    cheapest whole-image content witness)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flip_s, rot_s, crop_s = [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            h, w = img.shape[:2]
+            flip = img[:, ::-1]
+            rot = np.rot90(img)
+            ch, cw = max(h * 3 // 4, 1), max(w * 3 // 4, 1)
+            y0, x0 = (h - ch) // 2, (w - cw) // 2
+            crop = resize_nearest(img[y0 : y0 + ch, x0 : x0 + cw], w, h)
+            # weighted sums so orientation actually changes the value
+            # (a plain sum is flip/rot invariant)
+            yw = np.arange(1, h + 1, dtype=np.int64)[:, None, None]
+            xw = np.arange(1, w + 1, dtype=np.int64)[None, :, None]
+            flip_s.append(int((flip.astype(np.int64) * yw * xw).sum()))
+            r_h, r_w = rot.shape[:2]
+            # quadratic row weight: the linear-x-linear form is
+            # algebraically IDENTICAL for flip and rot90 (substitute
+            # x -> W-1-x), so rot needs an asymmetric weight to be an
+            # independent witness
+            yw2 = (np.arange(1, r_h + 1, dtype=np.int64) ** 2)[:, None, None]
+            xw2 = np.arange(1, r_w + 1, dtype=np.int64)[None, :, None]
+            rot_s.append(int((rot.astype(np.int64) * yw2 * xw2).sum()))
+            crop_s.append(int((crop.astype(np.int64) * yw * xw).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "flip_wsum": pa.array(flip_s, pa.int64()),
+                "rot_wsum": pa.array(rot_s, pa.int64()),
+                "crop_wsum": pa.array(crop_s, pa.int64()),
+            }
+        )
+
+
+def img_augment_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle; variants pinned in
+    tests/test_kernels.py): the flip/rot90/center-crop augmentation
+    stage over the deterministic fixture, folded to one digest row.
+    Position-weighted sums make each variant orientation-sensitive, so
+    a transposed-axes bug cannot hash-match."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    aug = ds.map_batches(
+        AugmentStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(aug.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["flip_wsum", "rot_wsum", "crop_wsum"])

@@ -4131,3 +4131,276 @@ def w11_sessionize_sql(gap_minutes: int = 30) -> str:
         "CAST(COUNT(*) AS BIGINT) AS n_events, MAX(us) - MIN(us) AS dur_us "
         "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"
     )
+
+
+def g24_skew_kurt(sf: str):
+    """Grouped skewness + kurtosis per event_type over events.value —
+    the 3rd/4th-moment family completing g5 (mean/std) and g12 (corr).
+    Same mergeable-centered-moments discipline as g12, extended to M3
+    and M4 with Pébay's pairwise update (naive power sums cancel ~10
+    significant digits at the 4th moment — enough to flip the
+    e4-rounded output). Per batch: one grouped pass -> per-type
+    (n, mean, M2, M3, M4); partials merge pairwise in a result-sized
+    driver fold (rows = types x blocks). Output matches DuckDB's
+    bias-corrected G1 / excess-G2 definitions, CAST(ROUND(x*10000) AS
+    BIGINT) on both engines."""
+    ds = read_table(sf, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        x = t["value"].to_numpy()
+        order = np.argsort(et, kind="stable")
+        et, x = et[order], x[order]
+        starts = np.r_[True, et[1:] != et[:-1]] if len(et) else np.zeros(0, bool)
+        idx = np.flatnonzero(starts)
+        out = {"event_type": [], "n": [], "m": [], "m2": [], "m3": [], "m4": []}
+        bounds = np.r_[idx, len(et)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            xs = x[s:e]
+            mu = xs.mean()
+            d = xs - mu
+            out["event_type"].append(et[s])
+            out["n"].append(int(e - s))
+            out["m"].append(mu)
+            out["m2"].append(float((d**2).sum()))
+            out["m3"].append(float((d**3).sum()))
+            out["m4"].append(float((d**4).sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "m": pa.array(out["m"], pa.float64()),
+                "m2": pa.array(out["m2"], pa.float64()),
+                "m3": pa.array(out["m3"], pa.float64()),
+                "m4": pa.array(out["m4"], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = {"event_type": [], "skew_e4": [], "kurt_e4": []}
+    for et, g in parts.groupby("event_type", sort=True):
+        n = m = m2 = m3 = m4 = 0.0
+        for r in g.itertuples(index=False):
+            # Pébay pairwise merge of ((n,m,M2,M3,M4), r)
+            nn = n + r.n
+            d = r.m - m
+            na, nb = n, float(r.n)
+            m4 = (
+                m4
+                + r.m4
+                + d**4 * na * nb * (na**2 - na * nb + nb**2) / nn**3
+                + 6.0 * d**2 * (na**2 * r.m2 + nb**2 * m2) / nn**2
+                + 4.0 * d * (na * r.m3 - nb * m3) / nn
+            )
+            m3 = (
+                m3
+                + r.m3
+                + d**3 * na * nb * (na - nb) / nn**2
+                + 3.0 * d * (na * r.m2 - nb * m2) / nn
+            )
+            m2 = m2 + r.m2 + d * d * na * nb / nn
+            m = m + d * nb / nn
+            n = nn
+        g1 = (m3 / n) / (m2 / n) ** 1.5
+        skew = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+        g2 = (m4 / n) / (m2 / n) ** 2 - 3.0
+        kurt = ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+        rows["event_type"].append(et)
+        rows["skew_e4"].append(int(np.floor(skew * 10000.0 + 0.5)))
+        rows["kurt_e4"].append(int(np.floor(kurt * 10000.0 + 0.5)))
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "skew_e4": pa.array(rows["skew_e4"], pa.int64()),
+            "kurt_e4": pa.array(rows["kurt_e4"], pa.int64()),
+        }
+    )
+
+
+def g24_skew_kurt_sql() -> str:
+    return (
+        "SELECT event_type, "
+        "CAST(ROUND(skewness(value) * 10000, 0) AS BIGINT) AS skew_e4, "
+        "CAST(ROUND(kurtosis(value) * 10000, 0) AS BIGINT) AS kurt_e4 "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )
+
+
+def o10_weighted_sample(sf: str, k: int = 20):
+    """Deterministic WEIGHTED sample (Efraimidis-Spirakis A-ES with a
+    hash in place of the random draw): k orders picked proportionally
+    to o_totalprice, reproducible across engines AND block splits.
+    score = floor(mix32(o_orderkey) << 20 / price_cents); the k
+    SMALLEST scores win, so heavier rows (larger denominators) are
+    proportionally likelier — the training-mix reweighting primitive
+    at corpus scale. Entirely integer (h < 2^32, << 20 < 2^52), so the
+    DuckDB mirror is bit-exact. Combiner discipline: each block keeps
+    its local bottom-k, one k x blocks finalize — never a global
+    sort."""
+    ds = read_table(sf, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        if "score" not in t.column_names:
+            key = t["o_orderkey"].to_numpy().astype(np.int64)
+            w_c = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            h = (key * 2654435761) % 4294967296
+            score = (h << 20) // w_c
+            t = pa.table(
+                {
+                    "o_orderkey": pa.array(key, pa.int64()),
+                    "score": pa.array(score, pa.int64()),
+                }
+            )
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("score", "ascending"), ("o_orderkey", "ascending")]
+            )
+        )
+        return t.slice(0, k)
+
+    cands = ds.map_batches(local_bottomk, batch_format="pyarrow")
+    t = pa.concat_tables(
+        list(cands.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    return local_bottomk(t)
+
+
+def o10_weighted_sample_sql(k: int = 20) -> str:
+    return (
+        "SELECT o_orderkey, score FROM ("
+        "SELECT o_orderkey, "
+        "(((o_orderkey * 2654435761) % 4294967296) * 1048576) "
+        "// CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS score "
+        f"FROM orders) ORDER BY score, o_orderkey LIMIT {k}"
+    )
+
+
+def m17_gaps_islands(sf: str, broadcast_max: int = 5_000_000):
+    """Gaps-and-islands, the fully-distributed formulation: maximal
+    runs of consecutive event_ids among 'click' events. The classic
+    SQL solution (id - ROW_NUMBER() grouping) needs a total order; at
+    100 TB that's a global sort. Instead: an island START is an id
+    whose predecessor id-1 is absent (anti-join of ids against ids+1),
+    an island END is one whose successor is absent — two
+    adaptive_semi_filter anti passes (broadcast under 5M keys,
+    co-partitioned shuffle above), then a result-sized zip of the
+    sorted starts with the sorted ends (the k-th start always pairs
+    with the k-th end). No stage ever totally orders the input."""
+    ids = read_table(sf, "events", ["event_id", "event_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(["event_id"]),
+        batch_format="pyarrow",
+    )
+
+    def shift(delta: int):
+        def f(t: pa.Table) -> pa.Table:
+            v = t["event_id"].to_numpy().astype(np.int64) + delta
+            return pa.table({"event_id": pa.array(v, pa.int64())})
+
+        return f
+
+    starts = adaptive_semi_filter(
+        ids,
+        ids.map_batches(shift(1), batch_format="pyarrow"),
+        "event_id",
+        "event_id",
+        anti=True,
+        broadcast_max=broadcast_max,
+    )
+    ends = adaptive_semi_filter(
+        ids,
+        ids.map_batches(shift(-1), batch_format="pyarrow"),
+        "event_id",
+        "event_id",
+        anti=True,
+        broadcast_max=broadcast_max,
+    )
+    s = np.sort(
+        pa.concat_tables(
+            list(starts.iter_batches(batch_format="pyarrow", batch_size=65536))
+        )["event_id"].to_numpy()
+    )
+    e = np.sort(
+        pa.concat_tables(
+            list(ends.iter_batches(batch_format="pyarrow", batch_size=65536))
+        )["event_id"].to_numpy()
+    )
+    assert len(s) == len(e), "island starts/ends must pair 1:1"
+    return pa.table(
+        {
+            "island_start": pa.array(s, pa.int64()),
+            "island_end": pa.array(e, pa.int64()),
+            "island_len": pa.array(e - s + 1, pa.int64()),
+        }
+    )
+
+
+def m17_gaps_islands_sql() -> str:
+    return (
+        "WITH c AS (SELECT event_id FROM events WHERE event_type = 'click'), "
+        "g AS (SELECT event_id, event_id - ROW_NUMBER() OVER (ORDER BY event_id) "
+        "AS grp FROM c) "
+        "SELECT MIN(event_id) AS island_start, MAX(event_id) AS island_end, "
+        "CAST(COUNT(*) AS BIGINT) AS island_len "
+        "FROM g GROUP BY grp ORDER BY island_start"
+    )
+
+
+def d9_except_all(sf: str):
+    """EXCEPT ALL — multiset difference with multiplicity (d5 is the
+    set form): l_partkey occurrences under returnflag 'A' minus those
+    under 'R'. Distributed as count-subtract-reexpand: per-batch
+    grouped counts tagged by side (the partial-aggregation combiner),
+    hash-co-partitioned by partkey, per-partition merge -> surviving
+    multiplicity max(cA - cB, 0), then a VECTORIZED np.repeat
+    re-expansion inside the partition. The shuffle carries one row per
+    (block, key, side) — never the raw multiset."""
+    li = read_table(sf, "lineitem", ["l_partkey", "l_returnflag"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.or_(pc.equal(t["l_returnflag"], "A"), pc.equal(t["l_returnflag"], "R"))
+        )
+        g = (
+            t.group_by(["l_partkey", "l_returnflag"])
+            .aggregate([("l_partkey", "count")])
+            .rename_columns(["l_partkey", "side", "cnt"])
+        )
+        return g
+
+    parts = li.map_batches(counts, batch_format="pyarrow")
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"]) if "__part" in t.column_names else t
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy().astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, side, cnt = pk[order], side[order], cnt[order]
+        starts = np.r_[True, pk[1:] != pk[:-1]] if len(pk) else np.zeros(0, bool)
+        gid = np.cumsum(starts) - 1
+        n_g = int(gid[-1]) + 1 if len(gid) else 0
+        ca = np.zeros(n_g, np.int64)
+        cb = np.zeros(n_g, np.int64)
+        np.add.at(ca, gid[side == "A"], cnt[side == "A"])
+        np.add.at(cb, gid[side == "R"], cnt[side == "R"])
+        keep = np.maximum(ca - cb, 0)
+        keys = pk[np.flatnonzero(starts)] if len(pk) else pk
+        return pa.table(
+            {"l_partkey": pa.array(np.repeat(keys, keep), pa.int64())}
+        )
+
+    return (
+        _hash_partitioned_any(parts, ["l_partkey"], _npart())
+        .map_groups(expand, batch_format="pyarrow")
+        .sort("l_partkey")
+    )
+
+
+def d9_except_all_sql() -> str:
+    return (
+        "SELECT * FROM ("
+        "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' "
+        "EXCEPT ALL "
+        "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R') "
+        "ORDER BY l_partkey"
+    )

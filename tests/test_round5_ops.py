@@ -1,0 +1,118 @@
+"""Round-5 final ops: perceptual-hash family kernels, the augmentation
+stage, and scale-path equality for the anti-join gaps-and-islands.
+(The DuckDB oracle equality for g24/o10/m17/d9 and the two image
+digest pins run in test_queries_oracle.py via the auto-parametrized
+gate.)"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lulu_crawler_ray.functions.phash import ahash64, dhash64, phash64
+
+SF = "/root/testdata/sf0.01"
+
+
+def _img(seed: int = 7, h: int = 48, w: int = 64) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), np.uint8)
+
+
+def test_hash_family_deterministic():
+    img = _img()
+    assert ahash64(img) == ahash64(img.copy())
+    assert dhash64(img) == dhash64(img.copy())
+    assert phash64(img) == phash64(img.copy())
+
+
+def test_dhash_brightness_invariant_ahash_not():
+    """dhash compares neighbor pixels, so a uniform brightness shift
+    (no clipping) preserves every bit; ahash thresholds on the mean,
+    so a gradient overlay moves bits."""
+    img = _img()
+    shifted = np.clip(img.astype(np.int16) + 30, 0, 255).astype(np.uint8)
+    # avoid saturation artifacts: restrict the base image range
+    base = (img % 200).astype(np.uint8)
+    shifted = (base.astype(np.int16) + 30).astype(np.uint8)
+    assert dhash64(base) == dhash64(shifted)
+
+
+def test_hash_family_distinguishes_content():
+    a, b = _img(1), _img(2)
+    assert ahash64(a) != ahash64(b)
+    assert dhash64(a) != dhash64(b)
+
+
+def test_augment_stage_matches_naive(ray_session):
+    """AugmentStage's weighted sums equal a naive per-image recompute,
+    and flip/rot/crop witnesses are pairwise distinct on an asymmetric
+    image (the linear-x-linear flip/rot degeneracy is fixed by rot's
+    quadratic row weight)."""
+    from lulu_crawler_ray.functions.imagecodec import encode, resize_nearest
+    from lulu_crawler_ray.pipelines.images_pipe import AugmentStage
+
+    img = _img(11, h=24, w=32)
+    t = pa.table(
+        {
+            "image_id": pa.array(["x"], pa.string()),
+            "bytes": pa.array([encode(img, "raw")], pa.binary()),
+            "fmt": pa.array(["raw"], pa.string()),
+        }
+    )
+    out = AugmentStage()(t)
+    h, w = img.shape[:2]
+    yw = np.arange(1, h + 1, dtype=np.int64)[:, None, None]
+    xw = np.arange(1, w + 1, dtype=np.int64)[None, :, None]
+    flip = img[:, ::-1].astype(np.int64)
+    assert out["flip_wsum"][0].as_py() == int((flip * yw * xw).sum())
+    rot = np.rot90(img).astype(np.int64)
+    yw2 = (np.arange(1, w + 1, dtype=np.int64) ** 2)[:, None, None]
+    xw2 = np.arange(1, h + 1, dtype=np.int64)[None, :, None]
+    assert out["rot_wsum"][0].as_py() == int((rot * yw2 * xw2).sum())
+    ch, cw = h * 3 // 4, w * 3 // 4
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    crop = resize_nearest(img[y0 : y0 + ch, x0 : x0 + cw], w, h).astype(np.int64)
+    assert out["crop_wsum"][0].as_py() == int((crop * yw * xw).sum())
+    vals = {
+        out["flip_wsum"][0].as_py(),
+        out["rot_wsum"][0].as_py(),
+        out["crop_wsum"][0].as_py(),
+    }
+    assert len(vals) == 3, "augment witnesses must be pairwise distinct"
+
+
+def test_m17_both_scale_paths_equal(ray_session):
+    """Gaps-and-islands via anti-join must return identical islands on
+    the broadcast path (default) and the forced co-partitioned shuffle
+    path (broadcast_max=0 pushes every anti past the bound)."""
+    from lulu_crawler_ray.pipelines.relational import m17_gaps_islands
+
+    small = m17_gaps_islands(SF).to_pandas()
+    forced = m17_gaps_islands(SF, broadcast_max=1).to_pandas()
+    assert small.equals(forced)
+    # islands are well-formed: start <= end, len = end - start + 1,
+    # disjoint and strictly ordered
+    s = small["island_start"].to_numpy()
+    e = small["island_end"].to_numpy()
+    assert (e >= s).all()
+    assert (small["island_len"].to_numpy() == e - s + 1).all()
+    assert (s[1:] > e[:-1]).all()
+
+
+def test_o10_weighted_sample_prefers_heavy(ray_session):
+    """A-ES sanity: the sampled orders' mean weight must exceed the
+    population mean (that's what 'weighted' buys)."""
+    import duckdb
+
+    from lulu_crawler_ray.pipelines.relational import o10_weighted_sample
+
+    got = o10_weighted_sample(SF).to_pandas()
+    con = duckdb.connect()
+    pop = con.execute(
+        f"SELECT AVG(o_totalprice) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    picked = con.execute(
+        f"SELECT AVG(o_totalprice) FROM read_parquet('{SF}/orders.parquet') "
+        f"WHERE o_orderkey IN ({','.join(str(k) for k in got['o_orderkey'])})"
+    ).fetchone()[0]
+    assert picked > pop
