@@ -10,9 +10,14 @@ files decode too), multiple DQT/DHT segments, DRI restart markers,
 and PROGRESSIVE (SOF2) streams — multi-scan spectral selection +
 successive approximation with DC/AC first and refinement scans and
 EOB runs (round 5; encode_jpeg_progressive is the matching encoder).
-Arithmetic coding, 12-bit precision, and hierarchical mode raise
-NotImplementedError — they are declared seams, like the other
-compressed codecs in stages/multimodal.py.
+12-BIT precision (SOF1 extended sequential) decodes too — level shift
+2^11, 16-bit DQT entries, extended DC/AC magnitude categories —
+reducing to the uint8 output contract by /16 (the PNG-16 MSB
+treatment); encode_jpeg_ext12 is the matching encoder (per-image
+canonical Huffman tables, since Annex K's 8-bit tables have no code
+space for the 12-bit categories). Arithmetic coding and hierarchical
+mode raise NotImplementedError — they are declared seams, like the
+other compressed codecs in stages/multimodal.py.
 
 The per-block math is vectorized (all 8x8 blocks DCT'd in one einsum);
 only the entropy coder is a Python loop, which is inherent to Huffman
@@ -600,10 +605,11 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     """JFIF bytes -> (h, w, 3) uint8 RGB (gray replicated). Decodes
     baseline sequential (SOF0/1) AND progressive (SOF2: spectral
     selection + successive approximation, DC/AC first and refinement
-    scans, EOB runs) — the two real-web DCT modes. Accepts sampling
+    scans, EOB runs) — the two real-web DCT modes — plus 12-bit
+    extended sequential (SOF1), MSB-reduced to uint8. Accepts sampling
     factors up to 2x2 (4:2:0 et al.), multiple DQT/DHT segments, DRI
-    restarts. Arithmetic coding / 12-bit / hierarchical remain
-    declared NotImplementedError seams."""
+    restarts. Arithmetic coding / hierarchical remain declared
+    NotImplementedError seams."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: missing SOI")
     qt: dict[int, np.ndarray] = {}
@@ -642,13 +648,13 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
-            if prec != 8:
-                raise NotImplementedError("jpeg: 12-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(f"jpeg: {prec}-bit precision")
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec}
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             if hmax > 2 or vmax > 2:
@@ -711,7 +717,12 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         # (stored de-zigzagged at DQT parse) — apply it plain
         F = (c["coef"][:, _UNZZ] * q[None, :]).astype(np.float64).reshape(-1, 8, 8)
         # IDCT: x[m,n] = sum_kl C[k,m] F[k,l] C[l,n]  (= C.T @ F @ C)
-        blk = np.einsum("km,ikl,ln->imn", _C, F, _C) + 128.0
+        # level shift is 2^(P-1); 12-bit samples reduce to the uint8
+        # output contract by /16 (the PNG-16 MSB treatment)
+        prec = frame.get("prec", 8)
+        blk = np.einsum("km,ikl,ln->imn", _C, F, _C) + float(1 << (prec - 1))
+        if prec > 8:
+            blk = blk / float(1 << (prec - 8))
         bh, bw_ = c["bh"], c["bw"]
         plane = blk.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
         # upsample to full MCU grid resolution
@@ -994,5 +1005,133 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85, subsample: str =
     for ci in range(nc):
         out += emit_ac_scan(ci, refine=True)
 
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------- 12-bit encoder (SOF1)
+
+
+class _SymCollect(dict):
+    """Stand-in Huffman encode table for the collection pass: records
+    every symbol _encode_block asks for and hands back a dummy code."""
+
+    def __init__(self):
+        super().__init__()
+        self.seen: set[int] = set()
+
+    def __getitem__(self, sym: int) -> tuple[int, int]:
+        self.seen.add(sym)
+        return (0, 1)
+
+
+def _flat_huff(syms: set[int]) -> tuple[list[int], list[int]]:
+    """Fixed-length canonical code over exactly `syms` (T.81-legal: the
+    all-ones code of the chosen length stays unused) — the same scheme
+    the progressive encoder's per-scan DHTs use."""
+    vals = sorted(syms) or [0x00]
+    L = 1
+    while (1 << L) < len(vals) + 1:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(vals)
+    return bits, vals
+
+
+def encode_jpeg_ext12(img: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) or (h, w) uint16 with 12-bit samples (0..4095) ->
+    extended-sequential JFIF bytes (SOF1, precision 12, 4:4:4).
+    Annex K's Huffman tables cover only the 8-bit magnitude categories
+    (DC<=11, AC<=10), so a 12-bit stream needs wider tables: a
+    collection pass records the symbols this image actually emits and
+    each table is a compact fixed-length canonical code over them.
+    Quant tables are the quality-scaled Annex K tables x16 (same
+    relative step in the 12-bit domain), stored as 16-bit DQT (pq=1)."""
+    if img.dtype != np.uint16:
+        raise ValueError("encode_jpeg_ext12: uint16 samples required")
+    if img.max() > 4095:
+        raise ValueError("encode_jpeg_ext12: samples exceed 12 bits")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg_ext12: 1 or 3 channels")
+    f = img.astype(np.float64)
+    if nc == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            2048.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            2048.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [f[..., 0]]
+
+    mcux = -(-w // 8)
+    mcuy = -(-h // 8)
+    ql8, qc8 = _quality_tables(quality)
+    qts = [np.minimum(ql8.astype(np.int64) * 16, 65535)]
+    if nc == 3:
+        qts.append(np.minimum(qc8.astype(np.int64) * 16, 65535))
+
+    qcoef = []
+    for ci, plane in enumerate(planes):
+        gh, gw = mcuy * 8, mcux * 8
+        p = np.pad(
+            plane,
+            ((0, gh - plane.shape[0]), (0, gw - plane.shape[1])),
+            mode="edge",
+        )
+        blk = p.reshape(gh // 8, 8, gw // 8, 8).transpose(0, 2, 1, 3) - 2048.0
+        F = np.einsum("km,ijmn,ln->ijkl", _C, blk, _C)
+        Z = np.rint(F / qts[min(ci, 1)].astype(np.float64)).astype(np.int64)
+        qcoef.append(Z.reshape(gh // 8, gw // 8, 64)[:, :, _ZZ])
+
+    def run_blocks(enc_dc, enc_ac, bw):
+        pred = [0] * nc
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    ti = min(ci, 1)
+                    z = qcoef[ci][my, mx]
+                    pred[ci] = _encode_block(bw, z, pred[ci], enc_dc[ti], enc_ac[ti])
+
+    # pass 1: collect the symbol alphabet per table
+    ntab = 2 if nc == 3 else 1
+    col_dc = [_SymCollect() for _ in range(ntab)]
+    col_ac = [_SymCollect() for _ in range(ntab)]
+    run_blocks(col_dc, col_ac, _BitWriter())
+    tables = []  # (cls, tid, bits, vals)
+    enc_dc, enc_ac = [], []
+    for ti in range(ntab):
+        bits, vals = _flat_huff(col_dc[ti].seen)
+        tables.append((0, ti, bits, vals))
+        enc_dc.append(_huff_encode_table(bits, vals))
+        bits, vals = _flat_huff(col_ac[ti].seen)
+        tables.append((1, ti, bits, vals))
+        enc_ac.append(_huff_encode_table(bits, vals))
+
+    bw = _BitWriter()
+    run_blocks(enc_dc, enc_ac, bw)
+    scan = bw.flush()
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(qts):
+        out += b"\xFF\xDB" + struct.pack(">H", 131) + bytes([(1 << 4) | tid])
+        out += q.reshape(-1)[_ZZ].astype(">u2").tobytes()
+    out += b"\xFF\xC1" + struct.pack(">HBHHB", 8 + 3 * nc, 12, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, min(ci, 1)])
+    for cls, tid, bits, vals in tables:
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals)) + bytes([(cls << 4) | tid])
+        out += bytes(bits) + bytes(vals)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        t = min(ci, 1)
+        out += bytes([ci + 1, (t << 4) | t])
+    out += b"\x00\x3F\x00"
+    out += scan
     out += b"\xFF\xD9"
     return bytes(out)

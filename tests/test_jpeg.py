@@ -258,3 +258,59 @@ def test_16bit_quant_table_decode():
             pos += 1
     out.append(data[-1])
     assert np.array_equal(decode_jpeg_baseline(bytes(out)), decode_jpeg_baseline(data))
+
+
+def test_ext12_roundtrip_psnr():
+    """12-bit extended sequential (SOF1): encode 12-bit samples, decode
+    through the shared path, compare against the /16 MSB reduction."""
+    from lulu_crawler_ray.functions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_ext12,
+    )
+
+    y, x = np.mgrid[0:40, 0:56]
+    base = ((y * 60 + x * 40) % 4096).astype(np.uint16)
+    img12 = np.stack([base, (base * 2) % 4096, 4095 - base], axis=-1).astype(np.uint16)
+    out = decode_jpeg_baseline(encode_jpeg_ext12(img12, quality=95))
+    ref = np.clip(np.rint(img12 / 16.0), 0, 255)
+    mse = ((out.astype(np.float64) - ref) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) >= 38.0
+    assert out.shape == (40, 56, 3)
+
+
+def test_ext12_gray_and_extended_categories():
+    """Grayscale 12-bit roundtrip, plus a max-contrast block image that
+    forces DC-diff magnitude categories beyond Annex K's 8-bit range
+    (the reason the encoder builds per-image tables)."""
+    from lulu_crawler_ray.functions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_ext12,
+    )
+
+    y, x = np.mgrid[0:40, 0:56]
+    g = ((y * 17 + x * 31) % 4096).astype(np.uint16)
+    out = decode_jpeg_baseline(encode_jpeg_ext12(g, quality=95))
+    ref = np.clip(np.rint(g / 16.0), 0, 255)
+    mse = ((out[:, :, 0].astype(np.float64) - ref) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) >= 40.0
+    # alternating 0/4095 8px blocks: DC swings of +-4095*8 between
+    # adjacent blocks -> categories ~13-15, undecodable with Annex K
+    rng = np.random.default_rng(5)
+    hard = (rng.integers(0, 2, (32, 32, 1)) * 4095).astype(np.uint16).repeat(3, axis=2)
+    o2 = decode_jpeg_baseline(encode_jpeg_ext12(hard, quality=90))
+    assert o2.shape == (32, 32, 3)
+    # extreme blocks survive the quant/DCT trip to near-saturation
+    ref2 = hard[:, :, 0] // 16
+    err = np.abs(o2[:, :, 0].astype(np.int64)[4:-4, 4:-4] - ref2[4:-4, 4:-4])
+    assert np.median(err) <= 30
+
+
+def test_ext12_rejects_bad_input():
+    import pytest as _pytest
+
+    from lulu_crawler_ray.functions.jpeg import encode_jpeg_ext12
+
+    with _pytest.raises(ValueError):
+        encode_jpeg_ext12(np.zeros((8, 8, 3), np.uint8))
+    with _pytest.raises(ValueError):
+        encode_jpeg_ext12(np.full((8, 8), 5000, np.uint16))
