@@ -52,8 +52,33 @@ def build(src_sf: str, out_dir: str, copies: int) -> None:
         ids = pa.array(e["vec_id"].to_numpy(zero_copy_only=False) + c * e.num_rows, pa.int64())
         eparts.append(pa.table({"vec_id": ids, "embedding": e["embedding"]}))
     pq.write_table(pa.concat_tables(eparts), f"{out_dir}/embeddings.parquet")
+    # events replicate too (id/user offset) so the event-stream ops
+    # (gaps-islands anti-joins, grouped moments, sessionize) get a
+    # 10x leg; other relational tables aren't the target here
+    ev = pq.read_table(f"{src_sf}/events.parquet")
+    vparts = []
+    for c in range(copies):
+        vparts.append(
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        ev["event_id"].to_numpy(zero_copy_only=False) + c * ev.num_rows,
+                        pa.int64(),
+                    ),
+                    "ts": ev["ts"],
+                    "user_id": pa.array(
+                        ev["user_id"].to_numpy(zero_copy_only=False) + c * 1_000_000,
+                        pa.int64(),
+                    ),
+                    "event_type": ev["event_type"],
+                    "value": ev["value"],
+                    "props": ev["props"],
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(vparts), f"{out_dir}/events.parquet")
     # relational ops aren't the target here; link the rest for read_table
-    for name in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+    for name in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
         dst = f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{src_sf}/{name}.parquet", dst)
@@ -89,7 +114,7 @@ def main() -> None:
         "t_exact_dedup", "t_chunk_dedup", "t_winnow", "t_winnow_pairs",
         "t_near_dedup", "t_minhash_pairs", "t_split", "e_mips_topk",
         "t_decontaminate", "t_pack", "t_dupspans", "e_semdedup",
-        "t_prep_v4",
+        "t_prep_v4", "m17_gaps_islands", "g24_skew_kurt", "w11_sessionize",
     ):
         t0 = time.time()
         res = q[name](out_dir)
