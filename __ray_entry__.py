@@ -93,24 +93,26 @@ _PRIORITY_R5 = [
     "s11_pushdown_scan", "t_bpe_real", "d8_semi_join", "e_radius_search",
     "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
     "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
-    # last sampled before their oracles became bit-exact (r3 item 6)
-    "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
-    "t_langid", "t_fingerprint",
     # late round-5 SQL-checked ops (dup-span coverage + SemDeDup +
     # the v4 corpus-prep capstone composing them)
     "t_dupspans", "e_semdedup", "t_prep_v4", "j10_asof",
     "o9_topk_per_group", "w11_sessionize",
     # final round-5 additions: 3rd/4th-moment stats, deterministic
-    # weighted sampling, anti-join gaps-and-islands, EXCEPT ALL, and
-    # the two pinned image digests (perceptual-hash family +
-    # augmentation stage)
+    # weighted sampling, anti-join gaps-and-islands, EXCEPT ALL,
+    # k-core peeling, and the two pinned image digests
+    # (perceptual-hash family + augmentation stage)
     "g24_skew_kurt", "o10_weighted_sample", "m17_gaps_islands",
-    "d9_except_all", "img_hash_variants_digest", "img_augment_digest",
-    # rows-only surfaces never sampled at all (multimodal + approx);
-    # video_frames/video_scenes fall past the 50-key window — their
-    # hash-checked digest twins (video_digest) stay inside it
+    "d9_except_all", "x4_kcore",
+    "img_hash_variants_digest", "img_augment_digest",
+    # never-sampled multimodal digest pins + rows-only surfaces; these
+    # outrank the re-check group below (which already has green r2/r3
+    # driver rows AND bit-exact pytest oracles) for the 50-key window
     "img_jpeg_digest", "img_blur_digest", "audio_digest", "video_digest",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
+    # last sampled before their oracles became bit-exact (r3 item 6) —
+    # green rows exist; re-sample is a bonus, not a need
+    "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
+    "t_langid", "t_fingerprint",
     "img_near_dedup", "img_prep_pipeline", "img_similar",
     "audio_features", "audio_segments", "video_frames", "video_scenes",
 ]
@@ -126,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines.graph import x1_pagerank as _pagerank
     from lulu_crawler_ray.pipelines.graph import x2_triangles as _triangles
     from lulu_crawler_ray.pipelines.graph import x3_components as _components
+    from lulu_crawler_ray.pipelines.graph import x4_kcore as _kcore
     from lulu_crawler_ray.pipelines.kmeans import e_kmeans_int as _kmeans
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
@@ -180,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x1_pagerank": _pagerank,
         "x2_triangles": _triangles,
         "x3_components": _components,
+        "x4_kcore": _kcore,
         "j6_left_join": rl.j6_left_join,
         "j7_full_outer": rl.j7_full_outer,
         "g11_pivot": rl.g11_pivot,
@@ -324,6 +328,7 @@ def _bpe_real_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from lulu_crawler_ray.pipelines.graph import x4_kcore_sql as _x4_sql
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
     from lulu_crawler_ray.pipelines.relational import j10_asof_sql as _j10_asof_sql
     from lulu_crawler_ray.pipelines.relational import (
@@ -366,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "j10_asof": _j10_asof_sql(),
         "o9_topk_per_group": _o9_sql(),
         "w11_sessionize": _w11_sql(),
+        "x4_kcore": _x4_sql(),
         "g24_skew_kurt": _g24_sql(),
         "o10_weighted_sample": _o10_sql(),
         "m17_gaps_islands": _m17_sql(),

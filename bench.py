@@ -149,6 +149,7 @@ def run_bench() -> dict:
         "t_dupspans", "e_semdedup", "t_prep_v4",
         "g24_skew_kurt", "o10_weighted_sample", "m17_gaps_islands",
         "d9_except_all", "img_hash_variants_digest", "img_augment_digest",
+        "x4_kcore",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

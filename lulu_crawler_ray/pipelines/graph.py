@@ -314,3 +314,126 @@ def _x3_label_ref(*blocks):
     l = t["lbl"].to_numpy()
     o = np.argsort(n, kind="stable")
     return n[o], l[o]
+
+
+def x4_kcore(sf: str, n_nodes: int = 2000, edge_mod: int = 3, k: int = 10):
+    """k-CORE decomposition by iterative peeling — the graph-curation
+    primitive that isolates the densely-connected subgraph (spam-farm
+    / boilerplate-cluster detection on a link graph). Derived SKEWED
+    graph: a = orderkey % n, b = partkey % (1 + a), so low ids are
+    hubs and the degree distribution has a real tail for k to bite
+    (the uniform x1/x3 derivations are k-core-degenerate: every node
+    survives or none does). Peeling: drop nodes with degree < k,
+    delete their edges, repeat to fixpoint (10 rounds at sf0.01).
+
+    Distributed shape: edges stay a Dataset throughout; each round is
+    one grouped count (degree) + two adaptive anti semi-joins (edges
+    touching dropped nodes). The per-round drop set is NODE-bounded —
+    at 100 TB the edge table is the big side and never gathers; the
+    node table is the small side by the k-core contract. Convergence
+    needs one streaming count per round (O(diameter) rounds, same
+    budget as x3's grouped-Min propagation). Output: (node, deg)
+    of the surviving core, ordered by node; the DuckDB oracle unrolls
+    the peel rounds as a CTE chain (the x1/kmeans unrolling pattern)."""
+    from .relational import adaptive_semi_filter
+
+    ds = read_table(sf, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def e0(t: pa.Table) -> pa.Table:
+        a0 = (t["l_orderkey"].to_numpy() % n_nodes).astype(np.int64)
+        b0 = (t["l_partkey"].to_numpy() % (1 + a0)).astype(np.int64)
+        keep = ((t["l_orderkey"].to_numpy() + t["l_partkey"].to_numpy()) % edge_mod == 0) & (
+            a0 != b0
+        )
+        lo = np.minimum(a0[keep], b0[keep])
+        hi = np.maximum(a0[keep], b0[keep])
+        out = pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+        return out.group_by(["a", "b"]).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    edges = (
+        ds.map_batches(e0, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def degrees(e):
+        return grouped_agg(
+            e.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": pa.concat_arrays(
+                            [
+                                t["a"].combine_chunks().cast(pa.int64()),
+                                t["b"].combine_chunks().cast(pa.int64()),
+                            ]
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+            [("deg", "count", None)],
+            round_to=None,
+        )
+
+    while True:
+        deg = degrees(edges).materialize()
+        bad = deg.map_batches(
+            lambda t: t.filter(pc.less(t["deg"], k)).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if bad.count() == 0:
+            break
+        edges = adaptive_semi_filter(edges, bad, "a", "node", anti=True)
+        edges = adaptive_semi_filter(edges, bad, "b", "node", anti=True).materialize()
+        if edges.count() == 0:
+            break
+
+    out = degrees(edges)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "deg": t["deg"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("node")
+
+
+def x4_kcore_sql(n_nodes: int = 2000, edge_mod: int = 3, k: int = 10, rounds: int = 14) -> str:
+    """Unrolled peel rounds (fixpoint-stable: a converged round is a
+    no-op, so `rounds` only needs to be >= the actual peel count for
+    the sf the oracle runs at — 10 at sf0.01, margin to 14). Every
+    CTE is MATERIALIZED: inlined, each round references its
+    predecessor 5x, so the plan (and the parquet open count) grows
+    5^rounds — DuckDB hits EMFILE before it finishes binding."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a0, b0) AS a, GREATEST(a0, b0) AS b FROM ("
+        f"SELECT l_orderkey % {n_nodes} AS a0, "
+        f"l_partkey % (1 + (l_orderkey % {n_nodes})) AS b0 "
+        f"FROM lineitem WHERE (l_orderkey + l_partkey) % {edge_mod} = 0) "
+        f"WHERE a0 <> b0)"
+    ]
+    prev = "e0"
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT nd, COUNT(*) AS c FROM "
+            f"(SELECT a AS nd FROM {prev} UNION ALL SELECT b FROM {prev}) GROUP BY nd)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT a, b FROM {prev} "
+            f"WHERE a NOT IN (SELECT nd FROM d{i} WHERE c < {k}) "
+            f"AND b NOT IN (SELECT nd FROM d{i} WHERE c < {k}))"
+        )
+        prev = f"r{i}"
+    final = (
+        f"SELECT nd AS node, CAST(c AS BIGINT) AS deg FROM "
+        f"(SELECT nd, COUNT(*) AS c FROM (SELECT a AS nd FROM {prev} "
+        f"UNION ALL SELECT b FROM {prev}) GROUP BY nd) WHERE c >= {k} ORDER BY node"
+    )
+    return ", ".join(parts) + " " + final
