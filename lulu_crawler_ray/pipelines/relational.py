@@ -4286,9 +4286,18 @@ def m17_gaps_islands(sf: str, broadcast_max: int = 5_000_000):
     co-partitioned shuffle above), then a result-sized zip of the
     sorted starts with the sorted ends (the k-th start always pairs
     with the k-th end). No stage ever totally orders the input."""
-    ids = read_table(sf, "events", ["event_id", "event_type"]).map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(["event_id"]),
-        batch_format="pyarrow",
+    # materialized once: the id set feeds four consumers (probe+build
+    # of each anti pass) — int64-only, so object-store resident even
+    # at 100 TB of events
+    ids = (
+        read_table(sf, "events", ["event_id", "event_type"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+                ["event_id"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
 
     def shift(delta: int):
