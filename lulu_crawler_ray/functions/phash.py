@@ -33,8 +33,7 @@ def phash64(img: np.ndarray) -> int:
     per-pixel, so they commute — resize FIRST (1024 px instead of
     h*w), then gray via exact integer channel-sum / 3 (uint8 channels
     sum exactly; float64(sum)/3 equals float64 mean bit-for-bit)."""
-    small3 = resize_nearest(img, _N, _N)
-    small = small3.sum(axis=2, dtype=np.int64).astype(np.float64) / 3.0
+    small = _gray_small(img, _N, _N)
     coef = _DCT @ small @ _DCT.T
     block = coef[:8, :8].flatten()[1:]  # drop DC
     med = np.median(block)

@@ -380,6 +380,8 @@ def x4_kcore(sf: str, n_nodes: int = 2000, edge_mod: int = 3, k: int = 10):
             round_to=None,
         )
 
+    from .relational import broadcast_sorted_keys
+
     while True:
         deg = degrees(edges).materialize()
         bad = deg.map_batches(
@@ -388,8 +390,32 @@ def x4_kcore(sf: str, n_nodes: int = 2000, edge_mod: int = 3, k: int = 10):
         ).materialize()
         if bad.count() == 0:
             break
-        edges = adaptive_semi_filter(edges, bad, "a", "node", anti=True)
-        edges = adaptive_semi_filter(edges, bad, "b", "node", anti=True).materialize()
+        try:
+            # ONE worker-built sorted drop array per round filters both
+            # endpoint columns in a single streaming pass (two
+            # adaptive_semi_filter calls would distinct+broadcast the
+            # same set twice)
+            bref = broadcast_sorted_keys(bad, "node")
+
+            def drop_bad(t: pa.Table, _r=bref) -> pa.Table:
+                ks = ray.get(_r)
+                if len(ks) == 0:
+                    return t
+                keep = np.ones(t.num_rows, bool)
+                for colname in ("a", "b"):
+                    v = t[colname].to_numpy().astype(np.int64)
+                    idx = np.clip(np.searchsorted(ks, v), 0, len(ks) - 1)
+                    keep &= ks[idx] != v
+                return t.filter(pa.array(keep))
+
+            edges = edges.map_batches(drop_bad, batch_format="pyarrow").materialize()
+        except ValueError:
+            # drop set past the loud broadcast bound: co-partitioned
+            # shuffle path, once per endpoint column
+            edges = adaptive_semi_filter(edges, bad, "a", "node", anti=True)
+            edges = adaptive_semi_filter(
+                edges, bad, "b", "node", anti=True
+            ).materialize()
         if edges.count() == 0:
             break
 

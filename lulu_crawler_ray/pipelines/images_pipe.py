@@ -888,15 +888,20 @@ class HashVariantsStage:
             a.append(ahash64(img))
             d.append(dhash64(img))
             p.append(phash64(img))
-        out = {
-            "image_id": t["image_id"],
-            "ahash": pa.array(a, pa.int64()),
-            "dhash": pa.array(d, pa.int64()),
-            "phash2": pa.array(p, pa.int64()),
-        }
-        if "phash" in t.column_names:  # stored hash rides for cross-check
-            out["phash"] = t["phash"]
-        return pa.table(out)
+        if "phash" not in t.column_names:
+            raise ValueError(
+                "HashVariantsStage: input must carry the stored phash "
+                "column (the digest fold cross-checks recompute vs stored)"
+            )
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "ahash": pa.array(a, pa.int64()),
+                "dhash": pa.array(d, pa.int64()),
+                "phash2": pa.array(p, pa.int64()),
+                "phash": t["phash"],
+            }
+        )
 
 
 def img_hash_variants_digest_query(sf: str) -> pa.Table:

@@ -4201,13 +4201,23 @@ def g24_skew_kurt(sf: str):
             m2 = m2 + r.m2 + d * d * na * nb / nn
             m = m + d * nb / nn
             n = nn
-        g1 = (m3 / n) / (m2 / n) ** 1.5
-        skew = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
-        g2 = (m4 / n) / (m2 / n) ** 2 - 3.0
-        kurt = ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
         rows["event_type"].append(et)
-        rows["skew_e4"].append(int(np.floor(skew * 10000.0 + 0.5)))
-        rows["kurt_e4"].append(int(np.floor(kurt * 10000.0 + 0.5)))
+        # degenerate groups match DuckDB's NULLs exactly: skewness is
+        # NULL for n < 3 or zero variance, kurtosis for n < 4 or zero
+        # variance (verified against DuckDB 1.0 on constant / tiny
+        # groups) — the 0/0 would otherwise NaN-crash the int cast
+        if n < 3 or m2 == 0.0:
+            rows["skew_e4"].append(None)
+        else:
+            g1 = (m3 / n) / (m2 / n) ** 1.5
+            skew = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+            rows["skew_e4"].append(int(np.floor(skew * 10000.0 + 0.5)))
+        if n < 4 or m2 == 0.0:
+            rows["kurt_e4"].append(None)
+        else:
+            g2 = (m4 / n) / (m2 / n) ** 2 - 3.0
+            kurt = ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+            rows["kurt_e4"].append(int(np.floor(kurt * 10000.0 + 0.5)))
     return pa.table(
         {
             "event_type": pa.array(rows["event_type"], pa.string()),
@@ -4227,16 +4237,21 @@ def g24_skew_kurt_sql() -> str:
 
 
 def o10_weighted_sample(sf: str, k: int = 20):
-    """Deterministic WEIGHTED sample (Efraimidis-Spirakis A-ES with a
-    hash in place of the random draw): k orders picked proportionally
-    to o_totalprice, reproducible across engines AND block splits.
-    score = floor(mix32(o_orderkey) << 20 / price_cents); the k
-    SMALLEST scores win, so heavier rows (larger denominators) are
-    proportionally likelier — the training-mix reweighting primitive
-    at corpus scale. Entirely integer (h < 2^32, << 20 < 2^52), so the
-    DuckDB mirror is bit-exact. Combiner discipline: each block keeps
-    its local bottom-k, one k x blocks finalize — never a global
-    sort."""
+    """Deterministic WEIGHTED sample — sequential Poisson / priority
+    sampling (Ohlsson; Duffield et al.), with a hash in place of the
+    random draw: priority = u/w, bottom-k. (NOT Efraimidis-Spirakis
+    A-ES, whose key is u^(1/w) — a different inclusion distribution;
+    priority sampling trades A-ES's exact PPS-without-replacement law
+    for an integer-exact, subset-sum-unbiased scheme.) k orders picked
+    with probability increasing in o_totalprice, reproducible across
+    engines AND block splits. score = floor(mix32(o_orderkey) << 20 /
+    price_cents); the k SMALLEST scores win. Entirely integer
+    (h < 2^32, << 20 < 2^52), so the DuckDB mirror is bit-exact (the
+    SQL does the 32-bit hash in HUGEINT — the raw key*constant product
+    overflows BIGINT past orderkey ~3.5e9, where numpy wraps mod 2^64;
+    both reduce to the same value mod 2^32). Combiner discipline: each
+    block keeps its local bottom-k, one k x blocks finalize — never a
+    global sort."""
     ds = read_table(sf, "orders", ["o_orderkey", "o_totalprice"])
 
     def local_bottomk(t: pa.Table) -> pa.Table:
@@ -4268,9 +4283,9 @@ def o10_weighted_sample(sf: str, k: int = 20):
 def o10_weighted_sample_sql(k: int = 20) -> str:
     return (
         "SELECT o_orderkey, score FROM ("
-        "SELECT o_orderkey, "
-        "(((o_orderkey * 2654435761) % 4294967296) * 1048576) "
-        "// CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS score "
+        "SELECT o_orderkey, CAST("
+        "(((CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296) * 1048576) "
+        "// CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS BIGINT) AS score "
         f"FROM orders) ORDER BY score, o_orderkey LIMIT {k}"
     )
 

@@ -5,6 +5,7 @@ digest pins run in test_queries_oracle.py via the auto-parametrized
 gate.)"""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -25,16 +26,22 @@ def test_hash_family_deterministic():
     assert phash64(img) == phash64(img.copy())
 
 
-def test_dhash_brightness_invariant_ahash_not():
+def test_dhash_brightness_invariant_gradient_not():
     """dhash compares neighbor pixels, so a uniform brightness shift
-    (no clipping) preserves every bit; ahash thresholds on the mean,
-    so a gradient overlay moves bits."""
-    img = _img()
-    shifted = np.clip(img.astype(np.int16) + 30, 0, 255).astype(np.uint8)
-    # avoid saturation artifacts: restrict the base image range
-    base = (img % 200).astype(np.uint8)
+    (no clipping) preserves every bit — while a horizontal GRADIENT
+    overlay changes neighbor differences and must move dhash bits.
+    (A uniform shift moves the mean along with every pixel, so ahash
+    is uniform-shift-invariant too — the discriminating probe is the
+    gradient, not the shift.)"""
+    base = (_img() % 200).astype(np.uint8)
     shifted = (base.astype(np.int16) + 30).astype(np.uint8)
     assert dhash64(base) == dhash64(shifted)
+    grad = np.clip(
+        base.astype(np.int16) + np.arange(base.shape[1], dtype=np.int16)[None, :, None],
+        0,
+        255,
+    ).astype(np.uint8)
+    assert dhash64(base) != dhash64(grad)
 
 
 def test_hash_family_distinguishes_content():
@@ -100,8 +107,8 @@ def test_m17_both_scale_paths_equal(ray_session):
 
 
 def test_o10_weighted_sample_prefers_heavy(ray_session):
-    """A-ES sanity: the sampled orders' mean weight must exceed the
-    population mean (that's what 'weighted' buys)."""
+    """Priority-sampling sanity: the sampled orders' mean weight must
+    exceed the population mean (that's what 'weighted' buys)."""
     import duckdb
 
     from lulu_crawler_ray.pipelines.relational import o10_weighted_sample
@@ -116,3 +123,47 @@ def test_o10_weighted_sample_prefers_heavy(ray_session):
         f"WHERE o_orderkey IN ({','.join(str(k) for k in got['o_orderkey'])})"
     ).fetchone()[0]
     assert picked > pop
+
+
+def test_g24_degenerate_groups_null_like_duckdb(ray_session):
+    """Constant-value and tiny groups must yield NULL (not NaN-crash),
+    matching DuckDB: skewness NULL for n < 3 or zero variance,
+    kurtosis NULL for n < 4 or zero variance."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from lulu_crawler_ray.pipelines.relational import (
+        g24_skew_kurt,
+        g24_skew_kurt_sql,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "ts": pa.array([0] * 10, pa.timestamp("us")),
+            "user_id": pa.array([1] * 10, pa.int64()),
+            "event_type": pa.array(
+                ["const"] * 4 + ["tiny3"] * 3 + ["pair"] * 2 + ["one"] * 1,
+                pa.string(),
+            ),
+            "value": pa.array(
+                [5.0, 5.0, 5.0, 5.0, 1.0, 2.0, 4.0, 1.0, 2.0, 7.0], pa.float64()
+            ),
+            "props": pa.array(["{}"] * 10, pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = g24_skew_kurt(d).to_pandas().set_index("event_type")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(g24_skew_kurt_sql()).df().set_index("event_type")
+        for et in ["const", "tiny3", "pair", "one"]:
+            for c in ["skew_e4", "kurt_e4"]:
+                g, w = got.loc[et, c], want.loc[et, c]
+                assert (pd.isna(g) and pd.isna(w)) or g == w, (et, c, g, w)
