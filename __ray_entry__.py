@@ -101,8 +101,8 @@ _PRIORITY_R5 = [
     # weighted sampling, anti-join gaps-and-islands, EXCEPT ALL,
     # k-core peeling, and the two pinned image digests
     # (perceptual-hash family + augmentation stage)
-    "g24_skew_kurt", "o10_weighted_sample", "m17_gaps_islands",
-    "d9_except_all", "x4_kcore",
+    "g24_skew_kurt", "g25_entropy", "o10_weighted_sample",
+    "m17_gaps_islands", "d9_except_all", "x4_kcore",
     "img_hash_variants_digest", "img_augment_digest",
     # never-sampled multimodal digest pins + rows-only surfaces; these
     # outrank the re-check group below (which already has green r2/r3
@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o9_topk_per_group": rl.o9_topk_per_group,
         "w11_sessionize": rl.w11_sessionize,
         "g24_skew_kurt": rl.g24_skew_kurt,
+        "g25_entropy": rl.g25_entropy,
         "o10_weighted_sample": rl.o10_weighted_sample,
         "m17_gaps_islands": rl.m17_gaps_islands,
         "d9_except_all": rl.d9_except_all,
@@ -334,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.relational import (
         d9_except_all_sql as _d9_sql,
         g24_skew_kurt_sql as _g24_sql,
+        g25_entropy_sql as _g25_sql,
         m17_gaps_islands_sql as _m17_sql,
         o9_topk_per_group_sql as _o9_sql,
         o10_weighted_sample_sql as _o10_sql,
@@ -373,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "w11_sessionize": _w11_sql(),
         "x4_kcore": _x4_sql(),
         "g24_skew_kurt": _g24_sql(),
+        "g25_entropy": _g25_sql(),
         "o10_weighted_sample": _o10_sql(),
         "m17_gaps_islands": _m17_sql(),
         "d9_except_all": _d9_sql(),

@@ -147,9 +147,9 @@ def run_bench() -> dict:
         "img_jpeg_digest", "img_blur_digest", "audio_digest", "video_digest",
         "t_near_dedup", "q18_large_orders", "q16_supplier_cnt",
         "t_dupspans", "e_semdedup", "t_prep_v4",
-        "g24_skew_kurt", "o10_weighted_sample", "m17_gaps_islands",
-        "d9_except_all", "img_hash_variants_digest", "img_augment_digest",
-        "x4_kcore",
+        "g24_skew_kurt", "g25_entropy", "o10_weighted_sample",
+        "m17_gaps_islands", "d9_except_all", "img_hash_variants_digest",
+        "img_augment_digest", "x4_kcore",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -4428,3 +4428,49 @@ def d9_except_all_sql() -> str:
         "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R') "
         "ORDER BY l_partkey"
     )
+
+
+def g25_entropy(sf: str):
+    """Grouped Shannon entropy (base 2, DuckDB's entropy()) of the
+    order-priority distribution per order status — the distribution-
+    balance diagnostic a training-mix pipeline runs per source. The
+    sufficient statistic is just the (group, value) count table: a
+    per-batch grouped-count combiner shuffles groups x values x blocks
+    tiny count rows, one result-sized driver fold computes
+    -sum(p*log2(p)). Output CAST(ROUND(entropy*10000) AS BIGINT) on
+    both engines."""
+    ds = read_table(sf, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["o_orderstatus", "o_orderpriority"])
+            .aggregate([("o_orderstatus", "count")])
+            .rename_columns(["o_orderstatus", "o_orderpriority", "cnt"])
+        )
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    merged = (
+        parts.groupby(["o_orderstatus", "o_orderpriority"], as_index=False)["cnt"]
+        .sum()
+    )
+    out = {"o_orderstatus": [], "entropy_e4": []}
+    for st, g in merged.groupby("o_orderstatus", sort=True):
+        c = g["cnt"].to_numpy().astype(np.float64)
+        p = c / c.sum()
+        h = float(-(p * np.log2(p)).sum())
+        out["o_orderstatus"].append(st)
+        out["entropy_e4"].append(int(np.floor(h * 10000.0 + 0.5)))
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(out["o_orderstatus"], pa.string()),
+            "entropy_e4": pa.array(out["entropy_e4"], pa.int64()),
+        }
+    )
+
+
+def g25_entropy_sql() -> str:
+    return (
+        "SELECT o_orderstatus, "
+        "CAST(ROUND(entropy(o_orderpriority) * 10000, 0) AS BIGINT) AS entropy_e4 "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
