@@ -108,6 +108,9 @@ _PRIORITY_R5 = [
     # outrank the re-check group below (which already has green r2/r3
     # driver rows AND bit-exact pytest oracles) for the 50-key window
     "img_jpeg_digest", "img_blur_digest", "audio_digest", "video_digest",
+    # continuation-session addition: real FLAC decode digest (hash-
+    # checkable) — outranks e_pq_ann's rows-only check for the window
+    "audio_flac_digest",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
@@ -292,9 +295,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_blur_digest": im.img_blur_digest_query,
         "audio_digest": im.audio_digest_query,
         "video_digest": im.video_digest_query,
+        "audio_flac_digest": im.audio_flac_digest_query,
         "img_similar": im.img_similar_query,
         "audio_features": im.audio_features_query,
         "audio_segments": im.audio_segments_query,
+        "audio_flac_segments": im.audio_flac_segments_query,
         "video_frames": im.video_frames_query,
         "video_scenes": im.video_scenes_query,
         # flagship crawl outputs (oracle-crawler-verified in pytest)
@@ -1305,6 +1310,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(24 AS BIGINT) AS mix_cut_idx, "
             "CAST(1930000 AS BIGINT) AS sum_diff_e4, "
             "CAST(514320 AS BIGINT) AS mix_diff_e4"
+        ),
+        # audio_flac_digest: REAL FLAC decode (Rice-coded subframes,
+        # mid/side stereo, CRC-8/16 + MD5 verified) feeding the same
+        # planted-boundary VAD as audio_digest — lossless decode means
+        # identical segment constants, which is itself the check: a
+        # FLAC decode bug would shift boundaries or raise. Pin
+        # validated by tests/test_flac.py roundtrips.
+        "audio_flac_digest": (
+            "SELECT CAST(9 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS sum_seg_idx, "
+            "CAST(0 AS BIGINT) AS mix_seg_idx, CAST(4000 AS BIGINT) AS sum_start_ms, "
+            "CAST(13056 AS BIGINT) AS mix_start_ms, "
+            "CAST(5800 AS BIGINT) AS sum_end_ms, CAST(9832 AS BIGINT) AS mix_end_ms"
         ),
         # g4_hll_distinct, g8_approx_quantile, t_langid, e_lsh_ann,
         # e_ivf_ann, e_cosine_neardup_blocked: approximate / heuristic

@@ -584,6 +584,58 @@ def audio_segments_query(sf: str):
     return out.sort(["media_id", "seg_idx"])
 
 
+def audio_flac_segments_query(sf: str):
+    """queries() entry: voiced-segment detection through the REAL FLAC
+    decode path (functions/flac.py — Rice-coded fixed-predictor
+    subframes, mid/side stereo on odd rows, CRC-8/16 + MD5 verified on
+    every decode). Same planted tone-burst layout as
+    audio_segments_query so segment boundaries are known; the fixture
+    rows carry codec='flac' end to end, proving the actor-pool stage
+    dispatches compressed audio without any plumbing change."""
+    import ray.data
+
+    from ..functions.flac import encode_flac
+    from ..stages.multimodal import AudioSegmenter
+
+    n_rows = 6 if _is_big_sf(sf) else 3
+    sr = 8000
+    rows = {"media_id": [], "bytes": [], "codec": [], "sample_rate": []}
+    for i in range(n_rows):
+        tone = 0.5 * np.sin(2 * np.pi * (300 + 100 * i) * np.arange(sr // 5) / sr)
+        quiet = np.zeros(sr // 5)
+        pcm = np.concatenate([np.r_[tone, quiet] for _ in range(i + 2)])
+        x = (pcm * 32767).astype(np.int64)
+        if i % 2:  # odd rows: stereo mid/side with a quieter right
+            x = np.stack([x, x // 3], 1)
+        rows["media_id"].append(f"f{i:03d}")
+        rows["bytes"].append(encode_flac(x, sample_rate=sr, block_size=1024))
+        rows["codec"].append("flac")
+        rows["sample_rate"].append(sr)
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "codec": pa.array(rows["codec"]),
+            "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = ds.map_batches(
+        AudioSegmenter, batch_format="pyarrow", batch_size=4, concurrency=2
+    )
+    return out.sort(["media_id", "seg_idx"])
+
+
+def audio_flac_digest_query(sf: str) -> pa.Table:
+    """One-row digest of audio_flac_segments (real FLAC decode + energy
+    VAD): segment boundaries folded order-sensitively. Pin validated by
+    tests/test_flac.py roundtrips + the boundary assertions there."""
+    t = audio_flac_segments_query(sf)
+    if not isinstance(t, pa.Table):
+        t = pa.Table.from_pandas(t.to_pandas())
+    return _one_row_digest(t, ["seg_idx", "start_ms", "end_ms"])
+
+
 def img_prep_pipeline_query(sf: str, min_pixels: int = 48 * 48, max_aspect_x100: int = 250):
     """Composed image-curation pipeline (the image-side analogue of
     t_prep_pipeline — what a LAION-style dataset build runs end to

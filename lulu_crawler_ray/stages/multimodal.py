@@ -3,9 +3,11 @@
 Image decode/resize/phash are REAL in this repo (in-repo codecs —
 stages/crawl_stages.py, pipelines/images_pipe.py), and so are the
 common audio/video containers: integer PCM WAV (8/16/24-bit),
-IEEE-float32 WAV, IMA ADPCM WAV (functions/adpcm.py), uncompressed
-RGB24 AVI, and MJPEG AVI (per-frame baseline JPEG through
-functions/jpeg.py). Codecs beyond those (MP3, H.264, ...) have no
+IEEE-float32 WAV, IMA ADPCM WAV (functions/adpcm.py), FLAC
+(functions/flac.py — full subframe/stereo/Rice layer with CRC-8/16 +
+MD5 verification), uncompressed RGB24 AVI, and MJPEG AVI (per-frame
+baseline JPEG through functions/jpeg.py). Codecs beyond those (MP3,
+H.264, ...) have no
 library in this sandbox and remain STUBS behind clearly-marked
 NotImplementedError with the Ray-side plumbing (schemas, actor
 signature, batch sizing, output layout) real and tested: swap the
@@ -187,6 +189,10 @@ class AudioFeatureExtractor:
             from ..functions.adpcm import decode_wav_ima_adpcm
 
             return decode_wav_ima_adpcm(data)
+        if codec == "flac":
+            from ..functions.flac import decode_flac_pcm
+
+            return decode_flac_pcm(data)
         if self.fake:
             seed = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
             return np.random.default_rng(seed).standard_normal(8000).astype(np.float32), None
@@ -479,6 +485,10 @@ class AudioSegmenter:
             from ..functions.adpcm import decode_wav_ima_adpcm
 
             return decode_wav_ima_adpcm(data)
+        if codec == "flac":
+            from ..functions.flac import decode_flac_pcm
+
+            return decode_flac_pcm(data)
         if self.fake:
             seed = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
             return np.random.default_rng(seed).standard_normal(8000).astype(np.float32), 8000
