@@ -112,6 +112,10 @@ _PRIORITY_R5 = [
     # checkable) — outranks e_pq_ann's rows-only check for the window
     "audio_flac_digest",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
+    # continuation-session ops past the 50-key window (oracle-equality
+    # covered by the pytest gate): BFS hops, PMI collocations,
+    # grouped arg-max
+    "x5_bfs", "t_pmi_bigrams", "g26_argmax",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -132,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines.graph import x2_triangles as _triangles
     from lulu_crawler_ray.pipelines.graph import x3_components as _components
     from lulu_crawler_ray.pipelines.graph import x4_kcore as _kcore
+    from lulu_crawler_ray.pipelines.graph import x5_bfs as _bfs
     from lulu_crawler_ray.pipelines.kmeans import e_kmeans_int as _kmeans
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
@@ -187,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x2_triangles": _triangles,
         "x3_components": _components,
         "x4_kcore": _kcore,
+        "x5_bfs": _bfs,
         "j6_left_join": rl.j6_left_join,
         "j7_full_outer": rl.j7_full_outer,
         "g11_pivot": rl.g11_pivot,
@@ -242,11 +248,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_dupspans": to2.t_dupspans,
         "e_semdedup": to2.e_semdedup,
         "t_prep_v4": to2.t_prep_v4,
+        "t_pmi_bigrams": to2.t_pmi_bigrams,
         "j10_asof": rl.j10_asof,
         "o9_topk_per_group": rl.o9_topk_per_group,
         "w11_sessionize": rl.w11_sessionize,
         "g24_skew_kurt": rl.g24_skew_kurt,
         "g25_entropy": rl.g25_entropy,
+        "g26_argmax": rl.g26_argmax,
         "o10_weighted_sample": rl.o10_weighted_sample,
         "m17_gaps_islands": rl.m17_gaps_islands,
         "d9_except_all": rl.d9_except_all,
@@ -335,6 +343,7 @@ def _bpe_real_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.graph import x4_kcore_sql as _x4_sql
+    from lulu_crawler_ray.pipelines.graph import x5_bfs_sql as _x5_sql
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
     from lulu_crawler_ray.pipelines.relational import j10_asof_sql as _j10_asof_sql
     from lulu_crawler_ray.pipelines.relational import (
@@ -345,9 +354,11 @@ def oracle_sql() -> dict[str, str]:
         o9_topk_per_group_sql as _o9_sql,
         o10_weighted_sample_sql as _o10_sql,
         w11_sessionize_sql as _w11_sql,
+        g26_argmax_sql as rl_g26_sql,
     )
     from lulu_crawler_ray.pipelines.textops2 import (
         e_mips_topk_sql,
+        t_pmi_bigrams_sql,
         e_semdedup_sql,
         t_chunk_dedup_sql,
         t_dupspans_sql,
@@ -375,12 +386,19 @@ def oracle_sql() -> dict[str, str]:
         "t_dupspans": t_dupspans_sql(),
         "e_semdedup": e_semdedup_sql(),
         "t_prep_v4": t_prep_v4_sql(),
+        # integer-exact PMI lift (HUGEINT on the SQL side; Python ints
+        # in the engine finalize — c*N^2*1e6 passes int64 by design)
+        "t_pmi_bigrams": t_pmi_bigrams_sql(),
         "j10_asof": _j10_asof_sql(),
         "o9_topk_per_group": _o9_sql(),
         "w11_sessionize": _w11_sql(),
         "x4_kcore": _x4_sql(),
+        # x5_bfs: multi-source BFS hop distances; unrolled frontier
+        # rounds (fixpoint-stable, the x4 pattern)
+        "x5_bfs": _x5_sql(),
         "g24_skew_kurt": _g24_sql(),
         "g25_entropy": _g25_sql(),
+        "g26_argmax": rl_g26_sql(),
         "o10_weighted_sample": _o10_sql(),
         "m17_gaps_islands": _m17_sql(),
         "d9_except_all": _d9_sql(),

@@ -463,3 +463,136 @@ def x4_kcore_sql(n_nodes: int = 2000, edge_mod: int = 3, k: int = 10, rounds: in
         f"UNION ALL SELECT b FROM {prev}) GROUP BY nd) WHERE c >= {k} ORDER BY node"
     )
     return ", ".join(parts) + " " + final
+
+
+def x5_bfs(
+    sf: str,
+    n_nodes: int = 2000,
+    edge_mod: int = 37,
+    source_mod: int = 97,
+    max_hops: int = 6,
+):
+    """Multi-source BFS hop distances over a SPARSE directed link
+    graph — the frontier-expansion primitive of crawl-depth analysis
+    and seed-set reachability audits ("which pages are within k hops
+    of the seed list"). Derived graph: src = orderkey % n, dst =
+    partkey % n, keeping edges where (orderkey + partkey) % edge_mod
+    == 0 so average out-degree stays ~1 and hop distances spread over
+    the full 0..max_hops range instead of saturating in two rounds.
+    Sources: nodes ≡ 0 (mod source_mod).
+
+    Distributed shape per round (the textbook frontier pattern):
+    edges materialize ONCE (deduped) and are the only edge-cardinality
+    table; each hop is (1) a semi-filter of edges against the
+    node-sized frontier (adaptive: broadcast under 5M keys, hash
+    co-partitioned shuffle above), (2) a distinct over discovered
+    dsts, (3) an anti semi-filter against the visited set — also
+    node-bounded, also adaptive. Nothing edge-sized ever gathers, and
+    rounds are O(diameter) like x3/x4. Output: (node, dist) for every
+    reached node, ordered by node; DuckDB oracle unrolls the rounds
+    (fixpoint-stable — an empty frontier makes later rounds no-ops in
+    both engines)."""
+    from ray.data.aggregate import Count
+
+    from .relational import _distinct, adaptive_semi_filter
+
+    ds = read_table(sf, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def e0(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        keep = (ok + pk) % edge_mod == 0
+        out = pa.table(
+            {
+                "src": pa.array((ok[keep] % n_nodes).astype(np.int64)),
+                "dst": pa.array((pk[keep] % n_nodes).astype(np.int64)),
+            }
+        )
+        return out.group_by(["src", "dst"]).aggregate([])
+
+    edges = (
+        ds.map_batches(e0, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def srcs(t: pa.Table) -> pa.Table:
+        nd = np.unique(
+            np.concatenate(
+                [t["src"].to_numpy().astype(np.int64), t["dst"].to_numpy().astype(np.int64)]
+            )
+        )
+        return pa.table({"node": pa.array(nd[nd % source_mod == 0])})
+
+    frontier = _distinct(
+        edges.map_batches(srcs, batch_format="pyarrow"), "node"
+    ).materialize()
+    reached = [frontier.map_batches(
+        lambda t: t.append_column("dist", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    ).materialize()]
+    visited = frontier
+    for d in range(1, max_hops + 1):
+        hit = adaptive_semi_filter(edges, frontier, "src", "node")
+        nbrs = _distinct(
+            hit.map_batches(
+                lambda t: pa.table({"node": t["dst"].combine_chunks()}),
+                batch_format="pyarrow",
+            ),
+            "node",
+        )
+        new = adaptive_semi_filter(nbrs, visited, "node", "node", anti=True).materialize()
+        if new.count() == 0:
+            break
+        reached.append(
+            new.map_batches(
+                lambda t, _d=d: t.append_column(
+                    "dist", pa.array(np.full(t.num_rows, _d, np.int64))
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        visited = visited.union(new).materialize()
+        frontier = new
+    out = reached[0]
+    for r in reached[1:]:
+        out = out.union(r)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"].cast(pa.int64()), "dist": t["dist"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sort("node")
+
+
+def x5_bfs_sql(
+    n_nodes: int = 2000, edge_mod: int = 37, source_mod: int = 97, max_hops: int = 6
+) -> str:
+    """Unrolled BFS rounds (the x4 pattern; MATERIALIZED so the plan
+    stays linear in rounds)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey % {n_nodes} AS src, "
+        f"l_partkey % {n_nodes} AS dst FROM lineitem "
+        f"WHERE (l_orderkey + l_partkey) % {edge_mod} = 0)",
+        f"f0 AS MATERIALIZED (SELECT DISTINCT node FROM "
+        f"(SELECT src AS node FROM e UNION SELECT dst FROM e) "
+        f"WHERE node % {source_mod} = 0)",
+        "v0 AS MATERIALIZED (SELECT node FROM f0)",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e "
+            f"JOIN f{i - 1} ON e.src = f{i - 1}.node "
+            f"WHERE e.dst NOT IN (SELECT node FROM v{i - 1}))"
+        )
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT node FROM v{i - 1} UNION SELECT node FROM f{i})"
+        )
+    final = (
+        " UNION ALL ".join(
+            f"SELECT node, CAST({i} AS BIGINT) AS dist FROM f{i}" for i in range(max_hops + 1)
+        )
+    )
+    return ", ".join(parts) + f" SELECT node, dist FROM ({final}) ORDER BY node"

@@ -4474,3 +4474,74 @@ def g25_entropy_sql() -> str:
         "CAST(ROUND(entropy(o_orderpriority) * 10000, 0) AS BIGINT) AS entropy_e4 "
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
     )
+
+
+def g26_argmax(sf: str):
+    """Grouped ARG-MAX (continuation session): per event_type, the
+    user responsible for the maximum value (deterministic ties:
+    smallest user_id at the max). The quantity is integer e4 units
+    rounded HALF-AWAY per row BEFORE the max (both engines round the
+    identical stored double, so comparisons are exact; rounding after
+    a float max would be equally exact here but the per-row integer
+    domain also makes the tie semantics integer-exact).
+
+    Distributed shape: one grouped max (group-cardinality result,
+    combiner-first), the tiny max table broadcast as a plain dict into
+    a streaming filter (rows at the group max — at most a few per
+    group), then a grouped min over the survivors. Two streaming
+    passes, no shuffle beyond the group-sized aggregates; the pattern
+    scales to any group count because the broadcast is
+    group-cardinality, not row-cardinality."""
+    ds = read_table(sf, "events", ["event_type", "user_id", "value"])
+
+    def e4(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": t["user_id"],
+                "v_e4": pa.array(np.floor(v * 10000.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(e4, batch_format="pyarrow")
+    mx = grouped_agg(rows, ["event_type"], [("max_e4", "max", "v_e4")], round_to=None)
+    mx_map = {
+        k: int(v)
+        for b in mx.iter_batches(batch_format="pyarrow", batch_size=65536)
+        for k, v in zip(b["event_type"].to_pylist(), b["max_e4"].to_pylist())
+    }
+
+    def at_max(t: pa.Table, _m=mx_map) -> pa.Table:
+        keys = t["event_type"].to_pylist()
+        v = t["v_e4"].to_numpy()
+        keep = np.fromiter((v[i] == _m[keys[i]] for i in range(len(keys))), bool, len(keys))
+        return t.filter(pa.array(keep))
+
+    out = grouped_agg(
+        rows.map_batches(at_max, batch_format="pyarrow"),
+        ["event_type"],
+        [("max_e4", "max", "v_e4"), ("argmax_user", "min", "user_id")],
+        round_to=None,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "max_e4": t["max_e4"].cast(pa.int64()),
+                "argmax_user": t["argmax_user"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("event_type")
+
+
+def g26_argmax_sql() -> str:
+    return (
+        "WITH r AS (SELECT event_type, user_id, "
+        "CAST(ROUND(value * 10000, 0) AS BIGINT) AS v_e4 FROM events), "
+        "m AS (SELECT event_type, MAX(v_e4) AS max_e4 FROM r GROUP BY event_type) "
+        "SELECT r.event_type, m.max_e4, MIN(r.user_id) AS argmax_user "
+        "FROM r JOIN m ON r.event_type = m.event_type AND r.v_e4 = m.max_e4 "
+        "GROUP BY r.event_type, m.max_e4 ORDER BY r.event_type"
+    )

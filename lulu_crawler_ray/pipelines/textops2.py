@@ -843,3 +843,150 @@ def t_prep_v4_sql(
         "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens "
         "FROM v4r WHERE rn = 1 GROUP BY source ORDER BY source"
     )
+
+
+def t_pmi_bigrams(sf: str, min_count: int = 5, top_k: int = 30):
+    """Collocation extraction (continuation session): top-k bigrams by
+    integer-exact PMI lift — the phrase-mining pass a corpus-prep
+    pipeline runs before vocabulary construction. lift_e6 =
+    floor(c_xy * N^2 * 10^6 / (B * c_x * c_y)), the e6-scaled ratio
+    p(xy)/(p(x)p(y)) with p over token (N) and bigram (B) totals —
+    monotone in PMI (log of it), so the top-k by lift IS the top-k by
+    PMI while staying integer-exact across engines (log floats would
+    hash-differ; the oracle computes the same ratio in HUGEINT).
+
+    Distributed shape: tokenize + in-doc adjacent-pair explode is one
+    vectorized map (split_pattern_regex + list-offset masking — the
+    bigram never crosses a doc boundary); bigram and unigram counts are
+    grouped_agg (combiner-first, vocab-sized results); N and B are
+    streaming scalar sums over the count tables. The finalize gathers
+    ONLY the >= min_count candidates (heavy-hitter-bounded: at most
+    B/min_count rows) plus the unigram rows they reference
+    (candidate-bounded via one semi-filter) — never the corpus, never
+    the full vocabulary — and computes the lift in arbitrary-precision
+    Python ints (c_xy*N^2*1e6 overflows int64 past ~sf0.05 by design;
+    DuckDB gets HUGEINT for the same reason)."""
+    import pyarrow.compute as pc
+
+    from .relational import adaptive_semi_filter
+
+    ds = read_table(sf, "documents", ["text"])
+
+    # pyarrow has no lambda list_filter; drop empty tokens at the flat
+    # level with offset bookkeeping instead
+    def explode(t: pa.Table):
+        lst = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+").combine_chunks()
+        vals = lst.flatten().to_numpy(zero_copy_only=False)
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = np.array([len(v) > 0 for v in vals], bool)
+        # per-list count of nonempty tokens -> new offsets over kept vals
+        keepcum = np.concatenate([[0], np.cumsum(nonempty)])
+        new_offs = keepcum[offs]
+        kept = vals[nonempty]
+        # adjacent pairs within each doc: index i pairs with i+1 unless
+        # i+1 is the first token of the next doc
+        n = len(kept)
+        if n >= 2:
+            first = np.zeros(n, bool)
+            starts = new_offs[:-1][new_offs[:-1] < n]
+            first[starts] = True
+            idx = np.flatnonzero(~first[1:])  # pair (idx, idx+1) stays in-doc
+            w1, w2 = kept[idx], kept[idx + 1]
+        else:
+            w1 = w2 = np.array([], object)
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+            }
+        ), pa.table({"w": pa.array(kept, pa.string())})
+
+    def bigram_batch(t: pa.Table) -> pa.Table:
+        return explode(t)[0]
+
+    def unigram_batch(t: pa.Table) -> pa.Table:
+        return explode(t)[1]
+
+    big = grouped_agg(
+        ds.map_batches(bigram_batch, batch_format="pyarrow"),
+        ["w1", "w2"],
+        [("c_xy", "count", None)],
+        round_to=None,
+    ).materialize()
+    uni = grouped_agg(
+        ds.map_batches(unigram_batch, batch_format="pyarrow"),
+        ["w"],
+        [("c", "count", None)],
+        round_to=None,
+    ).materialize()
+    n_tok = int(uni.sum("c") or 0)
+    n_big = int(big.sum("c_xy") or 0)
+
+    cand = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c_xy"], min_count)),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # unigram rows feeding the finalize: only words present in a
+    # candidate bigram (two semi-filters, candidate-sized broadcast)
+    u1 = adaptive_semi_filter(uni, cand, "w", "w1")
+    u2 = adaptive_semi_filter(uni, cand, "w", "w2")
+
+    def gather(d) -> pa.Table:
+        bs = list(d.iter_batches(batch_format="pyarrow", batch_size=65536))
+        return pa.concat_tables(bs) if bs else None
+
+    ct = gather(cand)
+    if ct is None or ct.num_rows == 0:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "c_xy": pa.array([], pa.int64()),
+                "lift_e6": pa.array([], pa.int64()),
+            }
+        )
+    cx: dict[str, int] = {}
+    for part in (gather(u1), gather(u2)):
+        if part is not None:
+            for w_, c_ in zip(part["w"].to_pylist(), part["c"].to_pylist()):
+                cx[w_] = int(c_)
+    rows = []
+    for w1_, w2_, cxy in zip(
+        ct["w1"].to_pylist(), ct["w2"].to_pylist(), ct["c_xy"].to_pylist()
+    ):
+        lift = (int(cxy) * n_tok * n_tok * 1_000_000) // (n_big * cx[w1_] * cx[w2_])
+        rows.append((w1_, w2_, int(cxy), lift))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:top_k]
+    return pa.table(
+        {
+            "w1": pa.array([r[0] for r in rows], pa.string()),
+            "w2": pa.array([r[1] for r in rows], pa.string()),
+            "c_xy": pa.array([r[2] for r in rows], pa.int64()),
+            "lift_e6": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def t_pmi_bigrams_sql(min_count: int = 5, top_k: int = 30) -> str:
+    return (
+        "WITH d AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '') AS l FROM documents), "
+        # list_zip pads to the longer operand with NULLs (one padded
+        # row per doc: the last token zipped against nothing) — filter
+        # them so the bigram total B is exact
+        "p2 AS (SELECT z[1] AS w1, z[2] AS w2 FROM "
+        "(SELECT UNNEST(list_zip(l[:-1], l[2:])) AS z FROM d WHERE len(l) >= 2) "
+        "WHERE z[2] IS NOT NULL), "
+        "uni AS (SELECT UNNEST(l) AS w FROM d), "
+        "cx AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w), "
+        "tot AS (SELECT (SELECT COUNT(*) FROM uni) AS n, (SELECT COUNT(*) FROM p2) AS b), "
+        f"cand AS (SELECT w1, w2, COUNT(*) AS c_xy FROM p2 GROUP BY w1, w2 "
+        f"HAVING COUNT(*) >= {min_count}) "
+        "SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy, "
+        "CAST((CAST(c_xy AS HUGEINT) * n * n * 1000000) // "
+        "(CAST(b AS HUGEINT) * a.c * bb.c) AS BIGINT) AS lift_e6 "
+        "FROM cand, tot JOIN cx a ON cand.w1 = a.w JOIN cx bb ON cand.w2 = bb.w "
+        f"ORDER BY lift_e6 DESC, w1, w2 LIMIT {top_k}"
+    )
