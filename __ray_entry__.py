@@ -115,7 +115,7 @@ _PRIORITY_R5 = [
     # continuation-session ops past the 50-key window (oracle-equality
     # covered by the pytest gate): BFS hops, PMI collocations,
     # grouped arg-max
-    "x5_bfs", "t_pmi_bigrams", "g26_argmax",
+    "x5_bfs", "t_pmi_bigrams", "g26_argmax", "g27_median",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g24_skew_kurt": rl.g24_skew_kurt,
         "g25_entropy": rl.g25_entropy,
         "g26_argmax": rl.g26_argmax,
+        "g27_median": rl.g27_median,
         "o10_weighted_sample": rl.o10_weighted_sample,
         "m17_gaps_islands": rl.m17_gaps_islands,
         "d9_except_all": rl.d9_except_all,
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         o10_weighted_sample_sql as _o10_sql,
         w11_sessionize_sql as _w11_sql,
         g26_argmax_sql as rl_g26_sql,
+        g27_median_sql as rl_g27_sql,
     )
     from lulu_crawler_ray.pipelines.textops2 import (
         e_mips_topk_sql,
@@ -399,6 +401,9 @@ def oracle_sql() -> dict[str, str]:
         "g24_skew_kurt": _g24_sql(),
         "g25_entropy": _g25_sql(),
         "g26_argmax": rl_g26_sql(),
+        # exact grouped median: summed middle order statistics, no
+        # engine-specific median() on either side
+        "g27_median": rl_g27_sql(),
         "o10_weighted_sample": _o10_sql(),
         "m17_gaps_islands": _m17_sql(),
         "d9_except_all": _d9_sql(),

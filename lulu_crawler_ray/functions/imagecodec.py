@@ -440,6 +440,19 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return _dec(data)
 
 
+def encode_qoi(img: np.ndarray) -> bytes:
+    """Real QOI (qoiformat.org spec 1.0; see functions/qoi.py)."""
+    from .qoi import encode_qoi as _enc
+
+    return _enc(img)
+
+
+def decode_qoi(data: bytes) -> np.ndarray:
+    from .qoi import decode_qoi as _dec
+
+    return _dec(data)
+
+
 def encode_tiff(img: np.ndarray) -> bytes:
     """Real baseline TIFF (see functions/tiff.py) — 8-bit RGB LZW."""
     from .tiff import encode_tiff as _enc
@@ -453,8 +466,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return _dec(data)
 
 
-_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt, "jpeg": encode_jpeg, "gif": encode_gif, "bmp": encode_bmp, "tiff": encode_tiff}
-_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt, "jpeg": decode_jpeg, "gif": decode_gif, "bmp": decode_bmp, "tiff": decode_tiff}
+_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "ldt": encode_ldt, "jpeg": encode_jpeg, "gif": encode_gif, "bmp": encode_bmp, "tiff": encode_tiff, "qoi": encode_qoi}
+_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "ldt": decode_ldt, "jpeg": decode_jpeg, "gif": decode_gif, "bmp": decode_bmp, "tiff": decode_tiff, "qoi": decode_qoi}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:

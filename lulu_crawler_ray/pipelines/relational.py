@@ -4545,3 +4545,68 @@ def g26_argmax_sql() -> str:
         "FROM r JOIN m ON r.event_type = m.event_type AND r.v_e4 = m.max_e4 "
         "GROUP BY r.event_type, m.max_e4 ORDER BY r.event_type"
     )
+
+
+def g27_median(sf: str):
+    """EXACT grouped median (continuation session) — the aggregate Ray
+    Data has no native kernel for, via the count-table combiner (the
+    g25 pattern): per-batch grouped counts over the e4-quantized value
+    shuffle only (group x distinct-value x blocks) tiny rows, then a
+    result-sized fold walks each group's sorted cumulative counts to
+    the two middle order statistics. Integer contract: med2_e4 =
+    v[(n+1)//2] + v[(n+2)//2] (the SUM of the two middles — equal for
+    odd n — so no /2 ever leaves the integer domain). Scale bound:
+    the count table is value-domain-sized (e4 quantization bounds it),
+    not row-sized; above that, g20's histogram-quantile is the
+    streaming fallback."""
+    ds = read_table(sf, "events", ["event_type", "value"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 10000.0 + 0.5).astype(
+            np.int64
+        )
+        return (
+            pa.table({"event_type": t["event_type"], "v_e4": pa.array(v)})
+            .group_by(["event_type", "v_e4"])
+            .aggregate([("v_e4", "count")])
+            .rename_columns(["event_type", "v_e4", "cnt"])
+        )
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby(["event_type", "v_e4"], as_index=False)["cnt"].sum()
+    out = {"event_type": [], "n": [], "med2_e4": []}
+    for et, g in merged.groupby("event_type", sort=True):
+        g = g.sort_values("v_e4")
+        v = g["v_e4"].to_numpy()
+        c = g["cnt"].to_numpy().astype(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        k1, k2 = (n + 1) // 2, (n + 2) // 2
+        m1 = int(v[np.searchsorted(cum, k1)])
+        m2 = int(v[np.searchsorted(cum, k2)])
+        out["event_type"].append(et)
+        out["n"].append(n)
+        out["med2_e4"].append(m1 + m2)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "med2_e4": pa.array(out["med2_e4"], pa.int64()),
+        }
+    )
+
+
+def g27_median_sql() -> str:
+    """Two middle order statistics summed (odd n: the single middle
+    counted twice) — integer-exact, no engine-specific median()."""
+    return (
+        "WITH r AS (SELECT event_type, "
+        "CAST(ROUND(value * 10000, 0) AS BIGINT) AS v FROM events), "
+        "o AS (SELECT event_type, v, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM r) "
+        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN v ELSE 0 END) "
+        "* (CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS med2_e4 "
+        "FROM o GROUP BY event_type ORDER BY event_type"
+    )
