@@ -150,6 +150,9 @@ def run_bench() -> dict:
         "g24_skew_kurt", "g25_entropy", "o10_weighted_sample",
         "m17_gaps_islands", "d9_except_all", "img_hash_variants_digest",
         "img_augment_digest", "x4_kcore",
+        # continuation-session ops
+        "x5_bfs", "t_pmi_bigrams", "g26_argmax", "g27_median",
+        "audio_flac_digest",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -471,6 +471,7 @@ def x5_bfs(
     edge_mod: int = 37,
     source_mod: int = 97,
     max_hops: int = 6,
+    node_bound: int = 50_000_000,
 ):
     """Multi-source BFS hop distances over a SPARSE directed link
     graph — the frontier-expansion primitive of crawl-depth analysis
@@ -481,20 +482,22 @@ def x5_bfs(
     the full 0..max_hops range instead of saturating in two rounds.
     Sources: nodes ≡ 0 (mod source_mod).
 
-    Distributed shape per round (the textbook frontier pattern):
-    edges materialize ONCE (deduped) and are the only edge-cardinality
-    table; each hop is (1) a semi-filter of edges against the
-    node-sized frontier (adaptive: broadcast under 5M keys, hash
-    co-partitioned shuffle above), (2) a distinct over discovered
-    dsts, (3) an anti semi-filter against the visited set — also
-    node-bounded, also adaptive. Nothing edge-sized ever gathers, and
-    rounds are O(diameter) like x3/x4. Output: (node, dist) for every
-    reached node, ordered by node; DuckDB oracle unrolls the rounds
-    (fixpoint-stable — an empty frontier makes later rounds no-ops in
-    both engines)."""
+    Distributed shape: the edge table is the ONLY data-sized table —
+    it materializes once (deduped, hash-grouped) and each hop is ONE
+    streaming pass over it: the frontier broadcasts as a sorted array
+    (node-bounded by the BFS contract) and each batch emits its unique
+    discovered dsts, which stream back under a LOUD node_bound (the
+    broadcast_sorted_keys discipline — per-round traffic is
+    min(blocks x reached, edges)). Frontier/visited set algebra is
+    numpy setdiff/union on sorted arrays. Past node_bound the whole
+    computation falls back to the fully co-partitioned dataset path
+    (_x5_bfs_dataset — adaptive semi-filters everywhere), which the
+    equality pytest pins to this path. One execution per hop instead
+    of six keeps round latency scheduler-free (the x3/x4 lesson).
+    Output: (node, dist) for every reached node, ordered by node;
+    DuckDB oracle unrolls the rounds (fixpoint-stable — an empty
+    frontier makes later rounds no-ops in both engines)."""
     from ray.data.aggregate import Count
-
-    from .relational import _distinct, adaptive_semi_filter
 
     ds = read_table(sf, "lineitem", ["l_orderkey", "l_partkey"])
 
@@ -517,6 +520,84 @@ def x5_bfs(
         .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
         .materialize()
     )
+
+    def _stream_unique(d, bound: int) -> np.ndarray:
+        vals, n = [], 0
+        for b in d.iter_batches(batch_format="pyarrow", batch_size=262144):
+            n += b.num_rows
+            if n > bound:
+                raise ValueError(
+                    f"x5_bfs: frontier past {bound} rows — node set too large "
+                    "for the broadcast path"
+                )
+            if b.num_rows:
+                vals.append(b["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+        if not vals:
+            return np.array([], np.int64)
+        return np.unique(np.concatenate(vals))
+
+    def srcs(t: pa.Table) -> pa.Table:
+        nd = np.unique(
+            np.concatenate(
+                [t["src"].to_numpy().astype(np.int64), t["dst"].to_numpy().astype(np.int64)]
+            )
+        )
+        return pa.table({"node": pa.array(nd[nd % source_mod == 0])})
+
+    try:
+        frontier = _stream_unique(
+            edges.map_batches(srcs, batch_format="pyarrow"), node_bound
+        )
+        visited = frontier
+        reached: list[tuple[np.ndarray, int]] = [(frontier, 0)]
+        for d in range(1, max_hops + 1):
+            fref = ray.put(frontier)
+
+            def nbrs_batch(t: pa.Table, _r=fref) -> pa.Table:
+                ks = ray.get(_r)
+                s = t["src"].to_numpy().astype(np.int64)
+                if len(ks):
+                    idx = np.clip(np.searchsorted(ks, s), 0, len(ks) - 1)
+                    hit = ks[idx] == s
+                else:
+                    hit = np.zeros(len(s), bool)
+                return pa.table(
+                    {
+                        "node": pa.array(
+                            np.unique(t["dst"].to_numpy().astype(np.int64)[hit])
+                        )
+                    }
+                )
+
+            nbrs = _stream_unique(
+                edges.map_batches(nbrs_batch, batch_format="pyarrow"), node_bound
+            )
+            new = np.setdiff1d(nbrs, visited, assume_unique=True)
+            if len(new) == 0:
+                break
+            reached.append((new, d))
+            visited = np.union1d(visited, new)
+            frontier = new
+        node = np.concatenate([r[0] for r in reached])
+        dist = np.concatenate(
+            [np.full(len(r[0]), r[1], np.int64) for r in reached]
+        )
+        o = np.argsort(node, kind="stable")
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array(node[o]), "dist": pa.array(dist[o])})
+        )
+    except ValueError:
+        return _x5_bfs_dataset(edges, source_mod, max_hops)
+
+
+def _x5_bfs_dataset(edges, source_mod: int, max_hops: int):
+    """Fully co-partitioned BFS (the above-node_bound path): adaptive
+    semi-filters for frontier probe and visited anti-join, dataset
+    unions for the result — no node-sized driver state anywhere.
+    Slower per round (multiple executions) but unbounded."""
+    from .relational import _distinct, adaptive_semi_filter
 
     def srcs(t: pa.Table) -> pa.Table:
         nd = np.unique(

@@ -427,3 +427,15 @@ def test_grouped_agg_large_path_equals_task_path(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 35
+
+
+def test_x5_bfs_paths_equal(ray_session):
+    """x5_bfs broadcast fast path == the above-node_bound
+    co-partitioned dataset path (forced via a tiny node_bound)."""
+    from lulu_crawler_ray.pipelines.graph import x5_bfs
+
+    sf = "/root/testdata/sf0.001"
+    fast = x5_bfs(sf).to_pandas().reset_index(drop=True)
+    forced = x5_bfs(sf, node_bound=3).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, forced)
+    assert len(fast) > 0 and (fast["dist"] >= 0).all()
