@@ -116,6 +116,7 @@ _PRIORITY_R5 = [
     # covered by the pytest gate): BFS hops, PMI collocations,
     # grouped arg-max
     "x5_bfs", "t_pmi_bigrams", "g26_argmax", "g27_median",
+    "w12_window_distinct", "m18_unpivot",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -256,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g25_entropy": rl.g25_entropy,
         "g26_argmax": rl.g26_argmax,
         "g27_median": rl.g27_median,
+        "w12_window_distinct": rl.w12_window_distinct,
+        "m18_unpivot": rl.m18_unpivot,
         "o10_weighted_sample": rl.o10_weighted_sample,
         "m17_gaps_islands": rl.m17_gaps_islands,
         "d9_except_all": rl.d9_except_all,
@@ -357,6 +360,8 @@ def oracle_sql() -> dict[str, str]:
         w11_sessionize_sql as _w11_sql,
         g26_argmax_sql as rl_g26_sql,
         g27_median_sql as rl_g27_sql,
+        w12_window_distinct_sql as rl_w12_sql,
+        m18_unpivot_sql as rl_m18_sql,
     )
     from lulu_crawler_ray.pipelines.textops2 import (
         e_mips_topk_sql,
@@ -404,6 +409,8 @@ def oracle_sql() -> dict[str, str]:
         # exact grouped median: summed middle order statistics, no
         # engine-specific median() on either side
         "g27_median": rl_g27_sql(),
+        "w12_window_distinct": rl_w12_sql(),
+        "m18_unpivot": rl_m18_sql(),
         "o10_weighted_sample": _o10_sql(),
         "m17_gaps_islands": _m17_sql(),
         "d9_except_all": _d9_sql(),

@@ -4512,10 +4512,19 @@ def g26_argmax(sf: str):
         for k, v in zip(b["event_type"].to_pylist(), b["max_e4"].to_pylist())
     }
 
-    def at_max(t: pa.Table, _m=mx_map) -> pa.Table:
-        keys = t["event_type"].to_pylist()
+    mx_keys = pa.array(list(mx_map), pa.string())
+    mx_vals = np.array([mx_map[k] for k in mx_map], np.int64)
+
+    def at_max(t: pa.Table, _k=mx_keys, _v=mx_vals) -> pa.Table:
+        # vectorized group-max lookup: dictionary-position index_in,
+        # then one aligned compare — no per-row Python
+        pos = (
+            pc.fill_null(pc.index_in(t["event_type"], _k), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         v = t["v_e4"].to_numpy()
-        keep = np.fromiter((v[i] == _m[keys[i]] for i in range(len(keys))), bool, len(keys))
+        keep = np.where(pos >= 0, _v[np.maximum(pos, 0)] == v, False)
         return t.filter(pa.array(keep))
 
     out = grouped_agg(
@@ -4609,4 +4618,120 @@ def g27_median_sql() -> str:
         "CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN v ELSE 0 END) "
         "* (CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS med2_e4 "
         "FROM o GROUP BY event_type ORDER BY event_type"
+    )
+
+
+def w12_window_distinct(sf: str, size_min: int = 60):
+    """Exact distinct users per tumbling window (continuation
+    session) — the cardinality-per-window shape (g14's grouped HLL is
+    the approximate sibling; this is the exact one). Two-level
+    pre-reduced shape: per-batch (window, user) dedup combiner
+    shuffles at most windows x users x blocks rows, the grouped count
+    over the deduped pairs is window-sized. No row-cardinality
+    shuffle."""
+    ds = read_table(sf, "events", ["user_id", "ts"])
+    win_us = np.int64(size_min * 60 * 1_000_000)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = (
+            t["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        ws = (us // win_us) * win_us
+        out = pa.table(
+            {"ws_us": pa.array(ws), "user_id": t["user_id"]}
+        )
+        return out.group_by(["ws_us", "user_id"]).aggregate([])
+
+    deduped = grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["ws_us", "user_id"],
+        [("__n", "count", None)],
+        round_to=None,
+    )
+    counts = grouped_agg(
+        deduped.map_batches(lambda t: t.select(["ws_us"]), batch_format="pyarrow"),
+        ["ws_us"],
+        [("n_users", "count", None)],
+        round_to=None,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        ws = pa.array(
+            t["ws_us"].to_numpy(zero_copy_only=False).astype("datetime64[us]"),
+            pa.timestamp("us"),
+        )
+        return pa.table(
+            {
+                "window_start": pc.strftime(ws.cast(pa.timestamp("s")), format="%Y-%m-%d %H:%M:%S"),
+                "n_users": t["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(fmt, batch_format="pyarrow").sort("window_start")
+
+
+def w12_window_distinct_sql(size_min: int = 60) -> str:
+    return (
+        f"SELECT strftime(to_timestamp((epoch_us(ts) // {size_min * 60 * 1000000}) "
+        f"* {size_min * 60}000000 // 1000000), '%Y-%m-%d %H:%M:%S') AS window_start, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY 1 ORDER BY window_start"
+    )
+
+
+def m18_unpivot(sf: str, key_mod: int = 101):
+    """UNPIVOT / melt (continuation session; the inverse surface of
+    g11_pivot): the four lineitem measures unpivot into
+    (orderkey, linenumber, measure, val_e2) rows — a pure streaming
+    flat transform (one map, 4x fan-out, no shuffle, no state).
+    key_mod trims the output for the equality gate; the transform
+    itself is full-stream."""
+    ds = read_table(
+        sf,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    measures = ["discount", "extendedprice", "quantity", "tax"]
+    cols = {"discount": "l_discount", "extendedprice": "l_extendedprice",
+            "quantity": "l_quantity", "tax": "l_tax"}
+
+    def melt(t: pa.Table) -> pa.Table:
+        keep = t.filter(pa.array(t["l_orderkey"].to_numpy() % key_mod == 0))
+        n = keep.num_rows
+        ok = keep["l_orderkey"].to_numpy().astype(np.int64)
+        ln = keep["l_linenumber"].to_numpy().astype(np.int64)
+        out_k, out_l, out_m, out_v = [], [], [], []
+        for m in measures:
+            v = keep[cols[m]].to_numpy(zero_copy_only=False)
+            out_k.append(ok)
+            out_l.append(ln)
+            out_m.append(np.full(n, m, object))
+            out_v.append(np.floor(v * 100.0 + 0.5).astype(np.int64))
+        return pa.table(
+            {
+                "l_orderkey": pa.array(np.concatenate(out_k)),
+                "l_linenumber": pa.array(np.concatenate(out_l)),
+                "measure": pa.array(np.concatenate(out_m), pa.string()),
+                "val_e2": pa.array(np.concatenate(out_v)),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow").sort(
+        ["l_orderkey", "l_linenumber", "measure"]
+    )
+
+
+def m18_unpivot_sql(key_mod: int = 101) -> str:
+    return (
+        "SELECT l_orderkey, l_linenumber, measure, "
+        "CAST(ROUND(val * 100, 0) AS BIGINT) AS val_e2 FROM ("
+        "SELECT l_orderkey, l_linenumber, 'discount' AS measure, l_discount AS val "
+        f"FROM lineitem WHERE l_orderkey % {key_mod} = 0 UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice "
+        f"FROM lineitem WHERE l_orderkey % {key_mod} = 0 UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'quantity', l_quantity "
+        f"FROM lineitem WHERE l_orderkey % {key_mod} = 0 UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'tax', l_tax "
+        f"FROM lineitem WHERE l_orderkey % {key_mod} = 0) "
+        "ORDER BY l_orderkey, l_linenumber, measure"
     )
