@@ -115,6 +115,9 @@ def main() -> None:
         "t_near_dedup", "t_minhash_pairs", "t_split", "e_mips_topk",
         "t_decontaminate", "t_pack", "t_dupspans", "e_semdedup",
         "t_prep_v4", "m17_gaps_islands", "g24_skew_kurt", "w11_sessionize",
+        # continuation session: PMI collocations (10x docs), grouped
+        # arg-max / exact median / window distinct (10x events)
+        "t_pmi_bigrams", "g26_argmax", "g27_median", "w12_window_distinct",
     ):
         t0 = time.time()
         res = q[name](out_dir)
