@@ -393,7 +393,7 @@ def encode_flac(
         raise ValueError("flac: 1-8 channels")
     x = x.astype(np.int64)
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
-    if x.min() < lo or x.max() > hi:
+    if x.size and (x.min() < lo or x.max() > hi):
         raise ValueError(f"flac: samples out of {bps}-bit range")
 
     md5 = hashlib.md5()
@@ -415,7 +415,10 @@ def encode_flac(
     si.write(nch - 1, 3)
     si.write(bps - 1, 5)
     si.write(n & ((1 << 36) - 1), 36)
-    body = si.getvalue() + md5.digest()
+    # bps not a byte multiple: the sample-MD5 convention doesn't apply;
+    # write the spec's 16 zero bytes meaning "unset" (an empty-string
+    # MD5 here would make conforming verifying decoders reject the file)
+    body = si.getvalue() + (md5.digest() if bps % 8 == 0 else b"\x00" * 16)
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body  # last-block STREAMINFO
 
     bs_code_tbl = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
@@ -627,6 +630,8 @@ def decode_flac(data: bytes, verify_md5: bool = True):
         subs = [_read_subframe(r, bs, fbps + adj[c]) for c in range(nc)]
         r.align()
         fend = r.tell_bytes()
+        if fend + 2 > len(data):
+            raise ValueError("flac: truncated at frame CRC-16")
         crc16 = struct.unpack(">H", data[fend : fend + 2])[0]
         if _crc16(data[hdr_start:fend]) != crc16:
             raise ValueError("flac: frame CRC-16 mismatch")

@@ -465,6 +465,11 @@ def x4_kcore_sql(n_nodes: int = 2000, edge_mod: int = 3, k: int = 10, rounds: in
     return ", ".join(parts) + " " + final
 
 
+class _NodeBoundExceeded(ValueError):
+    """x5_bfs broadcast-path bound sentinel (still a ValueError for
+    callers that treat the bound generically)."""
+
+
 def x5_bfs(
     sf: str,
     n_nodes: int = 2000,
@@ -526,7 +531,7 @@ def x5_bfs(
         for b in d.iter_batches(batch_format="pyarrow", batch_size=262144):
             n += b.num_rows
             if n > bound:
-                raise ValueError(
+                raise _NodeBoundExceeded(
                     f"x5_bfs: frontier past {bound} rows — node set too large "
                     "for the broadcast path"
                 )
@@ -588,7 +593,9 @@ def x5_bfs(
         return rd.from_arrow(
             pa.table({"node": pa.array(node[o]), "dist": pa.array(dist[o])})
         )
-    except ValueError:
+    except _NodeBoundExceeded:
+        # ONLY the bound guard reroutes — a genuine ValueError in a
+        # decode/kernel must surface, not silently re-run 6x slower
         return _x5_bfs_dataset(edges, source_mod, max_hops)
 
 

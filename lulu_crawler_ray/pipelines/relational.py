@@ -4476,6 +4476,14 @@ def g25_entropy_sql() -> str:
     )
 
 
+def _e_units(v: np.ndarray, scale: float) -> np.ndarray:
+    """ROUND(v*scale) with HALF-AWAY-FROM-ZERO ties — exactly DuckDB's
+    ROUND, valid on negative values too (floor(x+0.5) alone is half-UP
+    and diverges at negative .5 ties)."""
+    s = v * scale
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+
+
 def g26_argmax(sf: str):
     """Grouped ARG-MAX (continuation session): per event_type, the
     user responsible for the maximum value (deterministic ties:
@@ -4500,11 +4508,13 @@ def g26_argmax(sf: str):
             {
                 "event_type": t["event_type"],
                 "user_id": t["user_id"],
-                "v_e4": pa.array(np.floor(v * 10000.0 + 0.5).astype(np.int64)),
+                "v_e4": pa.array(_e_units(v, 10000.0)),
             }
         )
 
-    rows = ds.map_batches(e4, batch_format="pyarrow")
+    # materialize: rows feeds BOTH the max pass and the at-max filter
+    # (lazy datasets would re-read + re-quantize the parquet twice)
+    rows = ds.map_batches(e4, batch_format="pyarrow").materialize()
     mx = grouped_agg(rows, ["event_type"], [("max_e4", "max", "v_e4")], round_to=None)
     mx_map = {
         k: int(v)
@@ -4571,9 +4581,7 @@ def g27_median(sf: str):
     ds = read_table(sf, "events", ["event_type", "value"])
 
     def counts(t: pa.Table) -> pa.Table:
-        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 10000.0 + 0.5).astype(
-            np.int64
-        )
+        v = _e_units(t["value"].to_numpy(zero_copy_only=False), 10000.0)
         return (
             pa.table({"event_type": t["event_type"], "v_e4": pa.array(v)})
             .group_by(["event_type", "v_e4"])
@@ -4671,9 +4679,14 @@ def w12_window_distinct(sf: str, size_min: int = 60):
 
 
 def w12_window_distinct_sql(size_min: int = 60) -> str:
+    win_us = size_min * 60 * 1_000_000
+    # make_timestamp, NOT to_timestamp: the latter yields TIMESTAMPTZ
+    # and strftime would render it in DuckDB's session timezone,
+    # shifting every window_start on non-UTC hosts (repo convention,
+    # see the other w-series oracles)
     return (
-        f"SELECT strftime(to_timestamp((epoch_us(ts) // {size_min * 60 * 1000000}) "
-        f"* {size_min * 60}000000 // 1000000), '%Y-%m-%d %H:%M:%S') AS window_start, "
+        f"SELECT strftime(make_timestamp((epoch_us(ts) // {win_us}) * {win_us}), "
+        "'%Y-%m-%d %H:%M:%S') AS window_start, "
         "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
         "FROM events GROUP BY 1 ORDER BY window_start"
     )
@@ -4706,7 +4719,7 @@ def m18_unpivot(sf: str, key_mod: int = 101):
             out_k.append(ok)
             out_l.append(ln)
             out_m.append(np.full(n, m, object))
-            out_v.append(np.floor(v * 100.0 + 0.5).astype(np.int64))
+            out_v.append(_e_units(v, 100.0))
         return pa.table(
             {
                 "l_orderkey": pa.array(np.concatenate(out_k)),

@@ -855,11 +855,13 @@ def t_pmi_bigrams(sf: str, min_count: int = 5, top_k: int = 30):
     PMI while staying integer-exact across engines (log floats would
     hash-differ; the oracle computes the same ratio in HUGEINT).
 
-    Distributed shape: tokenize + in-doc adjacent-pair explode is one
-    vectorized map (split_pattern_regex + list-offset masking — the
-    bigram never crosses a doc boundary); bigram and unigram counts are
-    grouped_agg (combiner-first, vocab-sized results); N and B are
-    streaming scalar sums over the count tables. The finalize gathers
+    Distributed shape: ONE vectorized tokenize pass (split_pattern_regex
+    + a not_equal mask with list-offset bookkeeping) materializes the
+    per-doc token lists; the unigram flatten and the in-doc
+    adjacent-pair explode (offset masking — a bigram never crosses a
+    doc boundary) are two cheap passes over that cache. Bigram and
+    unigram counts are grouped_agg (combiner-first, vocab-sized
+    results); N and B are streaming scalar sums over the count tables. The finalize gathers
     ONLY the >= min_count candidates (heavy-hitter-bounded: at most
     B/min_count rows) plus the unigram rows they reference
     (candidate-bounded via one semi-filter) — never the corpus, never
@@ -872,49 +874,54 @@ def t_pmi_bigrams(sf: str, min_count: int = 5, top_k: int = 30):
 
     ds = read_table(sf, "documents", ["text"])
 
-    # pyarrow has no lambda list_filter; drop empty tokens at the flat
-    # level with offset bookkeeping instead
-    def explode(t: pa.Table):
+    # ONE tokenize pass, materialized: both count passes reuse the
+    # token lists instead of re-running split_pattern_regex over the
+    # corpus. Empty tokens drop via a vectorized not_equal mask with
+    # offset bookkeeping (pyarrow has no lambda list_filter).
+    def tokenize(t: pa.Table) -> pa.Table:
         lst = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+").combine_chunks()
-        vals = lst.flatten().to_numpy(zero_copy_only=False)
+        flat = lst.flatten()
+        keep = pc.not_equal(flat, "")
+        k = keep.to_numpy(zero_copy_only=False)
         offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        nonempty = np.array([len(v) > 0 for v in vals], bool)
-        # per-list count of nonempty tokens -> new offsets over kept vals
-        keepcum = np.concatenate([[0], np.cumsum(nonempty)])
+        keepcum = np.concatenate([[0], np.cumsum(k)])
         new_offs = keepcum[offs]
-        kept = vals[nonempty]
-        # adjacent pairs within each doc: index i pairs with i+1 unless
-        # i+1 is the first token of the next doc
-        n = len(kept)
-        if n >= 2:
-            first = np.zeros(n, bool)
-            starts = new_offs[:-1][new_offs[:-1] < n]
-            first[starts] = True
-            idx = np.flatnonzero(~first[1:])  # pair (idx, idx+1) stays in-doc
-            w1, w2 = kept[idx], kept[idx + 1]
-        else:
-            w1 = w2 = np.array([], object)
+        kept = flat.filter(keep)
         return pa.table(
-            {
-                "w1": pa.array(w1, pa.string()),
-                "w2": pa.array(w2, pa.string()),
-            }
-        ), pa.table({"w": pa.array(kept, pa.string())})
+            {"toks": pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept)}
+        )
 
-    def bigram_batch(t: pa.Table) -> pa.Table:
-        return explode(t)[0]
+    toks_ds = ds.map_batches(tokenize, batch_format="pyarrow").materialize()
 
     def unigram_batch(t: pa.Table) -> pa.Table:
-        return explode(t)[1]
+        return pa.table({"w": t["toks"].combine_chunks().flatten()})
+
+    def bigram_batch(t: pa.Table) -> pa.Table:
+        lst = t["toks"].combine_chunks()
+        vals = lst.flatten()
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(vals)
+        if n >= 2:
+            # adjacent pairs within each doc: (i, i+1) unless i+1 is
+            # the first token of the next doc
+            first = np.zeros(n, bool)
+            starts = offs[:-1][offs[:-1] < n]
+            first[starts] = True
+            idx = np.flatnonzero(~first[1:])
+            w1 = vals.take(pa.array(idx))
+            w2 = vals.take(pa.array(idx + 1))
+        else:
+            w1 = w2 = pa.array([], pa.string())
+        return pa.table({"w1": w1, "w2": w2})
 
     big = grouped_agg(
-        ds.map_batches(bigram_batch, batch_format="pyarrow"),
+        toks_ds.map_batches(bigram_batch, batch_format="pyarrow"),
         ["w1", "w2"],
         [("c_xy", "count", None)],
         round_to=None,
     ).materialize()
     uni = grouped_agg(
-        ds.map_batches(unigram_batch, batch_format="pyarrow"),
+        toks_ds.map_batches(unigram_batch, batch_format="pyarrow"),
         ["w"],
         [("c", "count", None)],
         round_to=None,

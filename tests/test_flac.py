@@ -101,6 +101,26 @@ def test_corruption_raises_not_garbage():
         decode_flac(bytes(enc[: len(enc) // 2]))  # truncation
 
 
+def test_review_fixes():
+    x = _tone(5000)
+    enc = encode_flac(x)
+    # truncation exactly at the frame-CRC16 boundary raises ValueError
+    # (was struct.error), so except-ValueError skip logic works
+    for cut in (1, 2):
+        with pytest.raises(ValueError):
+            decode_flac(enc[:-cut])
+    # non-byte-multiple bps: STREAMINFO MD5 is the spec's 16 zero
+    # bytes ("unset"), not the MD5 of the empty string
+    e12 = encode_flac(_tone(2000) >> 4, bps=12)
+    assert e12[26:42] == b"\x00" * 16
+    dec, _, got = decode_flac(e12)
+    assert got == 12 and np.array_equal(dec[:, 0], _tone(2000) >> 4)
+    # empty PCM encodes to a valid zero-sample stream
+    empty = encode_flac(np.array([], np.int64))
+    out, sr, _ = decode_flac(empty)
+    assert out.shape == (0, 1)
+
+
 def test_md5_is_real_and_checked():
     x = _tone(3000)
     enc = bytearray(encode_flac(x, 8000))
