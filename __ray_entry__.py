@@ -116,7 +116,8 @@ _PRIORITY_R5 = [
     # covered by the pytest gate): BFS hops, PMI collocations,
     # grouped arg-max
     "x5_bfs", "t_pmi_bigrams", "g26_argmax", "g27_median",
-    "w12_window_distinct", "m18_unpivot",
+    "w12_window_distinct", "m18_unpivot", "s12_ipc_roundtrip",
+    "s13_avro_roundtrip",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -259,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g27_median": rl.g27_median,
         "w12_window_distinct": rl.w12_window_distinct,
         "m18_unpivot": rl.m18_unpivot,
+        "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
+        "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
         "m17_gaps_islands": rl.m17_gaps_islands,
         "d9_except_all": rl.d9_except_all,
@@ -411,6 +414,14 @@ def oracle_sql() -> dict[str, str]:
         "g27_median": rl_g27_sql(),
         "w12_window_distinct": rl_w12_sql(),
         "m18_unpivot": rl_m18_sql(),
+        # sink/source roundtrips: lossless by construction, so the
+        # oracle is a plain SELECT over the parquet original
+        "s12_ipc_roundtrip": (
+            "SELECT doc_id, text, lang, n_chars FROM documents"
+        ),
+        "s13_avro_roundtrip": (
+            "SELECT doc_id, text, lang, n_chars FROM documents"
+        ),
         "o10_weighted_sample": _o10_sql(),
         "m17_gaps_islands": _m17_sql(),
         "d9_except_all": _d9_sql(),

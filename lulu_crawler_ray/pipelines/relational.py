@@ -4748,3 +4748,108 @@ def m18_unpivot_sql(key_mod: int = 101) -> str:
         f"FROM lineitem WHERE l_orderkey % {key_mod} = 0) "
         "ORDER BY l_orderkey, l_linenumber, measure"
     )
+
+
+def s12_ipc_roundtrip(sf: str):
+    """S12 (continuation session) — Arrow IPC (Feather v2) sink/source
+    roundtrip: THE zero-copy interchange format between Arrow-native
+    engines. Ray Data ships no IPC reader/writer, so both directions
+    are custom distributed stages: the sink is a map_batches that
+    streams each batch to its own .arrow file (uuid-named — block
+    writes are embarrassingly parallel and never coordinate), the
+    source is read_binary_files + a per-file pa.ipc.open_file map.
+    Schema and values must hash-equal a plain SELECT over the parquet
+    original — IPC is lossless by construction (same Arrow buffers),
+    so a mismatch means a broken stage, not a format limit."""
+    import os
+    import shutil
+    import uuid
+
+    ds = read_table(sf, "documents", ["doc_id", "text", "lang", "n_chars"])
+    out = _roundtrip_dir("ipc", sf)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def sink(t: pa.Table, _dir=out) -> pa.Table:
+        import pyarrow.ipc as pipc
+
+        path = os.path.join(_dir, f"part-{uuid.uuid4().hex}.arrow")
+        with pipc.new_file(path, t.schema) as w:
+            w.write_table(t)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    # drain the sink (its output is just the manifest of written files)
+    n_files = ds.map_batches(sink, batch_format="pyarrow").count()
+    assert n_files > 0
+
+    files = ray.data.read_binary_files(out)
+
+    def parse(t: pa.Table) -> pa.Table:
+        import pyarrow.ipc as pipc
+
+        tables = [
+            pipc.open_file(pa.BufferReader(t["bytes"][i].as_py())).read_all()
+            for i in range(t.num_rows)
+        ]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def s13_avro_roundtrip(sf: str):
+    """S13 (continuation session) — Avro OCF sink/source roundtrip
+    through the in-repo codec (functions/avro.py: spec block layout,
+    zigzag varints, raw-DEFLATE codec, per-block sync markers). Same
+    custom-stage shape as S12: one .avro container per batch on the
+    way out, read_binary_files + block decode on the way back. Proves
+    the engine speaks the data-lake row format end to end — longs,
+    UTF-8 strings, per-block deflate — with exact value equality
+    against the parquet original."""
+    import os
+    import shutil
+    import uuid
+
+    ds = read_table(sf, "documents", ["doc_id", "text", "lang", "n_chars"])
+    out = _roundtrip_dir("avro", sf)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def sink(t: pa.Table, _dir=out) -> pa.Table:
+        from ..functions.avro import write_avro
+
+        cols = {
+            "doc_id": t["doc_id"].to_pylist(),
+            "text": t["text"].to_pylist(),
+            "lang": t["lang"].to_pylist(),
+            "n_chars": t["n_chars"].to_pylist(),
+        }
+        types = {"doc_id": "long", "text": "string", "lang": "string", "n_chars": "long"}
+        path = os.path.join(_dir, f"part-{uuid.uuid4().hex}.avro")
+        with open(path, "wb") as f:
+            f.write(write_avro(cols, types, codec="deflate"))
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    n_files = ds.map_batches(sink, batch_format="pyarrow").count()
+    assert n_files > 0
+
+    files = ray.data.read_binary_files(out)
+
+    def parse(t: pa.Table) -> pa.Table:
+        from ..functions.avro import read_avro
+
+        parts = []
+        for i in range(t.num_rows):
+            cols, _types = read_avro(t["bytes"][i].as_py())
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                        "text": pa.array(cols["text"], pa.string()),
+                        "lang": pa.array(cols["lang"], pa.string()),
+                        "n_chars": pa.array(cols["n_chars"], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else pa.table({})
+
+    return files.map_batches(parse, batch_format="pyarrow")
