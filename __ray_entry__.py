@@ -118,6 +118,10 @@ _PRIORITY_R5 = [
     "x5_bfs", "t_pmi_bigrams", "g26_argmax", "g27_median",
     "w12_window_distinct", "m18_unpivot", "s12_ipc_roundtrip",
     "s13_avro_roundtrip",
+    # continuation-session corpus/analytics ops: n-gram novelty, DSIR
+    # importance weights, exact kNN graph, rolling per-key median
+    "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
+    "w13_rolling_median",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -133,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import relational as rl
     from lulu_crawler_ray.pipelines import textops as to
     from lulu_crawler_ray.pipelines import textops2 as to2
+    from lulu_crawler_ray.pipelines import textops3 as to3
     from lulu_crawler_ray.pipelines.pq import e_pq_ann as _pq_ann
     from lulu_crawler_ray.pipelines.graph import x1_pagerank as _pagerank
     from lulu_crawler_ray.pipelines.graph import x2_triangles as _triangles
@@ -260,6 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g27_median": rl.g27_median,
         "w12_window_distinct": rl.w12_window_distinct,
         "m18_unpivot": rl.m18_unpivot,
+        "t_ngram_novelty": to3.t_ngram_novelty,
+        "t_dsir_weights": to3.t_dsir_weights,
+        "e_knn_graph": an.e_knn_graph,
+        "w13_rolling_median": rl.w13_rolling_median,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -365,6 +374,12 @@ def oracle_sql() -> dict[str, str]:
         g27_median_sql as rl_g27_sql,
         w12_window_distinct_sql as rl_w12_sql,
         m18_unpivot_sql as rl_m18_sql,
+        w13_rolling_median_sql as _w13_sql,
+    )
+    from lulu_crawler_ray.pipelines.annsearch import e_knn_graph_sql as _knn_graph_sql
+    from lulu_crawler_ray.pipelines.textops3 import (
+        t_dsir_weights_sql as _to3_dsir_sql,
+        t_ngram_novelty_sql as _to3_novelty_sql,
     )
     from lulu_crawler_ray.pipelines.textops2 import (
         e_mips_topk_sql,
@@ -414,6 +429,10 @@ def oracle_sql() -> dict[str, str]:
         "g27_median": rl_g27_sql(),
         "w12_window_distinct": rl_w12_sql(),
         "m18_unpivot": rl_m18_sql(),
+        "t_ngram_novelty": _to3_novelty_sql(),
+        "t_dsir_weights": _to3_dsir_sql(),
+        "e_knn_graph": _knn_graph_sql(),
+        "w13_rolling_median": _w13_sql(),
         # sink/source roundtrips: lossless by construction, so the
         # oracle is a plain SELECT over the parquet original
         "s12_ipc_roundtrip": (

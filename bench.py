@@ -153,6 +153,8 @@ def run_bench() -> dict:
         # continuation-session ops
         "x5_bfs", "t_pmi_bigrams", "g26_argmax", "g27_median",
         "audio_flac_digest",
+        "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
+        "w13_rolling_median",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

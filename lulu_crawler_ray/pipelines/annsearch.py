@@ -705,3 +705,90 @@ def e_gram_topk(sf: str, k: int = 20):
 
     refs = agg.materialize().to_arrow_refs()
     return ray.data.from_arrow_refs([topk.remote(*refs)])
+
+
+def e_knn_graph(sf: str, k: int = 3, dim_max: int = 2_000_000):
+    """Exact kNN GRAPH construction (continuation session): the top-k
+    inner-product neighbors of EVERY vector — the all-points sibling of
+    e_mips_topk and the substrate SemDeDup-style clustering / graph
+    dedup runs on. Embeddings quantize to e6 ints; scores are exact
+    int64 inner products computed via float64 BLAS (every partial sum
+    bounded by 64 * 1e12 << 2^53, so the float matmul is bit-exact and
+    ~10x the int64 einsum).
+
+    Distributed shape: the quantized matrix broadcasts once (worker
+    refs -> one object-store tuple, dim_ref-style loud bound at
+    ``dim_max`` rows); each batch of rows computes its scores against
+    the broadcast and emits its own exact top-k — no finalize merge
+    needed because every batch sees ALL candidates. Above the bound
+    the right tool is the IVF index (e_ivf_ann), which this function
+    refuses toward rather than silently gathering."""
+    emb = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+    refs, n = [], 0
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=65536):
+        n += b.num_rows
+        if n > dim_max:
+            raise ValueError(
+                f"e_knn_graph: >{dim_max} vectors — brute-force kNN graph is "
+                "O(N^2); use the IVF-bucketed path (e_ivf_ann) at this scale"
+            )
+        if b.num_rows:
+            refs.append(ray.put(b))
+
+    @ray.remote
+    def build(*blocks: pa.Table):
+        t = pa.concat_tables(list(blocks)).combine_chunks()
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        m = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6)
+        o = np.argsort(ids, kind="stable")
+        return ids[o], m[o]
+
+    mat_ref = build.remote(*refs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(mat_ref)
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        q = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6)
+        ip = q @ all_m.T  # exact: every partial sum < 2^53
+        # exclude self, then per-row top-k with (ip desc, neighbor asc)
+        self_col = np.searchsorted(all_ids, ids)
+        rows = np.arange(len(ids))
+        hit = (self_col < len(all_ids)) & (all_ids[np.minimum(self_col, len(all_ids) - 1)] == ids)
+        ip[rows[hit], self_col[hit]] = -np.inf
+        kk = min(k, ip.shape[1] - 1)
+        out_v, out_n, out_s, out_r = [], [], [], []
+        # lexsort per row on (-ip, neighbor_id): argsort of structured key
+        order = np.lexsort((np.broadcast_to(all_ids, ip.shape), -ip), axis=1)[:, :kk]
+        for r in range(len(ids)):
+            sel = order[r]
+            out_v.extend([int(ids[r])] * kk)
+            out_n.extend(all_ids[sel].tolist())
+            out_s.extend(ip[r, sel].astype(np.int64).tolist())
+            out_r.extend(range(1, kk + 1))
+        return pa.table(
+            {
+                "vec_id": pa.array(out_v, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "ip_e12": pa.array(out_s, pa.int64()),
+                "rnk": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(partial, batch_format="pyarrow").sort(["vec_id", "rnk"])
+
+
+def e_knn_graph_sql(k: int = 3) -> str:
+    return (
+        "WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v "
+        "FROM embeddings), "
+        "s AS (SELECT a.vec_id AS qid, b.vec_id AS nid, "
+        "CAST(SUM(a.v * b.v) AS BIGINT) AS ip FROM u a JOIN u b "
+        "ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2), "
+        "r AS (SELECT qid, nid, ip, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY ip DESC, nid) AS rn FROM s) "
+        "SELECT CAST(qid AS BIGINT) AS vec_id, CAST(nid AS BIGINT) AS neighbor_id, "
+        f"ip AS ip_e12, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= {k} "
+        "ORDER BY vec_id, rnk"
+    )

@@ -4853,3 +4853,81 @@ def s13_avro_roundtrip(sf: str):
         return pa.concat_tables(parts) if parts else pa.table({})
 
     return files.map_batches(parse, batch_format="pyarrow")
+
+
+def w13_rolling_median(sf: str, window: int = 5):
+    """Rolling per-key median (continuation session): for each user's
+    events ordered by (ts, event_id), the median of `value` over the
+    last ``window`` rows — the smoothing pass a metrics pipeline runs
+    before anomaly thresholds. One hash shuffle co-partitions by
+    user_id (the w11 shape); within a partition one lexsort + an
+    n x window NaN-padded strided view feeds np.nanmedian — vectorized,
+    no per-row Python. Median of <= window float64s is the same
+    two-middle average in numpy and DuckDB, so ROUND(.., 4) matches
+    bit-for-bit at the driver's 4-decimal compare."""
+    ds = read_table(sf, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "us": pa.array(t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)),
+                "value": t["value"].cast(pa.float64()),
+            }
+        )
+
+    def med_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "med": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((eid, us, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        # row i's window is rows [i-window+1, i] of the SAME user:
+        # NaN-pad the head of each user's run, then one nanmedian over
+        # an (n, window) gather
+        run_start = np.zeros(n, np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_user)
+        run_start[starts] = starts
+        run_start = np.maximum.accumulate(run_start)
+        idx = np.arange(n)[:, None] - np.arange(window - 1, -1, -1)[None, :]
+        valid = idx >= run_start[:, None]
+        g = np.where(valid, v[np.maximum(idx, 0)], np.nan)
+        med = np.round(np.nanmedian(g, axis=1), 4)
+        return pa.table(
+            {
+                "user_id": pa.array(uid.astype(np.int64)),
+                "event_id": pa.array(eid.astype(np.int64)),
+                "med": pa.array(med),
+            }
+        )
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow")
+    return (
+        _hash_partitioned(tagged, "user_id", _npart())
+        .map_groups(
+            lambda t: med_part(t.drop_columns(["__part"]) if "__part" in t.column_names else t),
+            batch_format="pyarrow",
+        )
+        .sort(["user_id", "event_id"])
+    )
+
+
+def w13_rolling_median_sql(window: int = 5) -> str:
+    return (
+        "SELECT user_id, event_id, ROUND(median(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW), 4) AS med "
+        "FROM events ORDER BY user_id, event_id"
+    )

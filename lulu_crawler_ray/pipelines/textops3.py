@@ -1,0 +1,257 @@
+"""Continuation-session corpus operators: per-document n-gram novelty
+(the contribution diagnostic a dedup pass reads before dropping docs)
+and DSIR-style importance weights (Data Selection via Importance
+Resampling, Xie et al. 2023 — hashed-feature distribution ratios; here
+token-granular so the DuckDB oracle is bit-exact without a shared hash).
+Each is a `queries()` entry with an integer-exact DuckDB oracle, built
+on the adaptive scale machinery from relational.py.
+
+No reference file:line citations are possible — /root/reference is
+empty (SURVEY.md §0); the spec base is BASELINE.json + public algorithm
+descriptions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.testdata import read_table
+from .relational import adaptive_dim_join, grouped_agg
+
+
+def _tokenized(ds):
+    """(doc_id, text) -> (doc_id, toks:list<string>) with empty tokens
+    dropped — the PMI tokenize pass with the doc_id carried along."""
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+").combine_chunks()
+        flat = lst.flatten()
+        keep = pc.not_equal(flat, "")
+        k = keep.to_numpy(zero_copy_only=False)
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        keepcum = np.concatenate([[0], np.cumsum(k)])
+        new_offs = keepcum[offs]
+        kept = flat.filter(keep)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "toks": pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept),
+            }
+        )
+
+    return ds.map_batches(tokenize, batch_format="pyarrow")
+
+
+def _trigram_pairs(t: pa.Table) -> pa.Table:
+    """(doc_id, toks) -> (doc_id, gram) for every in-doc token trigram
+    (space-joined). A trigram never crosses a doc boundary: valid start
+    i needs i+1 and i+2 inside the same doc (offset masking, the PMI
+    bigram pattern extended one position)."""
+    lst = t["toks"].combine_chunks()
+    vals = lst.flatten()
+    offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(vals)
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    if n >= 3:
+        first = np.zeros(n, bool)
+        starts = offs[:-1][offs[:-1] < n]
+        first[starts] = True
+        ok = ~first
+        idx = np.flatnonzero(ok[1:-1] & ok[2:])
+        g = pc.binary_join_element_wise(
+            vals.take(pa.array(idx)),
+            vals.take(pa.array(idx + 1)),
+            vals.take(pa.array(idx + 2)),
+            " ",
+        )
+        # map flat token index -> doc index (offsets are sorted)
+        did = doc_ids[np.searchsorted(offs, idx, side="right") - 1]
+    else:
+        g = pa.array([], pa.string())
+        did = np.zeros(0, np.int64)
+    return pa.table(
+        {"doc_id": pa.array(did.astype(np.int64)), "gram": g}
+    )
+
+
+def t_ngram_novelty(sf: str):
+    """Per-document n-gram novelty: the fraction (ppm, integer-exact)
+    of a doc's DISTINCT token trigrams whose global first occurrence
+    (min doc_id over docs containing the gram) is this doc — the
+    "what does this doc add to the corpus" diagnostic read before an
+    ExactSubstr/MinHash drop decision.
+
+    Distributed shape: trigram explode -> grouped_agg on
+    (doc_id, gram) for the distinct pair set -> grouped_agg on gram
+    for first_doc = min(doc_id) -> adaptive decoration join back onto
+    the pair set (vocab-sized dim, broadcast under 5M grams,
+    hash-co-partitioned above) -> per-doc grouped_agg. Every exchange
+    is pair- or vocab-sized; the corpus streams."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+    pairs_raw = _tokenized(ds).map_batches(_trigram_pairs, batch_format="pyarrow")
+    # distinct (doc_id, gram): count output is unused, the group is the point
+    pairs = grouped_agg(
+        pairs_raw, ["doc_id", "gram"], [("c", "count", None)], round_to=None
+    ).materialize()
+    gram_first = grouped_agg(
+        pairs, ["gram"], [("first_doc", "min", "doc_id")], round_to=None
+    )
+    dec = adaptive_dim_join(pairs, "gram", gram_first, "gram", ["first_doc"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        novel = pc.equal(t["doc_id"], t["first_doc"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "novel": novel.cast(pa.int64()),
+            }
+        )
+
+    per_doc = grouped_agg(
+        dec.map_batches(mark, batch_format="pyarrow"),
+        ["doc_id"],
+        [("n_grams", "sum", "one"), ("n_novel", "sum", "novel")],
+        round_to=None,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = t["n_novel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_grams": pa.array(ng),
+                "n_novel": pa.array(nv),
+                "novelty_ppm": pa.array(nv * 1_000_000 // ng),
+            }
+        )
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow").sort("doc_id")
+
+
+def t_ngram_novelty_sql() -> str:
+    # DuckDB slices are 1-based with inclusive negative ends
+    # (l[:-1] is the WHOLE list): the three trigram operands are
+    # l[:-3] / l[2:-2] / l[3:], each of length n-2 for len(l)=n>=3.
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> x <> '') AS l FROM documents), "
+        "p3 AS (SELECT doc_id, z[1] || ' ' || z[2] || ' ' || z[3] AS gram FROM "
+        "(SELECT doc_id, UNNEST(list_zip(l[:-3], l[2:-2], l[3:])) AS z FROM d "
+        "WHERE len(l) >= 3) WHERE z[3] IS NOT NULL), "
+        "pairs AS (SELECT DISTINCT doc_id, gram FROM p3), "
+        "firsts AS (SELECT gram, MIN(doc_id) AS fd FROM pairs GROUP BY gram) "
+        "SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "CAST(SUM(CASE WHEN f.fd = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+        "CAST(SUM(CASE WHEN f.fd = p.doc_id THEN 1 ELSE 0 END) * 1000000 "
+        "// COUNT(*) AS BIGINT) AS novelty_ppm "
+        "FROM pairs p JOIN firsts f USING (gram) GROUP BY p.doc_id ORDER BY p.doc_id"
+    )
+
+
+def t_dsir_weights(sf: str, target_lang: str = "en"):
+    """DSIR-style importance weights (Xie et al. 2023): score each raw
+    doc by how target-like its token distribution is. Feature buckets
+    here are the tokens themselves (the paper hashes n-grams into a
+    fixed number of buckets to bound the feature dim; token-granular
+    keeps the DuckDB oracle bit-exact without a shared string hash —
+    at 100 TB the same pipeline runs over `key_hash_u64(token) % B`
+    buckets, which only changes the explode map). Per-token term =
+    target-occurrence fraction in ppm: te_e6 = tc * 1e6 // rc with
+    tc = occurrences in target-language docs, rc = occurrences in all
+    docs. tc <= rc always, so te_e6 <= 1e6 and a per-doc sum is
+    int64-safe at ANY corpus size (the PMI overflow lesson applied at
+    design time). dsir_e6 = sum of te_e6 over the doc's token
+    OCCURRENCES; dsir_avg_e6 = dsir_e6 // n_tokens.
+
+    Distributed shape: one tokenize pass -> grouped_agg on
+    (doc_id, token) -> vocab-sized raw/target count tables -> one
+    vocab-sized decoration join of the term table back onto the pair
+    set -> per-doc grouped_agg. The corpus streams; only vocab- and
+    pair-sized sets shuffle."""
+    ds = read_table(sf, "documents", ["doc_id", "text", "lang"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+").combine_chunks()
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lst.flatten()
+        keep = pc.not_equal(flat, "")
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = pc.equal(t["lang"], target_lang).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        row = np.searchsorted(offs, np.arange(n), side="right") - 1
+        kmask = keep.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[row][kmask]),
+                "w": flat.filter(keep),
+                "is_tgt": pa.array(tgt[row][kmask].astype(np.int64)),
+            }
+        )
+
+    toks = ds.map_batches(tokenize, batch_format="pyarrow")
+    # (doc_id, w) occurrence counts; is_tgt is constant per doc so
+    # summing it counts target occurrences
+    pairs = grouped_agg(
+        toks,
+        ["doc_id", "w"],
+        [("c", "count", None), ("tgt_c", "sum", "is_tgt")],
+        round_to=None,
+    ).materialize()
+    vocab = grouped_agg(
+        pairs, ["w"], [("rc", "sum", "c"), ("tc", "sum", "tgt_c")], round_to=None
+    )
+
+    def term(t: pa.Table) -> pa.Table:
+        rc = t["rc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = t["tc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": t["w"], "te": pa.array(tc * 1_000_000 // rc)})
+
+    terms = vocab.map_batches(term, batch_format="pyarrow")
+    dec = adaptive_dim_join(pairs, "w", terms, "w", ["te"])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        te = t["te"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(c), "s": pa.array(c * te)}
+        )
+
+    per_doc = grouped_agg(
+        dec.map_batches(weigh, batch_format="pyarrow"),
+        ["doc_id"],
+        [("n_tokens", "sum", "n"), ("dsir_e6", "sum", "s")],
+        round_to=None,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["dsir_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n),
+                "dsir_e6": pa.array(s),
+                "dsir_avg_e6": pa.array(s // n),
+            }
+        )
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow").sort("doc_id")
+
+
+def t_dsir_weights_sql(target_lang: str = "en") -> str:
+    return (
+        "WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex("
+        "lower(text), '\\s+'), x -> x <> '') AS l FROM documents), "
+        "u AS (SELECT doc_id, lang, UNNEST(l) AS w FROM d), "
+        "vocab AS (SELECT w, COUNT(*) AS rc, "
+        f"SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS tc "
+        "FROM u GROUP BY w), "
+        "term AS (SELECT w, tc * 1000000 // rc AS te FROM vocab) "
+        "SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(te) AS BIGINT) AS dsir_e6, "
+        "CAST(SUM(te) // COUNT(*) AS BIGINT) AS dsir_avg_e6 "
+        "FROM u JOIN term USING (w) GROUP BY u.doc_id ORDER BY u.doc_id"
+    )
