@@ -82,43 +82,46 @@ def t_ngram_novelty(sf: str):
     "what does this doc add to the corpus" diagnostic read before an
     ExactSubstr/MinHash drop decision.
 
-    Distributed shape: trigram explode -> grouped_agg on
-    (doc_id, gram) for the distinct pair set -> grouped_agg on gram
-    for first_doc = min(doc_id) -> adaptive decoration join back onto
-    the pair set (vocab-sized dim, broadcast under 5M grams,
-    hash-co-partitioned above) -> per-doc grouped_agg. Every exchange
-    is pair- or vocab-sized; the corpus streams."""
+    Distributed shape (v2, zero string decoration): a document's rows
+    never span batches, so the distinct (doc_id, gram) pair set is a
+    LOCAL per-batch group_by — no shuffle. n_grams per doc is then a
+    cheap int-keyed count; first_doc = min(doc_id) per gram is the one
+    string-keyed exchange (vocab-sized partials); and n_novel per doc
+    is just COUNT(gram_first GROUP BY first_doc) — the vocab-sized
+    gram->first_doc table never joins back onto the pair set. The
+    final decoration is a doc-count-sized left join. v1 shuffled the
+    pair set by (doc_id, gram) and broadcast the whole gram vocab back
+    onto it: 35 s at sf0.1 vs ~13 s for this shape."""
     ds = read_table(sf, "documents", ["doc_id", "text"])
     pairs_raw = _tokenized(ds).map_batches(_trigram_pairs, batch_format="pyarrow")
-    # distinct (doc_id, gram): count output is unused, the group is the point
-    pairs = grouped_agg(
-        pairs_raw, ["doc_id", "gram"], [("c", "count", None)], round_to=None
+    # distinct (doc_id, gram) is exact per batch: each doc lives in one
+    # batch, and two docs never share a (doc_id, gram) pair
+    pairs = pairs_raw.map_batches(
+        lambda t: t.group_by(["doc_id", "gram"]).aggregate([]),
+        batch_format="pyarrow",
     ).materialize()
+    per_doc = grouped_agg(
+        pairs, ["doc_id"], [("n_grams", "count", None)], round_to=None
+    )
     gram_first = grouped_agg(
         pairs, ["gram"], [("first_doc", "min", "doc_id")], round_to=None
     )
-    dec = adaptive_dim_join(pairs, "gram", gram_first, "gram", ["first_doc"])
-
-    def mark(t: pa.Table) -> pa.Table:
-        novel = pc.equal(t["doc_id"], t["first_doc"])
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "one": pa.array(np.ones(t.num_rows, np.int64)),
-                "novel": novel.cast(pa.int64()),
-            }
-        )
-
-    per_doc = grouped_agg(
-        dec.map_batches(mark, batch_format="pyarrow"),
-        ["doc_id"],
-        [("n_grams", "sum", "one"), ("n_novel", "sum", "novel")],
-        round_to=None,
+    novel = grouped_agg(
+        gram_first, ["first_doc"], [("n_novel", "count", None)], round_to=None
+    )
+    dec = adaptive_dim_join(
+        per_doc, "doc_id", novel, "first_doc", ["n_novel"], how="left"
     )
 
     def finalize(t: pa.Table) -> pa.Table:
         ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nv = t["n_novel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = (
+            t["n_novel"]
+            .combine_chunks()
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         return pa.table(
             {
                 "doc_id": t["doc_id"].cast(pa.int64()),
@@ -128,7 +131,7 @@ def t_ngram_novelty(sf: str):
             }
         )
 
-    return per_doc.map_batches(finalize, batch_format="pyarrow").sort("doc_id")
+    return dec.map_batches(finalize, batch_format="pyarrow").sort("doc_id")
 
 
 def t_ngram_novelty_sql() -> str:
