@@ -121,7 +121,7 @@ _PRIORITY_R5 = [
     # continuation-session corpus/analytics ops: n-gram novelty, DSIR
     # importance weights, exact kNN graph, rolling per-key median
     "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
-    "w13_rolling_median",
+    "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_dsir_weights": to3.t_dsir_weights,
         "e_knn_graph": an.e_knn_graph,
         "w13_rolling_median": rl.w13_rolling_median,
+        "j11_interval_join": rl.j11_interval_join,
+        "g28_chi2": rl.g28_chi2,
+        "e_maxsim": an.e_maxsim,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -375,8 +378,11 @@ def oracle_sql() -> dict[str, str]:
         w12_window_distinct_sql as rl_w12_sql,
         m18_unpivot_sql as rl_m18_sql,
         w13_rolling_median_sql as _w13_sql,
+        j11_interval_join_sql as _j11_sql,
+        g28_chi2_sql as _g28_sql,
     )
     from lulu_crawler_ray.pipelines.annsearch import e_knn_graph_sql as _knn_graph_sql
+    from lulu_crawler_ray.pipelines.annsearch import e_maxsim_sql as _maxsim_sql
     from lulu_crawler_ray.pipelines.textops3 import (
         t_dsir_weights_sql as _to3_dsir_sql,
         t_ngram_novelty_sql as _to3_novelty_sql,
@@ -433,6 +439,9 @@ def oracle_sql() -> dict[str, str]:
         "t_dsir_weights": _to3_dsir_sql(),
         "e_knn_graph": _knn_graph_sql(),
         "w13_rolling_median": _w13_sql(),
+        "j11_interval_join": _j11_sql(),
+        "g28_chi2": _g28_sql(),
+        "e_maxsim": _maxsim_sql(),
         # sink/source roundtrips: lossless by construction, so the
         # oracle is a plain SELECT over the parquet original
         "s12_ipc_roundtrip": (

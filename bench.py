@@ -154,7 +154,7 @@ def run_bench() -> dict:
         "x5_bfs", "t_pmi_bigrams", "g26_argmax", "g27_median",
         "audio_flac_digest",
         "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
-        "w13_rolling_median",
+        "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -16,6 +16,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -791,4 +792,148 @@ def e_knn_graph_sql(k: int = 3) -> str:
         "SELECT CAST(qid AS BIGINT) AS vec_id, CAST(nid AS BIGINT) AS neighbor_id, "
         f"ip AS ip_e12, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= {k} "
         "ORDER BY vec_id, rnk"
+    )
+
+
+def e_maxsim(
+    sf: str,
+    tokens_per_doc: int = 5,
+    q_mod: int = 10,
+    k: int = 3,
+    dim_max: int = 2_000_000,
+):
+    """ColBERT-style MaxSim late-interaction retrieval (Khattab &
+    Zaharia 2020, public paper): a document is a SET of token vectors
+    (here doc = vec_id // tokens_per_doc over the embeddings table);
+    score(q, d) = sum over q's tokens of the MAX inner product against
+    d's tokens. Integer-exact in the e6 domain: every token term is
+    < 64 * 4e12 and a per-doc sum of tokens_per_doc terms stays far
+    under 2^53, so float64 BLAS is bit-exact and the DuckDB mirror is
+    plain BIGINT.
+
+    Distributed shape: the candidate token matrix broadcasts ONCE
+    (worker-built from streamed refs, loud ``dim_max`` bound — the
+    e_knn_graph pattern); each query-token batch runs one matmul +
+    one np.maximum.reduceat over candidate-doc column segments. MaxSim
+    is ADDITIVE over query tokens, so batches emit (q_doc, d_doc,
+    term) partials that a grouped_agg sums — a query doc split across
+    batches still sums correctly, no co-partitioning of the query side
+    needed. Top-k per query doc rides the o9 per-group combiner."""
+    from .relational import _hash_partitioned, _npart, grouped_agg
+
+    emb = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+    refs, n = [], 0
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=65536):
+        n += b.num_rows
+        if n > dim_max:
+            raise ValueError(
+                f"e_maxsim: >{dim_max} candidate vectors — use an IVF-pruned "
+                "candidate set (e_ivf_ann) before late interaction at this scale"
+            )
+        if b.num_rows:
+            refs.append(ray.put(b))
+
+    @ray.remote
+    def build(*blocks: pa.Table):
+        t = pa.concat_tables(list(blocks)).combine_chunks()
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        m = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6)
+        o = np.argsort(ids, kind="stable")
+        ids, m = ids[o], m[o]
+        docs = ids // tokens_per_doc
+        starts = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+        return docs[starts], starts, m
+
+    mat_ref = build.remote(*refs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        docs_u, starts, m = ray.get(mat_ref)
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        qd = ids // tokens_per_doc
+        qmask = qd % q_mod == 0
+        if not qmask.any():
+            return pa.table(
+                {
+                    "q_doc": pa.array([], pa.int64()),
+                    "d_doc": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.int64()),
+                }
+            )
+        q = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6)[qmask]
+        qd = qd[qmask]
+        scores = q @ m.T
+        mx = np.maximum.reduceat(scores, starts, axis=1)  # (m_q, D)
+        nq, nd = mx.shape
+        qcol = np.repeat(qd, nd)
+        dcol = np.tile(docs_u, nq)
+        keep = qcol != dcol  # a doc never scores itself
+        return pa.table(
+            {
+                "q_doc": pa.array(qcol[keep]),
+                "d_doc": pa.array(dcol[keep]),
+                "term": pa.array(mx.ravel()[keep].astype(np.int64)),
+            }
+        )
+
+    pairs = grouped_agg(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        ["q_doc", "d_doc"],
+        [("maxsim_e12", "sum", "term")],
+        round_to=None,
+    )
+
+    keys = [("q_doc", "ascending"), ("maxsim_e12", "descending"), ("d_doc", "ascending")]
+
+    def grp_topk(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        g = t["q_doc"].to_numpy(zero_copy_only=False)
+        starts = np.r_[True, g[1:] != g[:-1]] if len(g) else np.zeros(0, bool)
+        gidx = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(g)), 0)
+        )
+        t = t.filter(pa.array(gidx < k))
+        g2 = t["q_doc"].to_numpy(zero_copy_only=False)
+        starts2 = np.r_[True, g2[1:] != g2[:-1]] if len(g2) else np.zeros(0, bool)
+        rnk = np.arange(len(g2)) - np.maximum.accumulate(
+            np.where(starts2, np.arange(len(g2)), 0)
+        )
+        return pa.table(
+            {
+                "q_doc": t["q_doc"].cast(pa.int64()),
+                "d_doc": t["d_doc"].cast(pa.int64()),
+                "maxsim_e12": t["maxsim_e12"].cast(pa.int64()),
+                "rnk": pa.array(rnk + 1, pa.int64()),
+            }
+        )
+
+    # per-block k-per-group combiner, then the per-group finalize
+    combined = pairs.map_batches(grp_topk, batch_format="pyarrow").map_batches(
+        lambda t: t.drop_columns(["rnk"]), batch_format="pyarrow"
+    )
+    return (
+        _hash_partitioned(combined, "q_doc", _npart())
+        .map_groups(grp_topk, batch_format="pyarrow")
+        .sort(["q_doc", "rnk"])
+    )
+
+
+def e_maxsim_sql(tokens_per_doc: int = 5, q_mod: int = 10, k: int = 3) -> str:
+    return (
+        "WITH u AS (SELECT vec_id, vec_id // "
+        f"{tokens_per_doc} AS doc, generate_subscripts(embedding, 1) AS i, "
+        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v "
+        "FROM embeddings), "
+        "ip AS (SELECT a.vec_id AS qv, a.doc AS qd, b.doc AS dd, b.vec_id AS dv, "
+        "SUM(a.v * b.v) AS ip FROM u a JOIN u b ON a.i = b.i "
+        f"AND a.doc % {q_mod} = 0 AND a.doc <> b.doc GROUP BY 1, 2, 3, 4), "
+        "mx AS (SELECT qv, qd, dd, MAX(ip) AS m FROM ip GROUP BY 1, 2, 3), "
+        "ms AS (SELECT qd, dd, SUM(m) AS maxsim FROM mx GROUP BY 1, 2), "
+        "r AS (SELECT qd, dd, maxsim, ROW_NUMBER() OVER (PARTITION BY qd "
+        "ORDER BY maxsim DESC, dd) AS rn FROM ms) "
+        "SELECT CAST(qd AS BIGINT) AS q_doc, CAST(dd AS BIGINT) AS d_doc, "
+        "CAST(maxsim AS BIGINT) AS maxsim_e12, CAST(rn AS BIGINT) AS rnk "
+        f"FROM r WHERE rn <= {k} ORDER BY q_doc, rnk"
     )

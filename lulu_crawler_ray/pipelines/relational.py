@@ -4931,3 +4931,312 @@ def w13_rolling_median_sql(window: int = 5) -> str:
         f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW), 4) AS med "
         "FROM events ORDER BY user_id, event_id"
     )
+
+
+def j11_interval_join(
+    sf: str,
+    mod_a: int = 199,
+    mod_b: int = 211,
+    dur_a: int = 7,
+    dur_b: int = 10,
+    bucket_days: int = 16,
+    bcast_max: int = 5_000_000,
+):
+    """Interval-OVERLAP join (continuation session) — BOTH sides are
+    interval sets, the shape j8/w5 don't cover (those probe points
+    against windows). The constant per-side durations make the overlap
+    predicate ``a.lo - dur_b < b.lo < a.hi`` a CONTIGUOUS range of the
+    lo-sorted other side, so two searchsorteds answer each interval.
+
+    Adaptive (the adaptive_semi_filter discipline): under ``bcast_max``
+    B-intervals, the B side builds ONE worker-sorted (lo, key) pair and
+    broadcasts — the A side streams with zero shuffle (this path runs
+    at bench scale). Above it — at 100 TB both interval sets can be
+    fact-sized — each interval replicates to the ``bucket_days``-wide
+    time buckets it spans (<= ceil(dur/W)+1 replicas), both sides
+    hash-co-partition by bucket (partition count sized from the
+    replica estimate, not CPUs), and the searchsorted runs on a
+    (bucket, lo) composite. A pair spanning several buckets is emitted
+    exactly once — by the bucket containing max(a.lo, b.lo), where both
+    replicas provably coexist (each interval contains its own lo and,
+    by the overlap predicate, the other's overlap start). Both paths
+    are equality-tested (tests/test_continuation_ops.py)."""
+    orders = read_table(sf, "orders", ["o_orderkey", "o_orderdate"])
+
+    def explode(side: int, mod: int, resid: int, dur: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy().astype(np.int64)
+            keep = k % mod == resid
+            k = k[keep]
+            d = (
+                t["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("datetime64[D]")
+                .view(np.int64)[keep]
+            )
+            if len(d) == 0:
+                return pa.table(
+                    {
+                        "bucket": pa.array([], pa.int64()),
+                        "side": pa.array([], pa.int32()),
+                        "key": pa.array([], pa.int64()),
+                        "lo": pa.array([], pa.int64()),
+                    }
+                )
+            if d.min() < 0 or d.max() + max(dur_a, dur_b) >= (1 << 21):
+                raise ValueError("j11: day out of composite range [0, 2^21)")
+            b0 = d // bucket_days
+            b1 = (d + dur - 1) // bucket_days
+            cnt = b1 - b0 + 1
+            ridx = np.repeat(np.arange(len(k)), cnt)
+            tot = int(cnt.sum())
+            offs = np.arange(tot) - np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+            return pa.table(
+                {
+                    "bucket": pa.array(b0[ridx] + offs),
+                    "side": pa.array(np.full(tot, side, np.int32)),
+                    "key": pa.array(k[ridx]),
+                    "lo": pa.array(d[ridx]),
+                }
+            )
+
+        return f
+
+    a = orders.map_batches(explode(0, mod_a, 0, dur_a), batch_format="pyarrow")
+    b = orders.map_batches(explode(1, mod_b, 1, dur_b), batch_format="pyarrow")
+
+    K = np.int64(1 << 21)
+    empty = pa.table(
+        {
+            "a_key": pa.array([], pa.int64()),
+            "b_key": pa.array([], pa.int64()),
+            "ov_days": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        am = side == 0
+        abk, akey, alo = bk[am], key[am], lo[am]
+        bbk, bkey, blo = bk[~am], key[~am], lo[~am]
+        if not len(akey) or not len(bkey):
+            return empty
+        comp = bbk * K + blo
+        o = np.argsort(comp, kind="stable")
+        comp, bkey, blo = comp[o], bkey[o], blo[o]
+        lo_probe = np.searchsorted(comp, abk * K + (alo - dur_b + 1), side="left")
+        hi_probe = np.searchsorted(comp, abk * K + alo + dur_a, side="left")
+        cnt = hi_probe - lo_probe
+        if not cnt.sum():
+            return empty
+        ridx = np.repeat(np.arange(len(akey)), cnt)
+        offs = np.arange(int(cnt.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+        )
+        bi = lo_probe[ridx] + offs
+        a_lo, b_lo = alo[ridx], blo[bi]
+        ov_start = np.maximum(a_lo, b_lo)
+        # dedup across buckets: the pair belongs to ov_start's bucket
+        keep = ov_start // bucket_days == abk[ridx]
+        ov = np.minimum(a_lo + dur_a, b_lo + dur_b) - ov_start
+        return pa.table(
+            {
+                "a_key": pa.array(akey[ridx][keep]),
+                "b_key": pa.array(bkey[bi][keep]),
+                "ov_days": pa.array(ov[keep]),
+            }
+        )
+
+    from ..sources.testdata import table_rows
+
+    n_orders = table_rows(sf, "orders")
+    if n_orders // mod_b <= bcast_max:
+        # broadcast path: the lo-sorted B windows as ONE worker-built
+        # pair of arrays; A streams, two searchsorteds per batch, no
+        # shuffle, no buckets (the global lo-sort makes the predicate
+        # range contiguous without them)
+        def bwin(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy().astype(np.int64)
+            keep = k % mod_b == 1
+            d = (
+                t["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("datetime64[D]")
+                .view(np.int64)[keep]
+            )
+            return pa.table(
+                {"key": pa.array(k[keep]), "lo": pa.array(d)}
+            )
+
+        refs = []
+        for blk in (
+            orders.map_batches(bwin, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=262144)
+        ):
+            if blk.num_rows:
+                refs.append(ray.put(blk))
+
+        @ray.remote
+        def build(*blocks: pa.Table):
+            t = pa.concat_tables(list(blocks)).combine_chunks()
+            lo_ = t["lo"].to_numpy()
+            k_ = t["key"].to_numpy()
+            o = np.argsort(lo_, kind="stable")
+            return lo_[o], k_[o]
+
+        ref = build.remote(*refs) if refs else None
+
+        def probe(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy().astype(np.int64)
+            keep = k % mod_a == 0
+            akey = k[keep]
+            if ref is None or not len(akey):
+                return empty
+            alo = (
+                t["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("datetime64[D]")
+                .view(np.int64)[keep]
+            )
+            blo, bkey = ray.get(ref)
+            lo_probe = np.searchsorted(blo, alo - dur_b + 1, side="left")
+            hi_probe = np.searchsorted(blo, alo + dur_a, side="left")
+            cnt = hi_probe - lo_probe
+            if not cnt.sum():
+                return empty
+            ridx = np.repeat(np.arange(len(akey)), cnt)
+            offs = np.arange(int(cnt.sum())) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+            )
+            bi = lo_probe[ridx] + offs
+            a_lo, b_lo = alo[ridx], blo[bi]
+            ov = np.minimum(a_lo + dur_a, b_lo + dur_b) - np.maximum(a_lo, b_lo)
+            return pa.table(
+                {
+                    "a_key": pa.array(akey[ridx]),
+                    "b_key": pa.array(bkey[bi]),
+                    "ov_days": pa.array(ov),
+                }
+            )
+
+        return orders.map_batches(probe, batch_format="pyarrow").sort(
+            ["a_key", "b_key"]
+        )
+
+    both = a.union(b)
+    # partitions sized from the REPLICA count (parquet row hint /
+    # residue density x span fan-out), not the CPU count — the j2/x3
+    # aggregator-spin-up lesson
+    n_replicas = int(
+        n_orders
+        * ((1 + dur_a / bucket_days) / mod_a + (1 + dur_b / bucket_days) / mod_b)
+    )
+    return (
+        _hash_partitioned(both, "bucket", _npart(n_replicas))
+        .map_groups(pairs, batch_format="pyarrow")
+        .sort(["a_key", "b_key"])
+    )
+
+
+def j11_interval_join_sql(
+    mod_a: int = 199, mod_b: int = 211, dur_a: int = 7, dur_b: int = 10
+) -> str:
+    return (
+        "WITH a AS (SELECT o_orderkey AS a_key, DATEDIFF('day', DATE '1970-01-01', "
+        f"CAST(o_orderdate AS DATE)) AS lo FROM orders WHERE o_orderkey % {mod_a} = 0), "
+        "b AS (SELECT o_orderkey AS b_key, DATEDIFF('day', DATE '1970-01-01', "
+        f"CAST(o_orderdate AS DATE)) AS lo FROM orders WHERE o_orderkey % {mod_b} = 1) "
+        "SELECT a.a_key, b.b_key, "
+        f"CAST(LEAST(a.lo + {dur_a}, b.lo + {dur_b}) - GREATEST(a.lo, b.lo) AS BIGINT) "
+        f"AS ov_days FROM a JOIN b ON a.lo < b.lo + {dur_b} AND b.lo < a.lo + {dur_a} "
+        "ORDER BY a_key, b_key"
+    )
+
+
+def g28_chi2(sf: str, n_grp: int = 7):
+    """Chi-square contingency cells (continuation session): the
+    categorical-association diagnostic (is event_type independent of
+    the user cohort?) a training-mix analysis runs before trusting a
+    stratified split. Cells are event_type x (user_id % n_grp); the
+    distributed work is ONE combiner-first grouped count (cell x
+    blocks rows shuffle); margins and the chi-square contribution are
+    a cells-sized finalize in arbitrary-precision Python ints —
+    (obs*N - rt*ct)^2 overflows int64 past ~sf1, the PMI lesson — with
+    contrib_e6 = (obs*N - rt*ct)^2 * 1e6 // (N*rt*ct) mirrored in
+    HUGEINT on the DuckDB side."""
+    ds = read_table(sf, "events", ["event_type", "user_id"])
+
+    def cell(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "grp": pa.array(t["user_id"].to_numpy() % n_grp),
+            }
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(cell, batch_format="pyarrow"),
+        ["event_type", "grp"],
+        [("obs", "count", None)],
+        round_to=None,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        gr = t["grp"].to_pylist()
+        ob = t["obs"].to_pylist()
+        n = sum(ob)
+        rt = {}
+        ct = {}
+        for e, g, o in zip(et, gr, ob):
+            rt[e] = rt.get(e, 0) + o
+            ct[g] = ct.get(g, 0) + o
+        exp_e6, contrib_e6 = [], []
+        for e, g, o in zip(et, gr, ob):
+            r, c = rt[e], ct[g]
+            exp_e6.append(r * c * 1_000_000 // n)
+            contrib_e6.append((o * n - r * c) ** 2 * 1_000_000 // (n * r * c))
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "grp": pa.array(gr, pa.int64()),
+                "obs": pa.array(ob, pa.int64()),
+                "exp_e6": pa.array(exp_e6, pa.int64()),
+                "contrib_e6": pa.array(contrib_e6, pa.int64()),
+            }
+        )
+
+    # the count table is cells-sized (types x n_grp) — one finalize task
+    refs = counts.materialize().to_arrow_refs()
+
+    @ray.remote
+    def fin(*blocks):
+        return finalize(pa.concat_tables(list(blocks)).combine_chunks())
+
+    return ray.data.from_arrow_refs([fin.remote(*refs)]).sort(["event_type", "grp"])
+
+
+def g28_chi2_sql(n_grp: int = 7) -> str:
+    return (
+        "WITH c AS (SELECT event_type, user_id % "
+        f"{n_grp} AS grp, CAST(COUNT(*) AS HUGEINT) AS obs FROM events GROUP BY 1, 2), "
+        "m AS (SELECT event_type, grp, obs, SUM(obs) OVER (PARTITION BY event_type) AS rt, "
+        "SUM(obs) OVER (PARTITION BY grp) AS ct, SUM(obs) OVER () AS n FROM c) "
+        "SELECT event_type, CAST(grp AS BIGINT) AS grp, CAST(obs AS BIGINT) AS obs, "
+        "CAST(rt * ct * 1000000 // n AS BIGINT) AS exp_e6, "
+        # explicit square: DuckDB's ** power operator returns DOUBLE
+        # even on HUGEINT operands, losing bit-exactness
+        "CAST((obs * n - rt * ct) * (obs * n - rt * ct) * 1000000 "
+        "// (n * rt * ct) AS BIGINT) AS contrib_e6 "
+        "FROM m ORDER BY event_type, grp"
+    )

@@ -120,3 +120,122 @@ def test_rolling_median_window_one_is_identity(ray_session):
         .set_index("event_id")["value"]
     )
     assert np.allclose(df["med"].to_numpy(), raw.loc[df["event_id"]].round(4).to_numpy())
+
+
+def _orders_dir(tmp_path, keys, days):
+    """orders.parquet with o_orderdate = epoch + days[i] (midnight us)."""
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    ts = (np.asarray(days, np.int64) * 86_400_000_000).astype("datetime64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_orderdate": pa.array(ts),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    return str(d)
+
+
+def test_interval_join_bucket_boundary_emits_once(ray_session, tmp_path):
+    """A pair whose two intervals straddle a bucket boundary must be
+    emitted exactly once (the max(lo)-owns-the-pair dedup rule), and a
+    half-open touch (a.hi == b.lo) must NOT join."""
+    from lulu_crawler_ray.pipelines.relational import j11_interval_join
+
+    # mod_a=199: keys 199x are side A; mod_b=211: keys 211x+1 side B
+    # A interval [14, 21) spans buckets 0 and 1 (W=16);
+    # B1 [15, 25) overlaps it in both buckets -> exactly one output row
+    # B2 [21, 31) touches a.hi exactly -> no overlap (half-open)
+    sf = _orders_dir(
+        tmp_path,
+        keys=[199, 212, 423],  # 199%199=0; 212%211=1; 423%211=1
+        days=[14, 15, 21],
+    )
+    df = j11_interval_join(sf).to_pandas()
+    assert df[["a_key", "b_key"]].values.tolist() == [[199, 212]]
+    assert df["ov_days"].tolist() == [21 - 15]
+
+
+def test_interval_join_same_bucket_pair(ray_session, tmp_path):
+    from lulu_crawler_ray.pipelines.relational import j11_interval_join
+
+    # both in bucket 0, partial overlap [3,10)+[5,15) -> ov [5,10) = 5
+    sf = _orders_dir(tmp_path, keys=[199, 212], days=[3, 5])
+    df = j11_interval_join(sf).to_pandas()
+    assert df["ov_days"].tolist() == [5]
+
+
+def test_chi2_uniform_table_zero_contrib(ray_session, tmp_path):
+    """A perfectly balanced contingency table has chi2 = 0 in every
+    cell (obs*N == rt*ct exactly)."""
+    from lulu_crawler_ray.pipelines.relational import g28_chi2
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    n_grp, types, reps = 7, ["a", "b"], 3
+    uid, et = [], []
+    for t in types:
+        for g in range(n_grp):
+            for r in range(reps):
+                uid.append(g + r * n_grp)
+                et.append(t)
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(et),
+                "user_id": pa.array(uid, pa.int64()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    df = g28_chi2(str(d)).to_pandas()
+    assert len(df) == len(types) * n_grp
+    assert (df["contrib_e6"] == 0).all()
+    assert (df["obs"] == reps).all()
+
+
+def test_maxsim_prefers_token_aligned_doc(ray_session, tmp_path):
+    """Query doc 0 (docs of 2 tokens: e0, e1) must score doc with the
+    same two basis directions above a doc sharing only one."""
+    from lulu_crawler_ray.pipelines.annsearch import e_maxsim
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    dim = 4
+
+    def v(i, s=1.0):
+        x = np.zeros(dim, np.float32)
+        x[i] = s
+        return x
+
+    # doc0 (q): tokens e0, e1 ; doc1: e0, e1 (perfect) ; doc2: e0, e2
+    vecs = [v(0), v(1), v(0, 0.9), v(1, 0.9), v(0, 0.8), v(2)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(6), pa.int64()),
+                "embedding": pa.array([x.tolist() for x in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    df = e_maxsim(str(d), tokens_per_doc=2, q_mod=3, k=2).to_pandas()
+    q0 = df[df["q_doc"] == 0]
+    assert q0["d_doc"].tolist() == [1, 2]
+    # doc1: 1e6*0.9e6 + 1e6*0.9e6 = 1.8e12 ; doc2: 0.8e12 + 0
+    assert q0["maxsim_e12"].tolist() == [1_800_000_000_000, 800_000_000_000]
+
+
+def test_interval_join_paths_agree(ray_session):
+    """The broadcast fast path and the bucketed co-partitioned fallback
+    must produce identical pairs (bcast_max=0 forces the fallback)."""
+    from lulu_crawler_ray.pipelines.relational import j11_interval_join
+
+    fast = j11_interval_join(SF).to_pandas()
+    slow = j11_interval_join(SF, bcast_max=0).to_pandas()
+    assert fast.values.tolist() == slow.values.tolist()
+    assert len(fast) > 0
