@@ -122,6 +122,7 @@ _PRIORITY_R5 = [
     # importance weights, exact kNN graph, rolling per-key median
     "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
     "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
+    "d10_intersect_all", "img_patchify_digest",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -272,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j11_interval_join": rl.j11_interval_join,
         "g28_chi2": rl.g28_chi2,
         "e_maxsim": an.e_maxsim,
+        "d10_intersect_all": rl.d10_intersect_all,
+        "img_patchify_digest": im.img_patchify_digest_query,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -379,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
         m18_unpivot_sql as rl_m18_sql,
         w13_rolling_median_sql as _w13_sql,
         j11_interval_join_sql as _j11_sql,
+        d10_intersect_all_sql as _d10_sql,
         g28_chi2_sql as _g28_sql,
     )
     from lulu_crawler_ray.pipelines.annsearch import e_knn_graph_sql as _knn_graph_sql
@@ -442,6 +446,18 @@ def oracle_sql() -> dict[str, str]:
         "j11_interval_join": _j11_sql(),
         "g28_chi2": _g28_sql(),
         "e_maxsim": _maxsim_sql(),
+        "d10_intersect_all": _d10_sql(),
+        # golden-pin digest (fixture is seed-deterministic; values
+        # re-derived + asserted in tests/test_continuation_ops.py)
+        "img_patchify_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(1822 AS BIGINT) AS sum_grid_h, "
+            "CAST(416 AS BIGINT) AS mix_grid_h, "
+            "CAST(1774 AS BIGINT) AS sum_grid_w, "
+            "CAST(518 AS BIGINT) AS mix_grid_w, "
+            "CAST(22878729088 AS BIGINT) AS sum_patch_wsum, "
+            "CAST(230454307392 AS BIGINT) AS mix_patch_wsum"
+        ),
         # sink/source roundtrips: lossless by construction, so the
         # oracle is a plain SELECT over the parquet original
         "s12_ipc_roundtrip": (

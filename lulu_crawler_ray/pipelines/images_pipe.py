@@ -1068,3 +1068,69 @@ def img_augment_digest_query(sf: str) -> pa.Table:
     ).combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
     return _one_row_digest(t, ["flip_wsum", "rot_wsum", "crop_wsum"])
+
+
+class PatchifyStage:
+    """Actor-pool stage: ViT-style patch extraction (Dosovitskiy et al.
+    2021 — An Image is Worth 16x16 Words): pad each image to a multiple
+    of P by edge replication (the standard letterbox-free treatment),
+    split into non-overlapping P x P patches, and emit per-image patch
+    statistics. The patch grid is the unit a vision tokenizer feeds
+    downstream; here each patch folds to its pixel sum and the image
+    folds to a POSITION-WEIGHTED combination (patch i weighted i+1 in
+    row-major order) so a transposed or mis-padded grid cannot
+    hash-match. Decode + patch math is one reshape/transpose per image
+    (no per-pixel Python); the stage is a callable class so an actor
+    pool amortizes nothing here (stateless) but matches the decode
+    stages' contract."""
+
+    def __init__(self, patch: int = 8):
+        self.patch = patch
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        P = self.patch
+        gh_l, gw_l, wsum_l = [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            h, w = img.shape[:2]
+            ph = (P - h % P) % P
+            pw = (P - w % P) % P
+            if ph or pw:
+                img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            gh, gw = img.shape[0] // P, img.shape[1] // P
+            # (gh, P, gw, P, 3) -> per-patch sums, row-major grid order
+            psums = (
+                img.astype(np.int64)
+                .reshape(gh, P, gw, P, 3)
+                .sum(axis=(1, 3, 4))
+                .ravel()
+            )
+            widx = np.arange(1, len(psums) + 1, dtype=np.int64)
+            gh_l.append(gh)
+            gw_l.append(gw)
+            wsum_l.append(int((psums * widx).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "grid_h": pa.array(gh_l, pa.int64()),
+                "grid_w": pa.array(gw_l, pa.int64()),
+                "patch_wsum": pa.array(wsum_l, pa.int64()),
+            }
+        )
+
+
+def img_patchify_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): the ViT patchify stage over
+    the deterministic fixture, folded to one digest row. grid_h/grid_w
+    sums witness the padding arithmetic; the position-weighted patch
+    sum witnesses grid orientation and patch content together."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    pt = ds.map_batches(
+        PatchifyStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(pt.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["grid_h", "grid_w", "patch_wsum"])

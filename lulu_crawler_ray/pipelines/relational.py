@@ -5240,3 +5240,61 @@ def g28_chi2_sql(n_grp: int = 7) -> str:
         "// (n * rt * ct) AS BIGINT) AS contrib_e6 "
         "FROM m ORDER BY event_type, grp"
     )
+
+
+def d10_intersect_all(sf: str):
+    """INTERSECT ALL — multiset intersection with multiplicity, the d9
+    sibling that completes the multiset family (d6 is the set form):
+    l_partkey occurrences under returnflag 'A' intersected with those
+    under 'R', surviving multiplicity min(cA, cR). Same
+    count-merge-reexpand plan as d9: per-batch grouped counts tagged
+    by side, hash-co-partitioned by partkey, vectorized np.repeat
+    re-expansion — the shuffle carries one row per (block, key, side),
+    never the raw multiset."""
+    li = read_table(sf, "lineitem", ["l_partkey", "l_returnflag"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.or_(pc.equal(t["l_returnflag"], "A"), pc.equal(t["l_returnflag"], "R"))
+        )
+        return (
+            t.group_by(["l_partkey", "l_returnflag"])
+            .aggregate([("l_partkey", "count")])
+            .rename_columns(["l_partkey", "side", "cnt"])
+        )
+
+    parts = li.map_batches(counts, batch_format="pyarrow")
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"]) if "__part" in t.column_names else t
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy().astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, side, cnt = pk[order], side[order], cnt[order]
+        starts = np.r_[True, pk[1:] != pk[:-1]] if len(pk) else np.zeros(0, bool)
+        gid = np.cumsum(starts) - 1
+        n_g = int(gid[-1]) + 1 if len(gid) else 0
+        ca = np.zeros(n_g, np.int64)
+        cb = np.zeros(n_g, np.int64)
+        np.add.at(ca, gid[side == "A"], cnt[side == "A"])
+        np.add.at(cb, gid[side == "R"], cnt[side == "R"])
+        keep = np.minimum(ca, cb)
+        keys = pk[np.flatnonzero(starts)] if len(pk) else pk
+        return pa.table({"l_partkey": pa.array(np.repeat(keys, keep), pa.int64())})
+
+    return (
+        _hash_partitioned_any(parts, ["l_partkey"], _npart())
+        .map_groups(expand, batch_format="pyarrow")
+        .sort("l_partkey")
+    )
+
+
+def d10_intersect_all_sql() -> str:
+    return (
+        "SELECT * FROM ("
+        "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' "
+        "INTERSECT ALL "
+        "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R') "
+        "ORDER BY l_partkey"
+    )

@@ -239,3 +239,52 @@ def test_interval_join_paths_agree(ray_session):
     slow = j11_interval_join(SF, bcast_max=0).to_pandas()
     assert fast.values.tolist() == slow.values.tolist()
     assert len(fast) > 0
+
+
+def test_patchify_matches_naive(ray_session):
+    """PatchifyStage's reshape/transpose patch sums must equal a naive
+    triple-loop recompute, including the edge-replication padding."""
+    from lulu_crawler_ray.pipelines.images_pipe import PatchifyStage
+    from lulu_crawler_ray.functions.imagecodec import encode
+
+    rng = np.random.default_rng(7)
+    P = 8
+    img = rng.integers(0, 256, (19, 13, 3), np.uint8)  # non-multiples of P
+    data = encode(img, "ppm")
+    t = pa.table(
+        {
+            "image_id": pa.array(["x"]),
+            "bytes": pa.array([data], pa.binary()),
+            "fmt": pa.array(["ppm"]),
+        }
+    )
+    out = PatchifyStage(patch=P)(t)
+    # naive: pad by edge replication, loop patches row-major
+    h, w = img.shape[:2]
+    pad = np.pad(img, ((0, (P - h % P) % P), (0, (P - w % P) % P), (0, 0)), mode="edge")
+    gh, gw = pad.shape[0] // P, pad.shape[1] // P
+    wsum, idx = 0, 1
+    for r in range(gh):
+        for c in range(gw):
+            wsum += int(pad[r * P : (r + 1) * P, c * P : (c + 1) * P].astype(np.int64).sum()) * idx
+            idx += 1
+    assert out["grid_h"][0].as_py() == gh == 3
+    assert out["grid_w"][0].as_py() == gw == 2
+    assert out["patch_wsum"][0].as_py() == wsum
+
+
+def test_patchify_digest_pinned(ray_session):
+    """The golden-pin digest in oracle_sql() must match a fresh run
+    (fixture is seed-deterministic)."""
+    from lulu_crawler_ray.pipelines.images_pipe import img_patchify_digest_query
+
+    t = img_patchify_digest_query(SF)
+    assert {c: t[c][0].as_py() for c in t.column_names} == {
+        "n_rows": 200,
+        "sum_grid_h": 1822,
+        "mix_grid_h": 416,
+        "sum_grid_w": 1774,
+        "mix_grid_w": 518,
+        "sum_patch_wsum": 22878729088,
+        "mix_patch_wsum": 230454307392,
+    }
