@@ -122,7 +122,7 @@ _PRIORITY_R5 = [
     # importance weights, exact kNN graph, rolling per-key median
     "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
     "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
-    "d10_intersect_all", "img_patchify_digest",
+    "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_maxsim": an.e_maxsim,
         "d10_intersect_all": rl.d10_intersect_all,
         "img_patchify_digest": im.img_patchify_digest_query,
+        "w15_daily_extremes": rl.w15_daily_extremes,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -383,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         w13_rolling_median_sql as _w13_sql,
         j11_interval_join_sql as _j11_sql,
         d10_intersect_all_sql as _d10_sql,
+        w15_daily_extremes_sql as _w15_sql,
         g28_chi2_sql as _g28_sql,
     )
     from lulu_crawler_ray.pipelines.annsearch import e_knn_graph_sql as _knn_graph_sql
@@ -447,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "g28_chi2": _g28_sql(),
         "e_maxsim": _maxsim_sql(),
         "d10_intersect_all": _d10_sql(),
+        "w15_daily_extremes": _w15_sql(),
         # golden-pin digest (fixture is seed-deterministic; values
         # re-derived + asserted in tests/test_continuation_ops.py)
         "img_patchify_digest": (

@@ -155,7 +155,7 @@ def run_bench() -> dict:
         "audio_flac_digest",
         "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
         "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
-        "d10_intersect_all", "img_patchify_digest",
+        "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

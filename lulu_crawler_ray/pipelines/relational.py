@@ -5298,3 +5298,110 @@ def d10_intersect_all_sql() -> str:
         "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R') "
         "ORDER BY l_partkey"
     )
+
+
+def w15_daily_extremes(sf: str):
+    """First and last event value per (user, day) — the session
+    open/close extraction (FIRST_VALUE/LAST_VALUE window) every
+    metrics pipeline runs. No total order is needed: the sufficient
+    statistic per (user, day) is the value at the min and at the max
+    (ts, event_id), which MERGES — so a per-batch combiner keeps one
+    row per group carrying both argmin and argmax witnesses, the
+    shuffle moves groups x blocks rows, and a per-partition merge
+    re-runs the same lexsort-and-take-endpoints fold. Values ride as
+    e2 cents (2-decimal source data, rounding-mode-proof)."""
+    ds = read_table(sf, "events", ["user_id", "ts", "event_id", "value"])
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "day": pa.array([], pa.int64()),
+            "f_us": pa.array([], pa.int64()),
+            "f_eid": pa.array([], pa.int64()),
+            "first_c": pa.array([], pa.int64()),
+            "l_us": pa.array([], pa.int64()),
+            "l_eid": pa.array([], pa.int64()),
+            "last_c": pa.array([], pa.int64()),
+        }
+    )
+
+    def _fold(uid, day, f_us, f_eid, f_c, l_us, l_eid, l_c) -> pa.Table:
+        """Group by (uid, day); keep the row set's argmin-(f_us, f_eid)
+        first-witness and argmax-(l_us, l_eid) last-witness per group."""
+        o = np.lexsort((f_eid, f_us, day, uid))
+        s_uid, s_day = uid[o], day[o]
+        starts = np.r_[True, (s_uid[1:] != s_uid[:-1]) | (s_day[1:] != s_day[:-1])]
+        first_rows = o[starts]
+        o2 = np.lexsort((l_eid, l_us, day, uid))
+        s2_uid, s2_day = uid[o2], day[o2]
+        ends = np.r_[(s2_uid[1:] != s2_uid[:-1]) | (s2_day[1:] != s2_day[:-1]), True]
+        last_rows = o2[ends]
+        # starts/ends enumerate the same (uid, day) groups in the same
+        # sorted order, so the two row sets zip positionally
+        return pa.table(
+            {
+                "user_id": pa.array(uid[first_rows]),
+                "day": pa.array(day[first_rows]),
+                "f_us": pa.array(f_us[first_rows]),
+                "f_eid": pa.array(f_eid[first_rows]),
+                "first_c": pa.array(f_c[first_rows]),
+                "l_us": pa.array(l_us[last_rows]),
+                "l_eid": pa.array(l_eid[last_rows]),
+                "last_c": pa.array(l_c[last_rows]),
+            }
+        )
+
+    def combiner(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        us = t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        day = us // 86_400_000_000
+        return _fold(uid, day, us, eid, c, us, eid, c)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                    "first_c": pa.array([], pa.int64()),
+                    "last_c": pa.array([], pa.int64()),
+                }
+            )
+        g = _fold(
+            *(
+                t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in ["user_id", "day", "f_us", "f_eid", "first_c", "l_us", "l_eid", "last_c"]
+            )
+        )
+        return g.select(["user_id", "day", "first_c", "last_c"])
+
+    parts = ds.map_batches(combiner, batch_format="pyarrow")
+    from ..sources.testdata import table_rows
+
+    return (
+        _hash_partitioned(parts, "user_id", _npart(table_rows(sf, "events")))
+        .map_groups(merge, batch_format="pyarrow")
+        .sort(["user_id", "day"])
+    )
+
+
+def w15_daily_extremes_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, DATEDIFF('day', DATE '1970-01-01', "
+        "CAST(ts AS DATE)) AS day, ts, event_id, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
+        "r AS (SELECT user_id, day, c, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rf, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rl "
+        "FROM e) "
+        "SELECT user_id, CAST(day AS BIGINT) AS day, "
+        "CAST(MAX(CASE WHEN rf = 1 THEN c END) AS BIGINT) AS first_c, "
+        "CAST(MAX(CASE WHEN rl = 1 THEN c END) AS BIGINT) AS last_c "
+        "FROM r GROUP BY user_id, day ORDER BY user_id, day"
+    )

@@ -288,3 +288,29 @@ def test_patchify_digest_pinned(ray_session):
         "sum_patch_wsum": 22878729088,
         "mix_patch_wsum": 230454307392,
     }
+
+
+def test_daily_extremes_single_event_day(ray_session, tmp_path):
+    """A (user, day) with one event has first_c == last_c; ties on ts
+    break by event_id on BOTH ends."""
+    from lulu_crawler_ray.pipelines.relational import w15_daily_extremes
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    base = np.datetime64("2024-03-01T10:00:00", "us")
+    # user 1: two events SAME timestamp, ids 5 and 6 -> first=id5, last=id6
+    # user 2: one event
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "ts": pa.array([base, base, base + 60_000_000]),
+                "event_id": pa.array([6, 5, 7], pa.int64()),
+                "value": pa.array([2.0, 1.0, 9.5]),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    df = w15_daily_extremes(str(d)).to_pandas()
+    assert df["first_c"].tolist() == [100, 950]
+    assert df["last_c"].tolist() == [200, 950]
