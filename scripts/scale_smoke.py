@@ -77,8 +77,25 @@ def build(src_sf: str, out_dir: str, copies: int) -> None:
             )
         )
     pq.write_table(pa.concat_tables(vparts), f"{out_dir}/events.parquet")
+    # orders replicates (keyspace offset) so the interval-overlap join
+    # gets a true 10x leg; the offset shifts which keys land in each
+    # residue side, which only changes WHICH intervals join, not scale
+    od = pq.read_table(f"{src_sf}/orders.parquet")
+    oparts = []
+    for c in range(copies):
+        ocols = {
+            "o_orderkey": pa.array(
+                od["o_orderkey"].to_numpy(zero_copy_only=False) + c * od.num_rows * 8,
+                pa.int64(),
+            )
+        }
+        for name in od.column_names:
+            if name not in ocols:
+                ocols[name] = od[name]
+        oparts.append(pa.table(ocols).select(od.column_names))
+    pq.write_table(pa.concat_tables(oparts), f"{out_dir}/orders.parquet")
     # relational ops aren't the target here; link the rest for read_table
-    for name in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    for name in ("region", "nation", "customer", "supplier", "part", "lineitem"):
         dst = f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{src_sf}/{name}.parquet", dst)
@@ -118,6 +135,10 @@ def main() -> None:
         # continuation session: PMI collocations (10x docs), grouped
         # arg-max / exact median / window distinct (10x events)
         "t_pmi_bigrams", "g26_argmax", "g27_median", "w12_window_distinct",
+        # final pass: novelty/DSIR (10x docs), rolling median / daily
+        # extremes / chi2 (10x events), interval join (10x orders)
+        "t_ngram_novelty", "t_dsir_weights", "w13_rolling_median",
+        "w15_daily_extremes", "g28_chi2", "j11_interval_join",
     ):
         t0 = time.time()
         res = q[name](out_dir)
