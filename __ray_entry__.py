@@ -123,6 +123,7 @@ _PRIORITY_R5 = [
     "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
     "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
     "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
+    "w14_gap_fill", "g29_bitwise", "e_dim_stats",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -276,6 +277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d10_intersect_all": rl.d10_intersect_all,
         "img_patchify_digest": im.img_patchify_digest_query,
         "w15_daily_extremes": rl.w15_daily_extremes,
+        "w14_gap_fill": rl.w14_gap_fill,
+        "g29_bitwise": rl.g29_bitwise,
+        "e_dim_stats": an.e_dim_stats,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -386,7 +390,10 @@ def oracle_sql() -> dict[str, str]:
         d10_intersect_all_sql as _d10_sql,
         w15_daily_extremes_sql as _w15_sql,
         g28_chi2_sql as _g28_sql,
+        w14_gap_fill_sql as _w14_sql,
+        g29_bitwise_sql as _g29_sql,
     )
+    from lulu_crawler_ray.pipelines.annsearch import e_dim_stats_sql as _dim_stats_sql
     from lulu_crawler_ray.pipelines.annsearch import e_knn_graph_sql as _knn_graph_sql
     from lulu_crawler_ray.pipelines.annsearch import e_maxsim_sql as _maxsim_sql
     from lulu_crawler_ray.pipelines.textops3 import (
@@ -450,6 +457,12 @@ def oracle_sql() -> dict[str, str]:
         "e_maxsim": _maxsim_sql(),
         "d10_intersect_all": _d10_sql(),
         "w15_daily_extremes": _w15_sql(),
+        # per-user daily forward-fill over a generated date spine
+        "w14_gap_fill": _w14_sql(),
+        "g29_bitwise": _g29_sql(),
+        # per-dimension moment vector (n, sum, sumsq) of the embedding
+        # corpus in exact micro-unit integers
+        "e_dim_stats": _dim_stats_sql(),
         # golden-pin digest (fixture is seed-deterministic; values
         # re-derived + asserted in tests/test_continuation_ops.py)
         "img_patchify_digest": (

@@ -937,3 +937,68 @@ def e_maxsim_sql(tokens_per_doc: int = 5, q_mod: int = 10, k: int = 3) -> str:
         "CAST(maxsim AS BIGINT) AS maxsim_e12, CAST(rn AS BIGINT) AS rnk "
         f"FROM r WHERE rn <= {k} ORDER BY q_doc, rnk"
     )
+
+
+def e_dim_stats(sf: str, scale: int = 1_000_000):
+    """Per-DIMENSION moment vector of the embedding corpus — the
+    normalization-statistics pass (mean/variance per component) every
+    embedding pipeline runs before whitening, PCA, or product
+    quantization. Components are micro-unit-quantized (the e_gram_topk
+    idiom: rint(x*1e6) int64) so every partial sum is EXACT and the
+    DuckDB unnest oracle hash-matches bit-for-bit; mean/var finalize is
+    a trivial driver-side divide on 64 rows, so the op returns the
+    sufficient statistics (n, sum_q, sumsq_q) themselves.
+
+    Scale shape: each batch folds its rows into ONE (dim, 3) integer
+    reduction — the shuffle carries dim rows per block, never the
+    vectors. sumsq bound: |q| <= 1e6 => q^2 <= 1e12; int64 overflows
+    past ~9.2e6 quantized-unit-norm rows PER DIM, i.e. ~10^6 corpora of
+    this component range per partial — the grouped sum is exact far
+    beyond any realistic shard (assert guards the batch-local term)."""
+    from .relational import grouped_agg
+
+    ds = read_table(sf, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "sumsq_q": pa.array([], pa.int64()),
+                }
+            )
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(t.num_rows, -1)
+        q = np.rint(m * scale).astype(np.int64)
+        d = q.shape[1]
+        sumsq = (q * q).sum(axis=0)
+        assert sumsq.max(initial=0) < (1 << 62), "e_dim_stats: quantized sumsq overflow"
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n": pa.array(np.full(d, t.num_rows, np.int64)),
+                "sum_q": pa.array(q.sum(axis=0)),
+                "sumsq_q": pa.array(sumsq),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        [("n", "sum", "n"), ("sum_q", "sum", "sum_q"), ("sumsq_q", "sum", "sumsq_q")],
+        round_to=None,
+    ).sort("dim")
+
+
+def e_dim_stats_sql(scale: int = 1_000_000) -> str:
+    return (
+        "WITH u AS (SELECT generate_subscripts(embedding, 1) AS dim, "
+        f"CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {scale}, 0) AS BIGINT) AS q "
+        "FROM embeddings) "
+        "SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n, "
+        "CAST(SUM(q) AS BIGINT) AS sum_q, CAST(SUM(q * q) AS BIGINT) AS sumsq_q "
+        "FROM u GROUP BY dim ORDER BY dim"
+    )

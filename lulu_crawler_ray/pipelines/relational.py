@@ -5405,3 +5405,195 @@ def w15_daily_extremes_sql() -> str:
         "CAST(MAX(CASE WHEN rl = 1 THEN c END) AS BIGINT) AS last_c "
         "FROM r GROUP BY user_id, day ORDER BY user_id, day"
     )
+
+
+def w14_gap_fill(sf: str):
+    """Per-user daily FORWARD-FILL over a generated date spine — the
+    gap-fill pass a metrics store runs so every (user, day) in a user's
+    active range has a value, carrying the last observed day-close
+    forward across silent days. Fills the w-series numbering gap
+    (round 5).
+
+    Scale shape: a per-batch combiner reduces each block to one
+    last-witness row per (user, day) — argmax (ts, event_id), value as
+    e2 cents — so the shuffle moves groups x blocks rows, never events.
+    One hash shuffle co-partitions users; each partition re-folds its
+    partials, then expands every user's [first_day, last_day] spine and
+    forward-fills with ONE searchsorted over the composite (uid, day)
+    key (uid << 21 | day: day < 2^21 to year ~7737, uid < 2^42 —
+    asserted). Spine expansion is bounded by each user's observed day
+    RANGE (the data spans ~a month), and it happens inside the
+    partition, never on the driver."""
+    ds = read_table(sf, "events", ["user_id", "ts", "event_id", "value"])
+
+    _empty_p = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "day": pa.array([], pa.int64()),
+            "l_us": pa.array([], pa.int64()),
+            "l_eid": pa.array([], pa.int64()),
+            "close_c": pa.array([], pa.int64()),
+        }
+    )
+
+    def _last_fold(uid, day, l_us, l_eid, c):
+        """One row per (uid, day): the argmax-(l_us, l_eid) witness."""
+        o = np.lexsort((l_eid, l_us, day, uid))
+        s_uid, s_day = uid[o], day[o]
+        ends = np.r_[(s_uid[1:] != s_uid[:-1]) | (s_day[1:] != s_day[:-1]), True]
+        rows = o[ends]
+        # re-sort winners by (uid, day) for the merge/searchsorted step
+        rows = rows[np.lexsort((day[rows], uid[rows]))]
+        return uid[rows], day[rows], l_us[rows], l_eid[rows], c[rows]
+
+    def combiner(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_p
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        us = t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        day = us // 86_400_000_000
+        u, d, lus, leid, cc = _last_fold(uid, day, us, eid, c)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "day": pa.array(d),
+                "l_us": pa.array(lus),
+                "l_eid": pa.array(leid),
+                "close_c": pa.array(cc),
+            }
+        )
+
+    def fill_part(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        out_schema = pa.schema(
+            [("user_id", pa.int64()), ("day", pa.int64()), ("filled_c", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cols = [
+            t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in ["user_id", "day", "l_us", "l_eid", "close_c"]
+        ]
+        uid, day, _, _, close = _last_fold(*cols)
+        assert day.max(initial=0) < (1 << 21) and uid.max(initial=0) < (1 << 42)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lasts = np.r_[starts[1:], len(uid)] - 1
+        lo, hi = day[starts], day[lasts]
+        span = hi - lo + 1
+        total = int(span.sum())
+        out_uid = np.repeat(uid[starts], span)
+        base = np.repeat(np.cumsum(span) - span, span)
+        out_day = np.repeat(lo, span) + (np.arange(total, dtype=np.int64) - base)
+        kp = (uid << np.int64(21)) | day
+        ks = (out_uid << np.int64(21)) | out_day
+        idx = np.searchsorted(kp, ks, side="right") - 1
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid),
+                "day": pa.array(out_day),
+                "filled_c": pa.array(close[idx]),
+            }
+        )
+
+    parts = ds.map_batches(combiner, batch_format="pyarrow")
+    from ..sources.testdata import table_rows
+
+    return (
+        _hash_partitioned(parts, "user_id", _npart(table_rows(sf, "events")))
+        .map_groups(fill_part, batch_format="pyarrow")
+        .sort(["user_id", "day"])
+    )
+
+
+def w14_gap_fill_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, DATEDIFF('day', DATE '1970-01-01', "
+        "CAST(ts AS DATE)) AS day, ts, event_id, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
+        "r AS (SELECT user_id, day, c, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rl FROM e), "
+        "cl AS (SELECT user_id, day, c AS close_c FROM r WHERE rl = 1), "
+        "sp AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM cl GROUP BY user_id), "
+        "spine AS (SELECT user_id, UNNEST(generate_series(lo, hi)) AS day FROM sp), "
+        "j AS (SELECT s.user_id, s.day, c.close_c FROM spine s LEFT JOIN cl c "
+        "ON c.user_id = s.user_id AND c.day = s.day) "
+        "SELECT user_id, CAST(day AS BIGINT) AS day, "
+        "CAST(LAST_VALUE(close_c IGNORE NULLS) OVER (PARTITION BY user_id "
+        "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS filled_c FROM j ORDER BY user_id, day"
+    )
+
+
+def g29_bitwise(sf: str):
+    """Grouped BITWISE aggregates (BIT_OR / BIT_AND / BIT_XOR of the
+    e2-cent value per event type) — the flag-mask / parity fold shape:
+    all three reducers are associative+commutative, so a per-batch
+    combiner keeps one row per group and merging partials IS the same
+    fold again. The final merge sees group-count x blocks rows — a few
+    dozen — so one task finalizes; nothing about the plan changes when
+    the input is 10^6 blocks."""
+    ds = read_table(sf, "events", ["event_type", "value"])
+
+    _empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "orv": pa.array([], pa.int64()),
+            "andv": pa.array([], pa.int64()),
+            "xorv": pa.array([], pa.int64()),
+        }
+    )
+
+    def _fold(et: np.ndarray, orv, andv, xorv) -> pa.Table:
+        uniq, inv = np.unique(et, return_inverse=True)
+        o = np.zeros(len(uniq), np.int64)
+        a = np.full(len(uniq), -1, np.int64)
+        x = np.zeros(len(uniq), np.int64)
+        np.bitwise_or.at(o, inv, orv)
+        np.bitwise_and.at(a, inv, andv)
+        np.bitwise_xor.at(x, inv, xorv)
+        return pa.table(
+            {
+                "event_type": pa.array([str(s) for s in uniq], pa.string()),
+                "orv": pa.array(o),
+                "andv": pa.array(a),
+                "xorv": pa.array(x),
+            }
+        )
+
+    def combiner(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return _fold(et, c, c, c)
+
+    parts = ds.map_batches(combiner, batch_format="pyarrow")
+
+    @ray.remote
+    def finalize(*blocks: pa.Table) -> pa.Table:
+        t = pa.concat_tables([b for b in blocks if b.num_rows] or [_empty])
+        t = t.combine_chunks()
+        out = _fold(
+            t["event_type"].to_numpy(zero_copy_only=False),
+            t["orv"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["andv"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["xorv"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        # np.unique sorted the groups already
+        return out
+
+    refs = parts.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([finalize.remote(*refs)])
+
+
+def g29_bitwise_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c "
+        "FROM events) "
+        "SELECT event_type, CAST(BIT_OR(c) AS BIGINT) AS orv, "
+        "CAST(BIT_AND(c) AS BIGINT) AS andv, CAST(BIT_XOR(c) AS BIGINT) AS xorv "
+        "FROM e GROUP BY event_type ORDER BY event_type"
+    )

@@ -314,3 +314,77 @@ def test_daily_extremes_single_event_day(ray_session, tmp_path):
     df = w15_daily_extremes(str(d)).to_pandas()
     assert df["first_c"].tolist() == [100, 950]
     assert df["last_c"].tolist() == [200, 950]
+
+
+def test_gap_fill_carries_across_silent_days(ray_session, tmp_path):
+    """User with events on days 0, 3 (range 0..3): days 1-2 carry day
+    0's CLOSE (latest (ts, event_id) that day); a single-day user emits
+    exactly one row; no row before a user's first observed day."""
+    from lulu_crawler_ray.pipelines.relational import w14_gap_fill
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    day0 = np.datetime64("2024-03-01T08:00:00", "us")
+    pq.write_table(
+        pa.table(
+            {
+                # user 1: day0 has two events (close = later one), then
+                # silence, then day+3; user 2: one event only
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [day0, day0 + 3_600_000_000, day0 + 3 * 86_400_000_000, day0]
+                ),
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "value": pa.array([1.0, 2.5, 7.0, 9.0]),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    df = w14_gap_fill(str(d)).to_pandas()
+    d0 = int(df[df.user_id == 1]["day"].iloc[0])
+    assert df[df.user_id == 1]["day"].tolist() == [d0, d0 + 1, d0 + 2, d0 + 3]
+    assert df[df.user_id == 1]["filled_c"].tolist() == [250, 250, 250, 700]
+    assert df[df.user_id == 2]["filled_c"].tolist() == [900]
+
+
+def test_bitwise_agg_identities(ray_session, tmp_path):
+    """XOR of a value with itself cancels; OR/AND of one element is the
+    element; groups come out sorted."""
+    from lulu_crawler_ray.pipelines.relational import g29_bitwise
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    base = np.datetime64("2024-03-01T10:00:00", "us")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array([base] * 3),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "event_type": pa.array(["b", "b", "a"]),
+                "value": pa.array([0.05, 0.05, 0.03]),  # cents 5, 5, 3
+                "props": pa.array(["{}"] * 3),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    df = g29_bitwise(str(d)).to_pandas()
+    assert df["event_type"].tolist() == ["a", "b"]
+    assert df[df.event_type == "b"][["orv", "andv", "xorv"]].values.tolist() == [[5, 5, 0]]
+    assert df[df.event_type == "a"][["orv", "andv", "xorv"]].values.tolist() == [[3, 3, 3]]
+
+
+def test_dim_stats_matches_naive(ray_session):
+    """e_dim_stats' integer moments equal a single-process numpy
+    recompute over the same quantized matrix."""
+    import pyarrow.parquet as _pq
+    from lulu_crawler_ray.pipelines.annsearch import e_dim_stats
+
+    t = _pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = np.rint(m * 1_000_000).astype(np.int64)
+    df = e_dim_stats(SF).to_pandas()
+    assert df["dim"].tolist() == list(range(1, q.shape[1] + 1))
+    assert (df["n"] == q.shape[0]).all()
+    assert df["sum_q"].to_numpy().tolist() == q.sum(axis=0).tolist()
+    assert df["sumsq_q"].to_numpy().tolist() == (q * q).sum(axis=0).tolist()
