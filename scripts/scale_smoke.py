@@ -139,6 +139,9 @@ def main() -> None:
         # extremes / chi2 (10x events), interval join (10x orders)
         "t_ngram_novelty", "t_dsir_weights", "w13_rolling_median",
         "w15_daily_extremes", "g28_chi2", "j11_interval_join",
+        # closing trio: per-user gap-fill (10x events), bitwise folds
+        # (10x events), per-dim moment vector (10x embeddings)
+        "w14_gap_fill", "g29_bitwise", "e_dim_stats",
     ):
         t0 = time.time()
         res = q[name](out_dir)
