@@ -123,7 +123,7 @@ _PRIORITY_R5 = [
     "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
     "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
     "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
-    "w14_gap_fill", "g29_bitwise", "e_dim_stats",
+    "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w14_gap_fill": rl.w14_gap_fill,
         "g29_bitwise": rl.g29_bitwise,
         "e_dim_stats": an.e_dim_stats,
+        "e_cov_matrix": an.e_cov_matrix,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -394,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         g29_bitwise_sql as _g29_sql,
     )
     from lulu_crawler_ray.pipelines.annsearch import e_dim_stats_sql as _dim_stats_sql
+    from lulu_crawler_ray.pipelines.annsearch import e_cov_matrix_sql as _cov_sql
     from lulu_crawler_ray.pipelines.annsearch import e_knn_graph_sql as _knn_graph_sql
     from lulu_crawler_ray.pipelines.annsearch import e_maxsim_sql as _maxsim_sql
     from lulu_crawler_ray.pipelines.textops3 import (
@@ -463,6 +465,8 @@ def oracle_sql() -> dict[str, str]:
         # per-dimension moment vector (n, sum, sumsq) of the embedding
         # corpus in exact micro-unit integers
         "e_dim_stats": _dim_stats_sql(),
+        # upper-triangle exact X^T X sufficient statistic (whitening/PCA)
+        "e_cov_matrix": _cov_sql(),
         # golden-pin digest (fixture is seed-deterministic; values
         # re-derived + asserted in tests/test_continuation_ops.py)
         "img_patchify_digest": (

@@ -156,7 +156,7 @@ def run_bench() -> dict:
         "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
         "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
         "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
-        "w14_gap_fill", "g29_bitwise", "e_dim_stats",
+        "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -1002,3 +1002,73 @@ def e_dim_stats_sql(scale: int = 1_000_000) -> str:
         "CAST(SUM(q) AS BIGINT) AS sum_q, CAST(SUM(q * q) AS BIGINT) AS sumsq_q "
         "FROM u GROUP BY dim ORDER BY dim"
     )
+
+
+def e_cov_matrix(sf: str, scale: int = 1000):
+    """Upper-triangle second-moment (Gram / covariance sufficient
+    statistic) matrix of the embedding corpus: sum_r q[r,i]*q[r,j] for
+    i <= j — the X^T X pass that follows e_dim_stats in a whitening /
+    PCA / ZCA pipeline (cov = (X^T X - n mean mean^T) / (n-1); the
+    finalize is a driver-side divide over d^2 numbers, so the op
+    returns the exact sufficient statistic itself). Components are
+    milli-unit-quantized (rint(x*1e3) int64) so every partial product
+    and sum is EXACT and the DuckDB unnest self-join oracle
+    hash-matches bit-for-bit.
+
+    Scale shape: each batch folds its rows into ONE d(d+1)/2-row
+    integer reduction via a single int64 matmul (q.T @ q — the
+    e_gram_topk idiom, BLAS-shaped even on ints); the shuffle carries
+    2,080 rows per block (d=64), never the vectors. Overflow bound:
+    |q| <= 1e3 (unit-norm-ish components) => |q_i*q_j| <= 1e6; the
+    grouped int64 sum is exact to ~9.2e12 rows — far beyond any
+    realistic corpus shard (assert guards the batch-local term)."""
+    from .relational import grouped_agg
+
+    ds = read_table(sf, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim_i": pa.array([], pa.int64()),
+                    "dim_j": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sumprod_q": pa.array([], pa.int64()),
+                }
+            )
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(t.num_rows, -1)
+        q = np.rint(m * scale).astype(np.int64)
+        d = q.shape[1]
+        g = q.T @ q
+        iu = np.triu_indices(d)
+        v = g[iu]
+        assert np.abs(v).max(initial=0) < (1 << 62), "e_cov_matrix: sumprod overflow"
+        return pa.table(
+            {
+                "dim_i": pa.array((iu[0] + 1).astype(np.int64)),
+                "dim_j": pa.array((iu[1] + 1).astype(np.int64)),
+                "n": pa.array(np.full(len(v), t.num_rows, np.int64)),
+                "sumprod_q": pa.array(v),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim_i", "dim_j"],
+        [("n", "sum", "n"), ("sumprod_q", "sum", "sumprod_q")],
+        round_to=None,
+    ).sort(["dim_i", "dim_j"])
+
+
+def e_cov_matrix_sql(scale: int = 1000) -> str:
+    return (
+        "WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+        f"CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {scale}, 0) AS BIGINT) AS q "
+        "FROM embeddings) "
+        "SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j, "
+        "COUNT(*) AS n, CAST(SUM(a.q * b.q) AS BIGINT) AS sumprod_q "
+        "FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim "
+        "GROUP BY a.dim, b.dim ORDER BY dim_i, dim_j"
+    )

@@ -141,7 +141,7 @@ def main() -> None:
         "w15_daily_extremes", "g28_chi2", "j11_interval_join",
         # closing trio: per-user gap-fill (10x events), bitwise folds
         # (10x events), per-dim moment vector (10x embeddings)
-        "w14_gap_fill", "g29_bitwise", "e_dim_stats",
+        "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
     ):
         t0 = time.time()
         res = q[name](out_dir)

@@ -388,3 +388,26 @@ def test_dim_stats_matches_naive(ray_session):
     assert (df["n"] == q.shape[0]).all()
     assert df["sum_q"].to_numpy().tolist() == q.sum(axis=0).tolist()
     assert df["sumsq_q"].to_numpy().tolist() == (q * q).sum(axis=0).tolist()
+
+
+def test_cov_matrix_matches_naive(ray_session):
+    """e_cov_matrix's integer upper-triangle X^T X equals a
+    single-process numpy recompute over the same quantized matrix,
+    regardless of how Ray split the batches."""
+    import pyarrow.parquet as _pq
+    from lulu_crawler_ray.pipelines.annsearch import e_cov_matrix
+
+    t = _pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = np.rint(m * 1000).astype(np.int64)
+    g = q.T @ q
+    iu = np.triu_indices(q.shape[1])
+    df = e_cov_matrix(SF).to_pandas()
+    assert len(df) == len(iu[0])
+    assert df["dim_i"].tolist() == (iu[0] + 1).tolist()
+    assert df["dim_j"].tolist() == (iu[1] + 1).tolist()
+    assert (df["n"] == q.shape[0]).all()
+    assert df["sumprod_q"].to_numpy().tolist() == g[iu].tolist()
+    # diagonal of the cov stat == e_dim_stats' sumsq at matching scale
+    diag = df[df.dim_i == df.dim_j]["sumprod_q"].to_numpy()
+    assert diag.tolist() == (q * q).sum(axis=0).tolist()
