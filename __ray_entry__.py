@@ -124,6 +124,7 @@ _PRIORITY_R5 = [
     "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
     "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
     "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
+    "e_whiten_digest",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -281,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g29_bitwise": rl.g29_bitwise,
         "e_dim_stats": an.e_dim_stats,
         "e_cov_matrix": an.e_cov_matrix,
+        "e_whiten_digest": an.e_whiten_digest,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -467,6 +469,16 @@ def oracle_sql() -> dict[str, str]:
         "e_dim_stats": _dim_stats_sql(),
         # upper-triangle exact X^T X sufficient statistic (whitening/PCA)
         "e_cov_matrix": _cov_sql(),
+        # golden-pin digest: PCA-whitening projection (fit = driver
+        # eigh on the exact integer covariance; projection = one int64
+        # matmul per batch, bit-exact across batch splits / CPU
+        # counts). Value independently re-derived by a Ray-free numpy
+        # implementation in tests/test_whiten.py; eigh is not
+        # SQL-expressible, hence the pin.
+        "e_whiten_digest": (
+            "SELECT CAST(500 AS BIGINT) AS rows, "
+            "CAST(191078357206276560 AS BIGINT) AS digest"
+        ),
         # golden-pin digest (fixture is seed-deterministic; values
         # re-derived + asserted in tests/test_continuation_ops.py)
         "img_patchify_digest": (

@@ -1072,3 +1072,114 @@ def e_cov_matrix_sql(scale: int = 1000) -> str:
         "FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim "
         "GROUP BY a.dim, b.dim ORDER BY dim_i, dim_j"
     )
+
+
+def e_whiten_project(sf: str, k: int = 8, q_scale: int = 1000, w_scale: int = 1_000_000):
+    """PCA-WHITENING projection of the embedding corpus — the transform
+    step that consumes e_dim_stats + e_cov_matrix: fit W from the exact
+    integer sufficient statistics (driver-side eigh on the d x d
+    covariance — 64x64, microseconds), then project every vector with
+    ONE int64 matmul per batch. The projection is INTEGER-EXACT
+    end-to-end (centered quantized vector @ quantized W), so the output
+    is bit-identical across batch splits, CPU counts, and runs —
+    float dgemm rounding never touches the result.
+
+    Fit determinism: the covariance matrix is assembled from exact
+    integer sums (identical bits every run), and LAPACK eigh on
+    identical input bits is deterministic in-process; eigenvector sign
+    is canonicalized (largest-|component| positive) so W is unique.
+
+    Scale shape: two statistics passes (each reducing blocks to d- and
+    d^2-row partials) + one streaming projection pass; W (d x k int64)
+    ships via closure capture — a few KB. Magnitude bound:
+    |centered q| <= 2e3, |Wq| <= ~3.2e7 (1/sqrt(eig) for eig >= 1e-3),
+    d=64 terms => |y| <= 4e12 per component — int64-safe (asserted)."""
+    stats = e_cov_matrix(sf, scale=q_scale).to_pandas()
+    mom = e_dim_stats(sf, scale=q_scale).to_pandas()
+    n = int(mom["n"].iloc[0])
+    d = len(mom)
+    sum_q = mom["sum_q"].to_numpy()
+    mean_q = np.rint(sum_q / n).astype(np.int64)  # rounded mean, exact ints
+    s = np.zeros((d, d), np.float64)
+    i = stats["dim_i"].to_numpy() - 1
+    j = stats["dim_j"].to_numpy() - 1
+    v = stats["sumprod_q"].to_numpy().astype(np.float64)
+    s[i, j] = v
+    s[j, i] = v
+    mu = sum_q.astype(np.float64) / n
+    cov = (s - n * np.outer(mu, mu)) / max(n - 1, 1)
+    eig, vec = np.linalg.eigh(cov)
+    order = np.argsort(eig)[::-1][:k]
+    eig, vec = eig[order], vec[:, order]
+    sign = np.sign(vec[np.argmax(np.abs(vec), axis=0), np.arange(k)])
+    sign[sign == 0] = 1.0
+    vec = vec * sign
+    w = vec / np.sqrt(np.maximum(eig, 1e-3))
+    wq = np.rint(w * w_scale).astype(np.int64)
+
+    ds = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {"vec_id": pa.array([], pa.int64())}
+            for c in range(k):
+                cols[f"y{c}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.rint(flat.reshape(t.num_rows, -1) * q_scale).astype(np.int64)
+        y = (q - mean_q) @ wq
+        assert np.abs(y).max(initial=0) < (1 << 62), "e_whiten: projection overflow"
+        cols = {"vec_id": t["vec_id"]}
+        for c in range(k):
+            cols[f"y{c}"] = pa.array(y[:, c])
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def e_whiten_digest(sf: str, k: int = 8):
+    """queries() entry (golden-pin oracle): the whitening projection
+    folded to one order-independent digest row — rows count + an XOR of
+    per-row splitmix64 hashes over (vec_id, y0..y{k-1}). Integer-exact
+    projection makes the digest bit-stable across batch splits and CPU
+    counts; the sf0.01 value is pinned in oracle_sql() and re-derived /
+    asserted in tests."""
+    from ..functions.hll import _mix64
+
+    proj = e_whiten_project(sf, k=k)
+    _empty = pa.table({"rows": pa.array([], pa.int64()), "digest": pa.array([], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        with np.errstate(over="ignore"):
+            h = _mix64(t["vec_id"].to_numpy().astype(np.int64).view(np.uint64))
+            for c in range(k):
+                h = _mix64(h ^ t[f"y{c}"].to_numpy().astype(np.int64).view(np.uint64))
+        x = np.bitwise_xor.reduce(h)
+        return pa.table(
+            {
+                "rows": pa.array([t.num_rows], pa.int64()),
+                "digest": pa.array([np.uint64(x).astype(np.int64)]),
+            }
+        )
+
+    parts = proj.map_batches(fold, batch_format="pyarrow")
+
+    @ray.remote
+    def finalize(*blocks: pa.Table) -> pa.Table:
+        t = pa.concat_tables([b for b in blocks if b.num_rows] or [_empty])
+        rows = int(pc.sum(t["rows"]).as_py() or 0)
+        dig = np.bitwise_xor.reduce(
+            t["digest"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64),
+        ) if t.num_rows else np.uint64(0)
+        return pa.table(
+            {
+                "rows": pa.array([rows], pa.int64()),
+                "digest": pa.array([np.uint64(dig).astype(np.int64)]),
+            }
+        )
+
+    refs = parts.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([finalize.remote(*refs)])
