@@ -124,7 +124,7 @@ _PRIORITY_R5 = [
     "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
     "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
     "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
-    "e_whiten_digest",
+    "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_dim_stats": an.e_dim_stats,
         "e_cov_matrix": an.e_cov_matrix,
         "e_whiten_digest": an.e_whiten_digest,
+        "w16_retention": rl.w16_retention,
+        "g30_zscore_outliers": rl.g30_zscore_outliers,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -395,6 +397,8 @@ def oracle_sql() -> dict[str, str]:
         g28_chi2_sql as _g28_sql,
         w14_gap_fill_sql as _w14_sql,
         g29_bitwise_sql as _g29_sql,
+        w16_retention_sql as rl_w16_sql,
+        g30_zscore_outliers_sql as rl_g30_sql,
     )
     from lulu_crawler_ray.pipelines.annsearch import e_dim_stats_sql as _dim_stats_sql
     from lulu_crawler_ray.pipelines.annsearch import e_cov_matrix_sql as _cov_sql
@@ -479,6 +483,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(500 AS BIGINT) AS rows, "
             "CAST(191078357206276560 AS BIGINT) AS digest"
         ),
+        # cohort retention matrix (distinct-activity combiner + one
+        # user co-partition; finalize sums a days^2-sized table)
+        "w16_retention": rl_w16_sql(),
+        # integer-exact 2-sigma outlier flags (driver isqrt threshold
+        # vs the oracle's HUGEINT square comparison — same boundary bit)
+        "g30_zscore_outliers": rl_g30_sql(),
         # golden-pin digest (fixture is seed-deterministic; values
         # re-derived + asserted in tests/test_continuation_ops.py)
         "img_patchify_digest": (

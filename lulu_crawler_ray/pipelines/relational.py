@@ -16,6 +16,7 @@ between engines at exact decimal ties. Exactly-representable rationals
 from __future__ import annotations
 
 import json
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -5596,4 +5597,243 @@ def g29_bitwise_sql() -> str:
         "SELECT event_type, CAST(BIT_OR(c) AS BIGINT) AS orv, "
         "CAST(BIT_AND(c) AS BIGINT) AS andv, CAST(BIT_XOR(c) AS BIGINT) AS xorv "
         "FROM e GROUP BY event_type ORDER BY event_type"
+    )
+
+
+def w16_retention(sf: str):
+    """Cohort RETENTION matrix — the product-analytics staple: for each
+    signup cohort (a user's first active day), how many of its users
+    were active again `day_offset` days later. The training-mix analog
+    is corpus freshness: how much of each crawl wave's host set is
+    still contributing documents N days on.
+
+    Scale shape: a per-batch combiner dedups (user, day) activity pairs
+    (events -> at most users x days rows per block), ONE user_id hash
+    shuffle co-partitions every user's full activity, each partition
+    locally derives cohort = min(day) and the distinct offsets, and
+    emits per-(cohort, offset) partial counts. Users are whole within a
+    partition, so the partial user sets are disjoint and the finalize
+    is a pure sum over a days^2-sized table — one task."""
+    ds = read_table(sf, "events", ["user_id", "ts"])
+
+    _empty = pa.table(
+        {"user_id": pa.array([], pa.int64()), "day": pa.array([], pa.int64())}
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        day = (
+            t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+            // 86_400_000_000
+        )
+        assert uid.max(initial=0) < (1 << 42) and 0 <= day.min(initial=0) and day.max(initial=0) < (1 << 20), "w16: composite key range"
+        comp = np.unique((uid << np.int64(20)) | day)
+        return pa.table(
+            {
+                "user_id": pa.array(comp >> np.int64(20)),
+                "day": pa.array(comp & np.int64((1 << 20) - 1)),
+            }
+        )
+
+    from ..sources.testdata import table_rows
+
+    parts = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        out = pa.table(
+            {
+                "cohort_day": pa.array([], pa.int64()),
+                "day_offset": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return out
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        day = t["day"].to_numpy().astype(np.int64)
+        comp = np.unique((uid << np.int64(20)) | day)  # re-dedup across blocks
+        u, d = comp >> np.int64(20), comp & np.int64((1 << 20) - 1)
+        # comp is sorted, so each user's first row is their cohort day
+        starts = np.r_[True, u[1:] != u[:-1]]
+        cohort = d[starts][np.cumsum(starts) - 1]  # broadcast per-user min day
+        off = d - cohort
+        cell = np.stack([cohort, off], 1)
+        uniq, cnt = np.unique(cell, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(uniq[:, 0]),
+                "day_offset": pa.array(uniq[:, 1]),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partial = _hash_partitioned(parts, "user_id", _npart(table_rows(sf, "events"))).map_groups(
+        per_partition, batch_format="pyarrow"
+    )
+    # days^2-sized partial table -> one summing finalize task
+    refs = partial.materialize().to_arrow_refs()
+
+    _empty_out = pa.table(
+        {
+            "cohort_day": pa.array([], pa.int64()),
+            "day_offset": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    @ray.remote
+    def fin(*blocks):
+        t = pa.concat_tables([b for b in blocks if b.num_rows] or [_empty_out])
+        df = t.group_by(["cohort_day", "day_offset"]).aggregate([("n_users", "sum")])
+        return df.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+    return ray.data.from_arrow_refs([fin.remote(*refs)]).sort(
+        ["cohort_day", "day_offset"]
+    )
+
+
+def w16_retention_sql() -> str:
+    return (
+        "WITH e AS (SELECT DISTINCT user_id, DATEDIFF('day', DATE '1970-01-01', "
+        "CAST(ts AS DATE)) AS day FROM events), "
+        "c AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id) "
+        "SELECT CAST(c.cohort AS BIGINT) AS cohort_day, "
+        "CAST(e.day - c.cohort AS BIGINT) AS day_offset, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users "
+        "FROM e JOIN c USING (user_id) "
+        "GROUP BY 1, 2 ORDER BY cohort_day, day_offset"
+    )
+
+
+def g30_zscore_outliers(sf: str):
+    """Per-group 2-sigma OUTLIER detection with an INTEGER-EXACT
+    boundary — the quality-filter shape (flag documents whose score
+    sits far outside their language's distribution) run as two
+    streaming passes: (1) combiner-first grouped (n, sum, sumsq) over
+    e2-cent values, (2) per-event flagging against a broadcast
+    per-group threshold. The 2-sigma test |c - mean| > 2*std_samp is
+    evaluated as |c*n - sum| >= T with T = min{t>0 : t^2*(n-1) >
+    4*n*(n*sumsq - sum^2)} computed on the driver in arbitrary-
+    precision Python ints (isqrt + exact scan), so the flag bit is
+    bit-identical to DuckDB's HUGEINT square comparison — no float
+    sigma ever touches the boundary. Groups with n < 2 flag nothing
+    (the SQL's 0 > 0 is false too, same rule).
+
+    Scale shape: pass-1 shuffle carries groups x blocks rows; the
+    stats table is groups-sized (driver pull is fine and loudly
+    asserted); pass 2 is a pure streaming map with partial per-group
+    counts and a groups-sized finalize."""
+    ds = read_table(sf, "events", ["event_type", "event_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        with np.errstate(over="ignore"):
+            csq = c * c
+        assert np.abs(c).max(initial=0) < (1 << 31), "g30: cents overflow guard"
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "c": pa.array(c),
+                "csq": pa.array(csq),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    stats = grouped_agg(
+        cents,
+        ["event_type"],
+        [("n", "count", None), ("sm", "sum", "c"), ("sq", "sum", "csq")],
+        round_to=None,
+    ).to_pandas()
+    assert len(stats) <= 100_000, "g30: group cardinality exceeds driver stats bound"
+
+    thr: dict[str, tuple[int, int, int]] = {}
+    for _, r in stats.iterrows():
+        n, sm, sq = int(r["n"]), int(r["sm"]), int(r["sq"])
+        if n < 2:
+            thr[r["event_type"]] = (n, sm, 0)  # T=0 encoded as "never" below
+            continue
+        a = 4 * n * (n * sq - sm * sm)
+        t0 = max(math.isqrt(a // (n - 1)) - 2, 0)
+        while t0 * t0 * (n - 1) <= a:
+            t0 += 1
+        thr[r["event_type"]] = (n, sm, t0)
+
+    _empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "n_out": pa.array([], pa.int64()),
+            "sum_out_c": pa.array([], pa.int64()),
+            "sum_out_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        c = t["c"].to_numpy()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        rows = {"event_type": [], "n": [], "n_out": [], "sum_out_c": [], "sum_out_id": []}
+        for code, e in enumerate(types):  # loop over the FEW types, not rows
+            n, sm, tt = thr[e]
+            assert n < (1 << 31), "g30: c*n overflow guard"  # with |c| < 2^31
+            r = codes == code
+            d = np.abs(c[r] * np.int64(n) - np.int64(sm))
+            m = d >= tt if (n >= 2 and tt > 0) else np.zeros(int(r.sum()), bool)
+            rows["event_type"].append(e)
+            rows["n"].append(n)
+            rows["n_out"].append(int(m.sum()))
+            rows["sum_out_c"].append(int(c[r][m].sum()))
+            rows["sum_out_id"].append(int(eid[r][m].sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "n_out": pa.array(rows["n_out"], pa.int64()),
+                "sum_out_c": pa.array(rows["sum_out_c"], pa.int64()),
+                "sum_out_id": pa.array(rows["sum_out_id"], pa.int64()),
+            }
+        )
+
+    partial = cents.map_batches(flag, batch_format="pyarrow")
+    refs = partial.materialize().to_arrow_refs()
+
+    @ray.remote
+    def fin(*blocks):
+        t = pa.concat_tables([b for b in blocks if b.num_rows])
+        g = t.group_by("event_type").aggregate(
+            [("n", "max"), ("n_out", "sum"), ("sum_out_c", "sum"), ("sum_out_id", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "n_out", "sum_out_c", "sum_out_id"])
+
+    return ray.data.from_arrow_refs([fin.remote(*refs)]).sort(["event_type"])
+
+
+def g30_zscore_outliers_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_type, event_id, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
+        "s AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(c) AS HUGEINT) AS sm, "
+        "CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq "
+        "FROM e GROUP BY 1), "
+        "f AS (SELECT e.event_type, e.event_id, e.c, s.n, s.sm, s.sq, "
+        "CAST(e.c AS HUGEINT) * s.n - s.sm AS d FROM e JOIN s USING (event_type)) "
+        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN d * d * (n - 1) > 4 * n * (n * sq - sm * sm) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_out, "
+        "CAST(SUM(CASE WHEN d * d * (n - 1) > 4 * n * (n * sq - sm * sm) "
+        "THEN c ELSE 0 END) AS BIGINT) AS sum_out_c, "
+        "CAST(SUM(CASE WHEN d * d * (n - 1) > 4 * n * (n * sq - sm * sm) "
+        "THEN event_id ELSE 0 END) AS BIGINT) AS sum_out_id "
+        "FROM f GROUP BY event_type ORDER BY event_type"
     )

@@ -167,3 +167,51 @@ def test_g24_degenerate_groups_null_like_duckdb(ray_session):
             for c in ["skew_e4", "kurt_e4"]:
                 g, w = got.loc[et, c], want.loc[et, c]
                 assert (pd.isna(g) and pd.isna(w)) or g == w, (et, c, g, w)
+
+
+def test_g30_isqrt_threshold_equals_square_rule():
+    """The engine flags |c*n - sum| >= T with T = min{t>0 : t^2*(n-1) >
+    4*n*(n*sumsq - sum^2)} (driver isqrt scan); the oracle flags
+    d^2*(n-1) > 4*n*(n*sumsq - sum^2) in HUGEINT. Prove the two rules
+    agree on every value of adversarial random integer groups,
+    including all-equal (A=0) and n=1 (never flags) degenerate cases."""
+    import math
+
+    rng = np.random.default_rng(42)
+    cases = [rng.integers(-50_000, 50_000, size=n).tolist() for n in (1, 2, 3, 17, 400)]
+    cases.append([777] * 9)  # all-equal: A=0, rule = d != 0 = never
+    cases.append([0, 0, 0, 1])  # near-degenerate
+    for vals in cases:
+        n = len(vals)
+        sm = sum(vals)
+        sq = sum(v * v for v in vals)
+        a = 4 * n * (n * sq - sm * sm)
+        if n < 2:
+            tt = 0
+        else:
+            tt = max(math.isqrt(a // (n - 1)) - 2, 0)
+            while tt * tt * (n - 1) <= a:
+                tt += 1
+        for c in vals + [min(vals) - 3, max(vals) + 3, 0]:
+            d = abs(c * n - sm)
+            engine = n >= 2 and tt > 0 and d >= tt
+            oracle = d * d * (n - 1) > a
+            assert engine == oracle, (vals, c, tt, a)
+
+
+def test_w16_retention_shape(ray_session):
+    """Cohort identity: offset 0 of every cohort counts exactly the
+    cohort's size, offsets are non-negative, and summing distinct
+    (user, offset-0) rows equals the distinct-user count."""
+    from lulu_crawler_ray.pipelines.relational import w16_retention
+
+    df = w16_retention(SF).to_pandas()
+    assert (df["day_offset"] >= 0).all()
+    base = df[df["day_offset"] == 0]
+    assert (base.groupby("cohort_day")["n_users"].sum() > 0).all()
+    import duckdb
+
+    users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert base["n_users"].sum() == users
