@@ -125,6 +125,7 @@ _PRIORITY_R5 = [
     "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
     "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
     "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
+    "img_edge_digest",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -285,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_whiten_digest": an.e_whiten_digest,
         "w16_retention": rl.w16_retention,
         "g30_zscore_outliers": rl.g30_zscore_outliers,
+        "img_edge_digest": im.img_edge_digest_query,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -482,6 +484,18 @@ def oracle_sql() -> dict[str, str]:
         "e_whiten_digest": (
             "SELECT CAST(500 AS BIGINT) AS rows, "
             "CAST(191078357206276560 AS BIGINT) AS digest"
+        ),
+        # golden-pin digest: integer-exact Sobel edge stage over the
+        # seed-deterministic fixture (naive per-pixel convolution
+        # re-derivation in tests/test_kernels.py keeps the pin honest)
+        "img_edge_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(684376680 AS BIGINT) AS sum_grad_abs_sum, "
+            "CAST(1279202416 AS BIGINT) AS mix_grad_abs_sum, "
+            "CAST(148119 AS BIGINT) AS sum_n_edge, "
+            "CAST(906398 AS BIGINT) AS mix_n_edge, "
+            "CAST(277005184 AS BIGINT) AS sum_edge_wsum, "
+            "CAST(6718577334 AS BIGINT) AS mix_edge_wsum"
         ),
         # cohort retention matrix (distinct-activity combiner + one
         # user co-partition; finalize sums a days^2-sized table)

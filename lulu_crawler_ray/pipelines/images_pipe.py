@@ -1134,3 +1134,70 @@ def img_patchify_digest_query(sf: str) -> pa.Table:
     ).combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
     return _one_row_digest(t, ["grid_h", "grid_w", "patch_wsum"])
+
+
+class SobelStage:
+    """Actor-pool stage: integer-exact Sobel edge extraction per image —
+    the edge-density gate a vision-curation pipeline runs to drop
+    flat/synthetic frames (and the feature layer under blur/saliency
+    scoring). Gray is the exact 3x-luma channel sum (no /3 rounding),
+    borders are edge-replicated, and both 3x3 Sobel kernels are applied
+    as shifted integer slice sums — no float, no per-pixel Python — so
+    every emitted statistic is bit-stable across batch splits and CPU
+    counts.
+
+    Per image: grad_abs_sum = sum(|gx| + |gy|) (total edge energy, L1),
+    n_edge = #pixels with gx^2 + gy^2 >= thr^2 (the gate count), and
+    edge_wsum = sum over edge pixels of (y+1)*(x+1) (position-weighted,
+    so a transposed or shifted edge map cannot hash-match)."""
+
+    def __init__(self, thr: int = 900):
+        self.thr2 = thr * thr
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        gsum_l, nedge_l, wsum_l = [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            g = img.astype(np.int64).sum(axis=2)  # 3x luma, exact
+            p = np.pad(g, 1, mode="edge")
+            gx = (
+                p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:]
+                - p[:-2, :-2] - 2 * p[1:-1, :-2] - p[2:, :-2]
+            )
+            gy = (
+                p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:]
+                - p[:-2, :-2] - 2 * p[:-2, 1:-1] - p[:-2, 2:]
+            )
+            mag2 = gx * gx + gy * gy
+            edge = mag2 >= self.thr2
+            h, w = g.shape
+            yw = np.arange(1, h + 1, dtype=np.int64)[:, None]
+            xw = np.arange(1, w + 1, dtype=np.int64)[None, :]
+            gsum_l.append(int((np.abs(gx) + np.abs(gy)).sum()))
+            nedge_l.append(int(edge.sum()))
+            wsum_l.append(int((yw * xw * edge).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "grad_abs_sum": pa.array(gsum_l, pa.int64()),
+                "n_edge": pa.array(nedge_l, pa.int64()),
+                "edge_wsum": pa.array(wsum_l, pa.int64()),
+            }
+        )
+
+
+def img_edge_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): the Sobel edge stage over
+    the deterministic fixture, folded to one digest row. The pin is
+    kept honest by a naive per-pixel convolution re-derivation in
+    tests/test_kernels.py."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    ed = ds.map_batches(
+        SobelStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(ed.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["grad_abs_sum", "n_edge", "edge_wsum"])

@@ -549,3 +549,43 @@ def test_png_sub8bit_decode():
         pal = rng.integers(0, 256, (1 << bit, 3), np.uint8)
         out = decode_png(_make_png(w, h, 3, pack_rows(codes, bit), plte=pal.tobytes(), bit=bit))
         assert np.array_equal(out, pal[codes]), bit
+
+
+def test_sobel_stage_matches_naive_convolution():
+    """SobelStage's shifted-slice kernels vs a literal per-pixel 3x3
+    convolution with edge replication, on a random image — every
+    emitted statistic must agree exactly."""
+    import pyarrow as pa
+
+    from lulu_crawler_ray.functions.imagecodec import encode
+    from lulu_crawler_ray.pipelines.images_pipe import SobelStage
+
+    rng = np.random.default_rng(123)
+    img = rng.integers(0, 256, (13, 17, 3), np.uint8)
+    t = pa.table(
+        {
+            "image_id": pa.array([1], pa.int64()),
+            "bytes": pa.array([encode(img, "raw")], pa.binary()),
+            "fmt": pa.array(["raw"], pa.string()),
+        }
+    )
+    got = SobelStage()(t)
+
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.int64)
+    ky = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.int64)
+    g = img.astype(np.int64).sum(axis=2)
+    p = np.pad(g, 1, mode="edge")
+    h, w = g.shape
+    gx = np.zeros((h, w), np.int64)
+    gy = np.zeros((h, w), np.int64)
+    for y in range(h):
+        for x in range(w):
+            win = p[y : y + 3, x : x + 3]
+            gx[y, x] = int((win * kx).sum())
+            gy[y, x] = int((win * ky).sum())
+    edge = gx * gx + gy * gy >= 900 * 900
+    yw = np.arange(1, h + 1, dtype=np.int64)[:, None]
+    xw = np.arange(1, w + 1, dtype=np.int64)[None, :]
+    assert got["grad_abs_sum"][0].as_py() == int((np.abs(gx) + np.abs(gy)).sum())
+    assert got["n_edge"][0].as_py() == int(edge.sum())
+    assert got["edge_wsum"][0].as_py() == int((yw * xw * edge).sum())
