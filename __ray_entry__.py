@@ -125,7 +125,7 @@ _PRIORITY_R5 = [
     "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
     "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
     "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
-    "img_edge_digest",
+    "img_edge_digest", "w17_transitions", "img_otsu_digest",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w16_retention": rl.w16_retention,
         "g30_zscore_outliers": rl.g30_zscore_outliers,
         "img_edge_digest": im.img_edge_digest_query,
+        "w17_transitions": rl.w17_transitions,
+        "img_otsu_digest": im.img_otsu_digest_query,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -401,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         g29_bitwise_sql as _g29_sql,
         w16_retention_sql as rl_w16_sql,
         g30_zscore_outliers_sql as rl_g30_sql,
+        w17_transitions_sql as rl_w17_sql,
     )
     from lulu_crawler_ray.pipelines.annsearch import e_dim_stats_sql as _dim_stats_sql
     from lulu_crawler_ray.pipelines.annsearch import e_cov_matrix_sql as _cov_sql
@@ -503,6 +506,21 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact 2-sigma outlier flags (driver isqrt threshold
         # vs the oracle's HUGEINT square comparison — same boundary bit)
         "g30_zscore_outliers": rl_g30_sql(),
+        # per-user Markov transition counts (user co-partition +
+        # lexsort-shift pair counting) vs the LAG window oracle
+        "w17_transitions": rl_w17_sql(),
+        # golden-pin digest: exact-integer Otsu binarization (argmax by
+        # cross-multiplied rational comparison; float re-derivation in
+        # tests/test_kernels.py)
+        "img_otsu_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(76331 AS BIGINT) AS sum_otsu_thr, "
+            "CAST(27415 AS BIGINT) AS mix_otsu_thr, "
+            "CAST(501220 AS BIGINT) AS sum_n_fg, "
+            "CAST(1232530 AS BIGINT) AS mix_n_fg, "
+            "CAST(956614978 AS BIGINT) AS sum_fg_wsum, "
+            "CAST(2966675330 AS BIGINT) AS mix_fg_wsum"
+        ),
         # golden-pin digest (fixture is seed-deterministic; values
         # re-derived + asserted in tests/test_continuation_ops.py)
         "img_patchify_digest": (

@@ -1201,3 +1201,74 @@ def img_edge_digest_query(sf: str) -> pa.Table:
     ).combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
     return _one_row_digest(t, ["grad_abs_sum", "n_edge", "edge_wsum"])
+
+
+class OtsuStage:
+    """Actor-pool stage: integer-EXACT Otsu binarization per image —
+    the automatic foreground/background threshold (Otsu 1979) used for
+    document-image cleanup and mask extraction before OCR-style
+    curation. Gray is the exact 3x-luma sum (0..765, 766 histogram
+    bins). The between-class variance argmax is evaluated with
+    arbitrary-precision Python ints over the 766-entry cumulative
+    histogram — best t maximizes (s0*W - w0*S)^2 * (w0'*(W-w0'))
+    cross-multiplied exactly, so no float tie ever flips the threshold
+    (ties break to the smallest t). Per-pixel work is one histogram +
+    one comparison, all numpy; the 766-candidate scan is per-IMAGE,
+    not per-pixel.
+
+    Emits per image: the threshold, the foreground (> thr) pixel
+    count, and a position-weighted foreground witness so a flipped or
+    transposed mask cannot hash-match."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        thr_l, nfg_l, wsum_l = [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            g = img.astype(np.int64).sum(axis=2)  # 0..765 exact
+            hist = np.bincount(g.ravel(), minlength=766)
+            w0 = np.cumsum(hist)            # pixels with gray <= t
+            s0 = np.cumsum(hist * np.arange(766, dtype=np.int64))
+            W, S = int(w0[-1]), int(s0[-1])
+            best_t, best_num, best_den = 0, -1, 1
+            for tt in range(766):
+                wa = int(w0[tt])
+                if wa == 0 or wa == W:
+                    continue
+                num = (int(s0[tt]) * W - wa * S) ** 2
+                den = wa * (W - wa)
+                # sigma_b^2(tt) > sigma_b^2(best)  <=>  num/den > bn/bd
+                if num * best_den > best_num * den:
+                    best_t, best_num, best_den = tt, num, den
+            fg = g > best_t
+            h, w = g.shape
+            yw = np.arange(1, h + 1, dtype=np.int64)[:, None]
+            xw = np.arange(1, w + 1, dtype=np.int64)[None, :]
+            thr_l.append(best_t)
+            nfg_l.append(int(fg.sum()))
+            wsum_l.append(int((yw * xw * fg).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "otsu_thr": pa.array(thr_l, pa.int64()),
+                "n_fg": pa.array(nfg_l, pa.int64()),
+                "fg_wsum": pa.array(wsum_l, pa.int64()),
+            }
+        )
+
+
+def img_otsu_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): the exact-integer Otsu
+    stage over the deterministic fixture, one digest row. The pin is
+    kept honest by a float-reference re-derivation in
+    tests/test_kernels.py (the float and exact argmax agree away from
+    ties; the exact rule is authoritative at ties)."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    ot = ds.map_batches(
+        OtsuStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(ot.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["otsu_thr", "n_fg", "fg_wsum"])

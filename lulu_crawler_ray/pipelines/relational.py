@@ -5837,3 +5837,83 @@ def g30_zscore_outliers_sql() -> str:
         "THEN event_id ELSE 0 END) AS BIGINT) AS sum_out_id "
         "FROM f GROUP BY event_type ORDER BY event_type"
     )
+
+
+def w17_transitions(sf: str):
+    """Per-user event-type TRANSITION counts (the first-order Markov
+    matrix session modeling / funnel design starts from): for every
+    user, order events by (ts, event_id) and count each consecutive
+    (prev_type, next_type) pair.
+
+    Scale shape: transitions are NOT a per-batch-local statistic (the
+    pair spanning two blocks belongs to the user, not the block), so
+    the op hash-co-partitions users — each user's whole stream lands in
+    one partition, where a single lexsort + shifted comparison counts
+    every adjacent pair vectorized. The shuffle carries (user, ts,
+    event_id, type) rows once; partials per (prev, next) are summed by
+    a cells-sized finalize (types^2 rows). No driver-side state, no
+    per-row Python."""
+    ds = read_table(sf, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    _empty = pa.table(
+        {
+            "prev_type": pa.array([], pa.string()),
+            "next_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        if t.num_rows < 2:
+            return _empty
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        us = t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        o = np.lexsort((eid, us, uid))
+        s_uid, s_code = uid[o], codes[o]
+        same_user = s_uid[1:] == s_uid[:-1]
+        prev_c, next_c = s_code[:-1][same_user], s_code[1:][same_user]
+        if len(prev_c) == 0:
+            return _empty
+        pair = prev_c * np.int64(len(types)) + next_c
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "prev_type": pa.array([types[int(p) // len(types)] for p in uniq], pa.string()),
+                "next_type": pa.array([types[int(p) % len(types)] for p in uniq], pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ..sources.testdata import table_rows
+
+    partial = _hash_partitioned(ds, "user_id", _npart(table_rows(sf, "events"))).map_groups(
+        per_partition, batch_format="pyarrow"
+    )
+    refs = partial.materialize().to_arrow_refs()
+
+    @ray.remote
+    def fin(*blocks):
+        t = pa.concat_tables([b for b in blocks if b.num_rows] or [_empty])
+        g = t.group_by(["prev_type", "next_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["prev_type", "next_type", "n"])
+
+    return ray.data.from_arrow_refs([fin.remote(*refs)]).sort(
+        ["prev_type", "next_type"]
+    )
+
+
+def w17_transitions_sql() -> str:
+    return (
+        "WITH o AS (SELECT user_id, event_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+        "FROM events) "
+        "SELECT prev AS prev_type, event_type AS next_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM o WHERE prev IS NOT NULL "
+        "GROUP BY 1, 2 ORDER BY prev_type, next_type"
+    )

@@ -142,6 +142,9 @@ def main() -> None:
         # closing trio: per-user gap-fill (10x events), bitwise folds
         # (10x events), per-dim moment vector (10x embeddings)
         "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
+        # closing additions: whitening projection (10x embeddings),
+        # cohort retention + exact 2-sigma outliers (10x events)
+        "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
     ):
         t0 = time.time()
         res = q[name](out_dir)

@@ -589,3 +589,44 @@ def test_sobel_stage_matches_naive_convolution():
     assert got["grad_abs_sum"][0].as_py() == int((np.abs(gx) + np.abs(gy)).sum())
     assert got["n_edge"][0].as_py() == int(edge.sum())
     assert got["edge_wsum"][0].as_py() == int((yw * xw * edge).sum())
+
+
+def test_otsu_stage_matches_float_reference():
+    """OtsuStage's exact cross-multiplied argmax vs the textbook float
+    between-class-variance scan on random images (away from exact ties
+    the two agree; ties are absent w.h.p. in random data). Also checks
+    the degenerate constant image: no valid split -> thr 0, all fg."""
+    import pyarrow as pa
+
+    from lulu_crawler_ray.functions.imagecodec import encode
+    from lulu_crawler_ray.pipelines.images_pipe import OtsuStage
+
+    rng = np.random.default_rng(99)
+    imgs = [rng.integers(0, 256, (21, 33, 3), np.uint8) for _ in range(4)]
+    imgs.append(np.full((9, 9, 3), 40, np.uint8))  # constant: W == w0 everywhere
+    t = pa.table(
+        {
+            "image_id": pa.array(range(len(imgs)), pa.int64()),
+            "bytes": pa.array([encode(im, "raw") for im in imgs], pa.binary()),
+            "fmt": pa.array(["raw"] * len(imgs), pa.string()),
+        }
+    )
+    got = OtsuStage()(t)
+    for i, img in enumerate(imgs[:-1]):
+        g = img.astype(np.int64).sum(axis=2)
+        hist = np.bincount(g.ravel(), minlength=766).astype(np.float64)
+        w0 = np.cumsum(hist)
+        s0 = np.cumsum(hist * np.arange(766))
+        W, S = w0[-1], s0[-1]
+        best_t, best_v = 0, -1.0
+        for tt in range(766):
+            wa = w0[tt]
+            if wa == 0 or wa == W:
+                continue
+            v = (s0[tt] * W - wa * S) ** 2 / (wa * (W - wa))
+            if v > best_v:
+                best_t, best_v = tt, v
+        assert got["otsu_thr"][i].as_py() == best_t
+        assert got["n_fg"][i].as_py() == int((g > best_t).sum())
+    assert got["otsu_thr"][len(imgs) - 1].as_py() == 0
+    assert got["n_fg"][len(imgs) - 1].as_py() == 81  # 40*3 > 0 everywhere

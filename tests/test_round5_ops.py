@@ -215,3 +215,19 @@ def test_w16_retention_shape(ray_session):
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF}/events.parquet'"
     ).fetchone()[0]
     assert base["n_users"].sum() == users
+
+
+def test_w17_transitions_conservation(ray_session):
+    """Every user with k>=1 events contributes exactly k-1 transitions:
+    sum(n) == total events - distinct users (each user's stream has one
+    fewer adjacent pair than events)."""
+    import duckdb
+
+    from lulu_crawler_ray.pipelines.relational import w17_transitions
+
+    df = w17_transitions(SF).to_pandas()
+    ev, users = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()
+    assert df["n"].sum() == ev - users
+    assert (df["n"] > 0).all()
