@@ -126,6 +126,7 @@ _PRIORITY_R5 = [
     "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
     "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
     "img_edge_digest", "w17_transitions", "img_otsu_digest",
+    "img_blob_digest",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -289,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_edge_digest": im.img_edge_digest_query,
         "w17_transitions": rl.w17_transitions,
         "img_otsu_digest": im.img_otsu_digest_query,
+        "img_blob_digest": im.img_blob_digest_query,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -520,6 +522,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1232530 AS BIGINT) AS mix_n_fg, "
             "CAST(956614978 AS BIGINT) AS sum_fg_wsum, "
             "CAST(2966675330 AS BIGINT) AS mix_fg_wsum"
+        ),
+        # golden-pin digest: Otsu + 4-connected blob analysis (run
+        # union-find CCL vs a naive flood fill in tests/test_kernels.py)
+        "img_blob_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(72292 AS BIGINT) AS sum_n_blobs, "
+            "CAST(377194 AS BIGINT) AS mix_n_blobs, "
+            "CAST(37941 AS BIGINT) AS sum_max_blob, "
+            "CAST(138396 AS BIGINT) AS mix_max_blob"
         ),
         # golden-pin digest (fixture is seed-deterministic; values
         # re-derived + asserted in tests/test_continuation_ops.py)

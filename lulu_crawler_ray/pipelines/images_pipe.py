@@ -1272,3 +1272,85 @@ def img_otsu_digest_query(sf: str) -> pa.Table:
     ).combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
     return _one_row_digest(t, ["otsu_thr", "n_fg", "fg_wsum"])
+
+
+def _blob_stats(mask: np.ndarray) -> tuple[int, int]:
+    """4-connected component count + largest component size over a
+    boolean mask, via single-pass union-find on row RUNS (the classic
+    two-pass CCL collapsed to run granularity): each row's foreground
+    runs come from one vectorized diff, and each run unions with the
+    column-overlapping runs of the previous row. Work scales with runs,
+    not pixels; exact and deterministic."""
+    parent: list[int] = []
+    sizes: list[int] = []
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    prev: list[tuple[int, int, int]] = []
+    for row in mask:
+        idx = np.flatnonzero(np.diff(np.r_[np.int8(0), row.astype(np.int8), np.int8(0)]))
+        cur: list[tuple[int, int, int]] = []
+        for s, e in zip(idx[::2], idx[1::2]):
+            rid = len(parent)
+            parent.append(rid)
+            sizes.append(int(e - s))
+            for ps, pe, pid in prev:
+                if ps < e and s < pe:  # column ranges touch -> 4-conn
+                    ra, rb = find(pid), find(rid)
+                    if ra != rb:
+                        parent[rb] = ra
+            cur.append((int(s), int(e), rid))
+        prev = cur
+    tot: dict[int, int] = {}
+    for rid, sz in enumerate(sizes):
+        r = find(rid)
+        tot[r] = tot.get(r, 0) + sz
+    return len(tot), (max(tot.values()) if tot else 0)
+
+
+class BlobStage:
+    """Actor-pool stage: Otsu-threshold each image (the exact integer
+    argmax from OtsuStage) then run connected-component BLOB analysis
+    on the foreground mask — the object-count/largest-object gate a
+    document/image curation pipeline uses to separate text pages,
+    diagrams and photos. Emits n_blobs and the largest blob's pixel
+    count per image; everything integer-exact."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ot = OtsuStage()(t)
+        nblob_l, maxblob_l = [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            g = img.astype(np.int64).sum(axis=2)
+            thr = ot["otsu_thr"][i].as_py()
+            nb, mx = _blob_stats(g > thr)
+            nblob_l.append(nb)
+            maxblob_l.append(mx)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "n_blobs": pa.array(nblob_l, pa.int64()),
+                "max_blob": pa.array(maxblob_l, pa.int64()),
+            }
+        )
+
+
+def img_blob_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): Otsu + 4-connected blob
+    analysis over the deterministic fixture, one digest row. The run
+    union-find is kept honest by a naive flood-fill re-derivation in
+    tests/test_kernels.py."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    bl = ds.map_batches(
+        BlobStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(bl.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["n_blobs", "max_blob"])

@@ -630,3 +630,41 @@ def test_otsu_stage_matches_float_reference():
         assert got["n_fg"][i].as_py() == int((g > best_t).sum())
     assert got["otsu_thr"][len(imgs) - 1].as_py() == 0
     assert got["n_fg"][len(imgs) - 1].as_py() == 81  # 40*3 > 0 everywhere
+
+
+def test_blob_stats_matches_flood_fill():
+    """Run-based union-find CCL vs a naive BFS flood fill on random and
+    structured masks (checkerboard = every pixel its own 4-conn blob;
+    full = one blob; empty = zero)."""
+    from collections import deque
+
+    from lulu_crawler_ray.pipelines.images_pipe import _blob_stats
+
+    def naive(mask):
+        seen = np.zeros_like(mask, bool)
+        h, w = mask.shape
+        count, best = 0, 0
+        for y in range(h):
+            for x in range(w):
+                if mask[y, x] and not seen[y, x]:
+                    count += 1
+                    size = 0
+                    dq = deque([(y, x)])
+                    seen[y, x] = True
+                    while dq:
+                        cy, cx = dq.popleft()
+                        size += 1
+                        for ny, nx in ((cy-1, cx), (cy+1, cx), (cy, cx-1), (cy, cx+1)):
+                            if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and not seen[ny, nx]:
+                                seen[ny, nx] = True
+                                dq.append((ny, nx))
+                    best = max(best, size)
+        return count, best
+
+    rng = np.random.default_rng(5)
+    masks = [rng.random((h, w)) < p for h, w, p in
+             ((12, 15, 0.3), (20, 20, 0.5), (7, 31, 0.7), (16, 16, 0.05))]
+    cb = np.indices((10, 10)).sum(axis=0) % 2 == 0
+    masks += [cb, np.ones((6, 6), bool), np.zeros((4, 9), bool)]
+    for m in masks:
+        assert _blob_stats(m) == naive(m)
