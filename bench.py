@@ -159,7 +159,7 @@ def run_bench() -> dict:
         "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
         "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
         "img_edge_digest", "w17_transitions", "img_otsu_digest",
-        "img_blob_digest",
+        "img_blob_digest", "x6_sssp",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -684,3 +684,252 @@ def x5_bfs_sql(
         )
     )
     return ", ".join(parts) + f" SELECT node, dist FROM ({final}) ORDER BY node"
+
+
+# --------------------------------------------------------------- x6 sssp
+
+
+def x6_sssp(
+    sf: str,
+    n_nodes: int = 2000,
+    edge_mod: int = 37,
+    source_mod: int = 97,
+    max_hops: int = 6,
+    node_bound: int = 50_000_000,
+):
+    """Multi-source WEIGHTED shortest paths, bounded-hop Bellman-Ford
+    (round 5) — the weighted sibling of x5_bfs: "cheapest crawl route
+    within k link hops" / cost-bounded reachability. Same derived
+    sparse graph as x5 (src = orderkey % n, dst = partkey % n, kept
+    when (orderkey + partkey) % edge_mod == 0) with a deterministic
+    integer weight w = 1 + (src + dst) % 7 per distinct edge; sources
+    (node % source_mod == 0) start at dist 0. After round i the map
+    holds the exact ≤i-edge shortest distance, so max_hops rounds in
+    both engines is fixpoint-comparable regardless of cycles.
+
+    Distributed shape (the x5 discipline): edges materialize ONCE;
+    each round broadcasts only the IMPROVED frontier (nodes + dists,
+    ray.put once, read per batch) and makes ONE streaming pass over
+    the edge table — each batch emits its LOCAL per-dst min candidate
+    (np.minimum.at combiner), so per-round traffic back is
+    min(blocks x touched-dsts, edges), streamed under a LOUD
+    node_bound. The driver's dist map is node-bounded by the same
+    contract. Early exit when a round improves nothing. Past
+    node_bound the whole computation reroutes to the fully
+    co-partitioned dataset path (_x6_sssp_dataset: shuffle_join + a
+    grouped Min per round, no node-sized driver state), which the
+    equality pytest pins to this path."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def e0(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        keep = (ok + pk) % edge_mod == 0
+        out = pa.table(
+            {
+                "src": pa.array((ok[keep] % n_nodes).astype(np.int64)),
+                "dst": pa.array((pk[keep] % n_nodes).astype(np.int64)),
+            }
+        )
+        return out.group_by(["src", "dst"]).aggregate([])
+
+    def addw(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "w": pa.array(1 + (s + d) % 7)}
+        )
+
+    edges = (
+        ds.map_batches(e0, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+        .map_batches(addw, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def srcs(t: pa.Table) -> pa.Table:
+        nd = np.unique(
+            np.concatenate(
+                [t["src"].to_numpy().astype(np.int64), t["dst"].to_numpy().astype(np.int64)]
+            )
+        )
+        return pa.table({"node": pa.array(nd[nd % source_mod == 0])})
+
+    def _stream_pairs(d, bound: int) -> tuple[np.ndarray, np.ndarray]:
+        """Stream (node, dist) rows under the loud bound, returning the
+        per-node MIN — the driver-side merge of the per-batch combiners."""
+        ns, vs, n = [], [], 0
+        for b in d.iter_batches(batch_format="pyarrow", batch_size=262144):
+            n += b.num_rows
+            if n > bound:
+                raise _NodeBoundExceeded(
+                    f"x6_sssp: candidate stream past {bound} rows — reroute"
+                )
+            if b.num_rows:
+                ns.append(b["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+                vs.append(b["dist"].to_numpy(zero_copy_only=False).astype(np.int64))
+        if not ns:
+            return np.array([], np.int64), np.array([], np.int64)
+        node = np.concatenate(ns)
+        dist = np.concatenate(vs)
+        un, inv = np.unique(node, return_inverse=True)
+        best = np.full(len(un), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best, inv, dist)
+        return un, best
+
+    try:
+        def seed(t: pa.Table) -> pa.Table:
+            s = srcs(t)
+            return s.append_column("dist", pa.array(np.zeros(s.num_rows, np.int64)))
+
+        f_nodes, f_dists = _stream_pairs(
+            edges.map_batches(seed, batch_format="pyarrow"), node_bound
+        )
+        # driver dist map (sorted by node; node-bounded by contract)
+        m_nodes, m_dists = f_nodes.copy(), f_dists.copy()
+        for _ in range(max_hops):
+            if len(f_nodes) == 0:
+                break
+            fref = ray.put((f_nodes, f_dists))
+
+            def relax(t: pa.Table, _r=fref) -> pa.Table:
+                kn, kd = ray.get(_r)
+                s = t["src"].to_numpy().astype(np.int64)
+                idx = np.clip(np.searchsorted(kn, s), 0, max(len(kn) - 1, 0))
+                hit = len(kn) > 0
+                mask = kn[idx] == s if hit else np.zeros(len(s), bool)
+                if not mask.any():
+                    return pa.table(
+                        {
+                            "node": pa.array([], pa.int64()),
+                            "dist": pa.array([], pa.int64()),
+                        }
+                    )
+                d = t["dst"].to_numpy().astype(np.int64)[mask]
+                cand = kd[idx[mask]] + t["w"].to_numpy().astype(np.int64)[mask]
+                un, inv = np.unique(d, return_inverse=True)
+                best = np.full(len(un), np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(best, inv, cand)
+                return pa.table({"node": pa.array(un), "dist": pa.array(best)})
+
+            c_nodes, c_dists = _stream_pairs(
+                edges.map_batches(relax, batch_format="pyarrow"), node_bound
+            )
+            if len(c_nodes) == 0:
+                break
+            # merge candidates into the map; frontier = strictly improved
+            pos = np.searchsorted(m_nodes, c_nodes)
+            known = (pos < len(m_nodes)) & (
+                m_nodes[np.clip(pos, 0, max(len(m_nodes) - 1, 0))] == c_nodes
+            )
+            improved_known = known & (c_dists < m_dists[np.clip(pos, 0, max(len(m_nodes) - 1, 0))])
+            new_nodes = c_nodes[~known]
+            # update knowns in place
+            m_dists[pos[improved_known]] = c_dists[improved_known]
+            if len(new_nodes):
+                m_nodes = np.concatenate([m_nodes, new_nodes])
+                m_dists = np.concatenate([m_dists, c_dists[~known]])
+                o = np.argsort(m_nodes, kind="stable")
+                m_nodes, m_dists = m_nodes[o], m_dists[o]
+            f_nodes = np.concatenate([c_nodes[improved_known], new_nodes])
+            f_dists = np.concatenate([c_dists[improved_known], c_dists[~known]])
+            o = np.argsort(f_nodes, kind="stable")
+            f_nodes, f_dists = f_nodes[o], f_dists[o]
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array(m_nodes), "dist": pa.array(m_dists)})
+        )
+    except _NodeBoundExceeded:
+        return _x6_sssp_dataset(edges, source_mod, max_hops)
+
+
+def _x6_sssp_dataset(edges, source_mod: int, max_hops: int):
+    """Co-partitioned Bellman-Ford (above-node_bound path): per round,
+    candidates = edges ⋈ dist on src (hash-shuffle join), then a
+    grouped Min over (map ∪ candidates) — no node-sized driver state.
+    Runs exactly max_hops rounds (fixpoint-stable, like the oracle's
+    unrolled CTEs; a detect-no-change early exit would cost an extra
+    execution per round)."""
+    from ray.data.aggregate import Min
+
+    def srcs(t: pa.Table) -> pa.Table:
+        nd = np.unique(
+            np.concatenate(
+                [t["src"].to_numpy().astype(np.int64), t["dst"].to_numpy().astype(np.int64)]
+            )
+        )
+        nd = nd[nd % source_mod == 0]
+        return pa.table({"node": pa.array(nd)})
+
+    from .relational import _distinct
+
+    dist = (
+        _distinct(edges.map_batches(srcs, batch_format="pyarrow"), "node")
+        .map_batches(
+            lambda t: t.append_column(
+                "dist", pa.array(np.zeros(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    for _ in range(max_hops):
+        cand = shuffle_join(edges, dist, on="src", right_on="node").map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"].cast(pa.int64()),
+                    "dist": pc.add(
+                        pc.cast(t["dist"], pa.int64()), pc.cast(t["w"], pa.int64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = (
+            dist.union(cand)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"].cast(pa.int64()),
+                        "dist": t["dist"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return dist.sort("node")
+
+
+def x6_sssp_sql(
+    n_nodes: int = 2000, edge_mod: int = 37, source_mod: int = 97, max_hops: int = 6
+) -> str:
+    """Unrolled Bellman-Ford rounds: d_i = per-node MIN over
+    d_{i-1} ∪ relax(d_{i-1}) — after round i each node holds the exact
+    ≤i-edge shortest distance (MATERIALIZED keeps the plan linear)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM "
+        f"(SELECT DISTINCT l_orderkey % {n_nodes} AS src, l_partkey % {n_nodes} AS dst "
+        f"FROM lineitem WHERE (l_orderkey + l_partkey) % {edge_mod} = 0))",
+        f"d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM "
+        f"(SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) "
+        f"WHERE node % {source_mod} = 0))",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i - 1} UNION ALL "
+            f"SELECT e.dst AS node, d{i - 1}.dist + e.w AS dist FROM e "
+            f"JOIN d{i - 1} ON e.src = d{i - 1}.node) GROUP BY node)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node, CAST(dist AS BIGINT) AS dist FROM d{max_hops} ORDER BY node"
+    )

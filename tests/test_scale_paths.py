@@ -439,3 +439,23 @@ def test_x5_bfs_paths_equal(ray_session):
     forced = x5_bfs(sf, node_bound=3).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, forced)
     assert len(fast) > 0 and (fast["dist"] >= 0).all()
+
+
+def test_x6_sssp_paths_equal(ray_session):
+    """x6_sssp broadcast-frontier Bellman-Ford fast path == the
+    above-node_bound co-partitioned dataset path (forced via a tiny
+    node_bound). Cross-check vs x5_bfs on the SAME derived graph:
+    both reach the identical node set within max_hops edges, every
+    weighted dist >= its hop count (each edge weighs >= 1), and the
+    inequality is strict somewhere (weights 1..7 actually bite)."""
+    from lulu_crawler_ray.pipelines.graph import x5_bfs, x6_sssp
+
+    sf = "/root/testdata/sf0.001"
+    fast = x6_sssp(sf).to_pandas().reset_index(drop=True)
+    forced = x6_sssp(sf, node_bound=3).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, forced)
+    assert len(fast) > 0 and (fast["dist"] >= 0).all()
+    hops = x5_bfs(sf).to_pandas().reset_index(drop=True)
+    assert list(hops["node"]) == list(fast["node"])
+    assert (fast["dist"].to_numpy() >= hops["dist"].to_numpy()).all()
+    assert (fast["dist"].to_numpy() > hops["dist"].to_numpy()).any()
