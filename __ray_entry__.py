@@ -103,6 +103,9 @@ _PRIORITY_R5 = [
     # (perceptual-hash family + augmentation stage)
     "g24_skew_kurt", "g25_entropy", "o10_weighted_sample",
     "m17_gaps_islands", "d9_except_all", "x4_kcore",
+    # closing-session relational2 ops: vectorized regex field pull,
+    # syllable-proxy readability, integer-exact dyadic EWMA window
+    "m19_regex_extract", "t_readability", "w18_ewm8",
     "img_hash_variants_digest", "img_augment_digest",
     # never-sampled multimodal digest pins + rows-only surfaces; these
     # outrank the re-check group below (which already has green r2/r3
@@ -140,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import annsearch as an
     from lulu_crawler_ray.pipelines import images_pipe as im
     from lulu_crawler_ray.pipelines import relational as rl
+    from lulu_crawler_ray.pipelines import relational2 as rl2
     from lulu_crawler_ray.pipelines import textops as to
     from lulu_crawler_ray.pipelines import textops2 as to2
     from lulu_crawler_ray.pipelines import textops3 as to3
@@ -300,6 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d9_except_all": rl.d9_except_all,
         "img_hash_variants_digest": im.img_hash_variants_digest_query,
         "img_augment_digest": im.img_augment_digest_query,
+        "m19_regex_extract": rl2.m19_regex_extract,
+        "t_readability": rl2.t_readability,
+        "w18_ewm8": rl2.w18_ewm8,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -439,7 +446,18 @@ def oracle_sql() -> dict[str, str]:
         prep_v2_sql,
     )
 
+    from lulu_crawler_ray.pipelines.relational2 import (
+        m19_regex_extract_sql as _m19_sql,
+        t_readability_sql as _tread_sql,
+        w18_ewm8_sql as _w18_sql,
+    )
+
     base = {
+        # closing-session relational2 ops (RE2 semantics shared by
+        # Arrow and DuckDB; w18 emits integer num/den — bit-exact)
+        "m19_regex_extract": _m19_sql(),
+        "t_readability": _tread_sql(),
+        "w18_ewm8": _w18_sql(),
         "t_chunk_dedup": t_chunk_dedup_sql(),
         "t_winnow": t_winnow_sql(),
         "t_winnow_pairs": t_winnow_pairs_sql(),
