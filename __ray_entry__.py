@@ -106,6 +106,7 @@ _PRIORITY_R5 = [
     # closing-session relational2 ops: vectorized regex field pull,
     # syllable-proxy readability, integer-exact dyadic EWMA window
     "m19_regex_extract", "t_readability", "w18_ewm8",
+    "g31_gini", "d11_edit_pairs",
     "img_hash_variants_digest", "img_augment_digest",
     # never-sampled multimodal digest pins + rows-only surfaces; these
     # outrank the re-check group below (which already has green r2/r3
@@ -307,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m19_regex_extract": rl2.m19_regex_extract,
         "t_readability": rl2.t_readability,
         "w18_ewm8": rl2.w18_ewm8,
+        "g31_gini": rl2.g31_gini,
+        "d11_edit_pairs": rl2.d11_edit_pairs,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -450,6 +453,8 @@ def oracle_sql() -> dict[str, str]:
         m19_regex_extract_sql as _m19_sql,
         t_readability_sql as _tread_sql,
         w18_ewm8_sql as _w18_sql,
+        g31_gini_sql as _g31_sql,
+        d11_edit_pairs_sql as _d11_sql,
     )
 
     base = {
@@ -458,6 +463,10 @@ def oracle_sql() -> dict[str, str]:
         "m19_regex_extract": _m19_sql(),
         "t_readability": _tread_sql(),
         "w18_ewm8": _w18_sql(),
+        # g31: exact integer num/den Gini via count-table combiner;
+        # d11: blocked Levenshtein pairs vs DuckDB's levenshtein()
+        "g31_gini": _g31_sql(),
+        "d11_edit_pairs": _d11_sql(),
         "t_chunk_dedup": t_chunk_dedup_sql(),
         "t_winnow": t_winnow_sql(),
         "t_winnow_pairs": t_winnow_pairs_sql(),

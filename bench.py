@@ -160,6 +160,8 @@ def run_bench() -> dict:
         "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
         "img_edge_digest", "w17_transitions", "img_otsu_digest",
         "img_blob_digest", "x6_sssp",
+        "m19_regex_extract", "t_readability", "w18_ewm8",
+        "g31_gini", "d11_edit_pairs",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

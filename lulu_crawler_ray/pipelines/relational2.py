@@ -169,6 +169,181 @@ def w18_ewm8(sf: str, depth: int = 8):
     )
 
 
+def g31_gini(sf: str):
+    """Grouped GINI coefficient (the inequality measure curation
+    dashboards run over spend/engagement per segment), emitted as an
+    exact integer num/den pair: with c = centi-units sorted ascending
+    within the group, gini = (2*Σ i*c_i - (n+1)*Σc) / (n*Σc). Σ i*c_i
+    is invariant under permuting tied values (the multiset of ranks a
+    tie block receives is fixed), so no tiebreak is needed and both
+    engines agree bit-for-bit. Scale shape: the g27 count-table
+    combiner — per-batch grouped value counts shuffle only
+    (group x distinct-centi-value x blocks) rows, then a closed-form
+    fold over each group's sorted counts (a value with count k after
+    cumulative count p contributes c*(k*p + k*(k+1)/2)); no
+    row-cardinality shuffle, no giant per-group sort."""
+    ds = read_table(sf, "events", ["event_type", "value"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100
+        ).astype(np.int64)
+        return (
+            pa.table({"event_type": t["event_type"], "c": pa.array(c)})
+            .group_by(["event_type", "c"])
+            .aggregate([("c", "count")])
+            .rename_columns(["event_type", "c", "cnt"])
+        )
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby(["event_type", "c"], as_index=False)["cnt"].sum()
+    out = {"event_type": [], "n": [], "sum_c": [], "gini_num": [], "gini_den": []}
+    for et, g in merged.groupby("event_type", sort=True):
+        g = g.sort_values("c")
+        v = g["c"].to_numpy().astype(object)  # python ints: no overflow
+        k = g["cnt"].to_numpy().astype(object)
+        p = np.concatenate(([0], np.cumsum(k)[:-1]))
+        n = int(np.sum(k))
+        s = int(np.sum(v * k))
+        w = int(np.sum(v * (k * p + k * (k + 1) // 2)))
+        out["event_type"].append(et)
+        out["n"].append(n)
+        out["sum_c"].append(s)
+        out["gini_num"].append(2 * w - (n + 1) * s)
+        out["gini_den"].append(n * s)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "sum_c": pa.array(out["sum_c"], pa.int64()),
+            "gini_num": pa.array(out["gini_num"], pa.int64()),
+            "gini_den": pa.array(out["gini_den"], pa.int64()),
+        }
+    )
+
+
+def g31_gini_sql() -> str:
+    # HUGEINT on the rank product so the oracle never overflows before
+    # the final BIGINT cast (engine side uses python ints).
+    return (
+        "WITH r AS (SELECT event_type, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
+        "o AS (SELECT event_type, c, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS i FROM r) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(c) AS BIGINT) AS sum_c, "
+        "CAST(2 * SUM(CAST(i AS HUGEINT) * c) - "
+        "(COUNT(*) + 1) * SUM(CAST(c AS HUGEINT)) AS BIGINT) AS gini_num, "
+        "CAST(COUNT(*) * SUM(CAST(c AS HUGEINT)) AS BIGINT) AS gini_den "
+        "FROM o GROUP BY event_type ORDER BY event_type"
+    )
+
+
+# ---------------------------------------------------- d11 edit pairs
+
+
+_D11_VOCAB_BOUND = 200_000
+
+
+def d11_edit_pairs(sf: str, max_dist: int = 2):
+    """Blocked LEVENSHTEIN near-duplicate pairs over the part-name
+    vocabulary (the catalog-cleanup / entity-resolution primitive):
+    all unordered distinct-name pairs within edit distance
+    ``max_dist``, with the exact distance. Scale shape: the quadratic
+    step runs on the DISTINCT vocabulary, not the corpus — distinct is
+    a distributed co-partitioned reduction, then ONE worker task (not
+    the driver) does length-blocked candidate generation (|len(a) -
+    len(b)| <= max_dist is necessary) + banded DP verification, loud
+    ValueError above _D11_VOCAB_BOUND names. The vocab<<corpus
+    assumption is the same one the decontamination broadcast
+    documents; above the bound the fix is length-bucket map_groups
+    with a replicate-to-neighbor-bucket scheme."""
+    from .relational import _distinct
+
+    ds = _distinct(read_table(sf, "part", ["p_name"]), "p_name")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        names = sorted(t["p_name"].to_pylist())
+        if len(names) > _D11_VOCAB_BOUND:
+            raise ValueError(
+                f"d11: {len(names)} distinct names exceeds the "
+                f"{_D11_VOCAB_BOUND} single-task bound; use length-bucket "
+                "map_groups"
+            )
+        lens = np.array([len(s) for s in names], np.int64)
+        a_out, b_out, d_out = [], [], []
+        # candidates sorted by name; only forward neighbors within the
+        # length band (necessary condition for dist <= max_dist)
+        for i, na in enumerate(names):
+            for j in range(i + 1, len(names)):
+                if abs(int(lens[j]) - int(lens[i])) > max_dist:
+                    continue
+                d = _banded_levenshtein(na, names[j], max_dist)
+                if d is not None:
+                    a_out.append(na)
+                    b_out.append(names[j])
+                    d_out.append(d)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.string()),
+                "b": pa.array(b_out, pa.string()),
+                "dist": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.repartition(1)
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .sort(["a", "b"])
+    )
+
+
+def _banded_levenshtein(a: str, b: str, k: int) -> int | None:
+    """Unit-cost edit distance if <= k, else None. Classic band-limited
+    Wagner-Fischer: only the 2k+1 diagonal band is evaluated, with an
+    early exit when the band's minimum exceeds k. Runs on the
+    vocab-candidate-sized verify step, not a per-row hot path."""
+    if len(a) > len(b):
+        a, b = b, a
+    la, lb = len(a), len(b)
+    if lb - la > k:
+        return None
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        lo = max(1, j - k)
+        hi = min(la, j + k)
+        cur = [j] + [k + 1] * la
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        bj = b[j - 1]
+        best = cur[0] if lo == 1 else k + 1
+        for i in range(lo, hi + 1):
+            c = min(
+                prev[i] + 1,
+                cur[i - 1] + 1,
+                prev[i - 1] + (0 if a[i - 1] == bj else 1),
+            )
+            cur[i] = c
+            if c < best:
+                best = c
+        if best > k:
+            return None
+        prev = cur
+    return prev[la] if prev[la] <= k else None
+
+
+def d11_edit_pairs_sql(max_dist: int = 2) -> str:
+    return (
+        "WITH n AS (SELECT DISTINCT p_name FROM part) "
+        "SELECT a.p_name AS a, b.p_name AS b, "
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+        "FROM n a JOIN n b ON a.p_name < b.p_name "
+        f"WHERE abs(length(a.p_name) - length(b.p_name)) <= {max_dist} "
+        f"AND levenshtein(a.p_name, b.p_name) <= {max_dist} "
+        "ORDER BY a, b"
+    )
+
+
 def w18_ewm8_sql(depth: int = 8) -> str:
     num_terms = [f"{1 << (depth - 1)} * c"]
     den_terms = [str(1 << (depth - 1))]
