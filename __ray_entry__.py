@@ -106,7 +106,7 @@ _PRIORITY_R5 = [
     # closing-session relational2 ops: vectorized regex field pull,
     # syllable-proxy readability, integer-exact dyadic EWMA window
     "m19_regex_extract", "t_readability", "w18_ewm8",
-    "g31_gini", "d11_edit_pairs",
+    "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
     "img_hash_variants_digest", "img_augment_digest",
     # never-sampled multimodal digest pins + rows-only surfaces; these
     # outrank the re-check group below (which already has green r2/r3
@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w18_ewm8": rl2.w18_ewm8,
         "g31_gini": rl2.g31_gini,
         "d11_edit_pairs": rl2.d11_edit_pairs,
+        "w20_mad_outliers": rl2.w20_mad_outliers,
+        "t_gopher_quality": to3.t_gopher_quality,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -455,6 +457,10 @@ def oracle_sql() -> dict[str, str]:
         w18_ewm8_sql as _w18_sql,
         g31_gini_sql as _g31_sql,
         d11_edit_pairs_sql as _d11_sql,
+        w20_mad_outliers_sql as _w20_sql,
+    )
+    from lulu_crawler_ray.pipelines.textops3 import (
+        t_gopher_quality_sql as _gopher_sql,
     )
 
     base = {
@@ -467,6 +473,10 @@ def oracle_sql() -> dict[str, str]:
         # d11: blocked Levenshtein pairs vs DuckDB's levenshtein()
         "g31_gini": _g31_sql(),
         "d11_edit_pairs": _d11_sql(),
+        # w20: MAD robust outliers, integer boundary 2*dev2 > 3*mad2;
+        # t_gopher: Gopher-rule gates via integer cross-multiplication
+        "w20_mad_outliers": _w20_sql(),
+        "t_gopher_quality": _gopher_sql(),
         "t_chunk_dedup": t_chunk_dedup_sql(),
         "t_winnow": t_winnow_sql(),
         "t_winnow_pairs": t_winnow_pairs_sql(),

@@ -161,7 +161,7 @@ def run_bench() -> dict:
         "img_edge_digest", "w17_transitions", "img_otsu_digest",
         "img_blob_digest", "x6_sssp",
         "m19_regex_extract", "t_readability", "w18_ewm8",
-        "g31_gini", "d11_edit_pairs",
+        "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -361,3 +361,103 @@ def w18_ewm8_sql(depth: int = 8) -> str:
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
         "ORDER BY user_id, event_id"
     )
+
+
+# ------------------------------------------------ w20 MAD outliers
+
+
+def w20_mad_outliers(sf: str):
+    """Robust per-group outlier flags via MEDIAN ABSOLUTE DEVIATION
+    (the robust sibling of g30's 2-sigma z-score): a row is an outlier
+    when |c - median| > 3 * MAD, evaluated entirely in integers —
+    dev2 = |2c - med2| (twice the deviation, med2 = sum of the two
+    middle order statistics) and the flag boundary 2*dev2 > 3*mad2
+    (mad2 = two-middles sum of the dev2 distribution = 4*MAD), so the
+    boundary bit matches the oracle exactly with no float sigma.
+    Scale shape: ONE count-table combiner pass (the g27/g31 shape)
+    yields BOTH medians — the deviation distribution is derived from
+    the value count table itself, not a second data pass — then a
+    group-cardinality-sized {group: (med2, mad2)} dict broadcasts via
+    ray.put into one streaming flag pass. Two streaming passes total,
+    shuffle bounded by group x distinct-centi-value."""
+    import ray
+
+    ds = read_table(sf, "events", ["event_id", "event_type", "value"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100
+        ).astype(np.int64)
+        return (
+            pa.table({"event_type": t["event_type"], "c": pa.array(c)})
+            .group_by(["event_type", "c"])
+            .aggregate([("c", "count")])
+            .rename_columns(["event_type", "c", "cnt"])
+        )
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby(["event_type", "c"], as_index=False)["cnt"].sum()
+
+    def _two_middles(v: np.ndarray, k: np.ndarray) -> int:
+        cum = np.cumsum(k)
+        n = int(cum[-1])
+        k1, k2 = (n + 1) // 2, (n + 2) // 2
+        return int(v[np.searchsorted(cum, k1)]) + int(v[np.searchsorted(cum, k2)])
+
+    stats: dict[str, tuple[int, int]] = {}
+    for et, g in merged.groupby("event_type", sort=True):
+        g = g.sort_values("c")
+        v = g["c"].to_numpy().astype(np.int64)
+        k = g["cnt"].to_numpy().astype(np.int64)
+        med2 = _two_middles(v, k)
+        dv = np.abs(2 * v - med2)
+        order = np.argsort(dv, kind="stable")
+        mad2 = _two_middles(dv[order], k[order])
+        stats[str(et)] = (med2, mad2)
+
+    ref = ray.put(stats)
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        et = t["event_type"].to_pylist()
+        med2 = np.array([st[e][0] for e in et], np.int64)
+        mad2 = np.array([st[e][1] for e in et], np.int64)
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100
+        ).astype(np.int64)
+        dev2 = np.abs(2 * c - med2)
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "event_type": t["event_type"],
+                "dev2": pa.array(dev2),
+                "is_outlier": pa.array((2 * dev2 > 3 * mad2).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort("event_id")
+
+
+def w20_mad_outliers_sql() -> str:
+    two_mid = (
+        "SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN {v} ELSE 0 END) "
+        "* (CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END)"
+    )
+    return (
+        "WITH r AS (SELECT event_id, event_type, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
+        "o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) "
+        "AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM r), "
+        f"m AS (SELECT event_type, CAST({two_mid.format(v='c')} AS BIGINT) "
+        "AS med2 FROM o GROUP BY event_type), "
+        "d AS (SELECT r.event_id, r.event_type, ABS(2 * r.c - m.med2) AS dev2 "
+        "FROM r JOIN m USING (event_type)), "
+        "od AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY dev2) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n "
+        "FROM d), "
+        f"md AS (SELECT event_type, CAST({two_mid.format(v='dev2')} AS BIGINT) "
+        "AS mad2 FROM od GROUP BY event_type) "
+        "SELECT d.event_id, d.event_type, CAST(d.dev2 AS BIGINT) AS dev2, "
+        "CAST(CASE WHEN 2 * d.dev2 > 3 * md.mad2 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_outlier FROM d JOIN md USING (event_type) ORDER BY d.event_id"
+    )

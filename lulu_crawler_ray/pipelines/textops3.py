@@ -258,3 +258,71 @@ def t_dsir_weights_sql(target_lang: str = "en") -> str:
         "CAST(SUM(te) // COUNT(*) AS BIGINT) AS dsir_avg_e6 "
         "FROM u JOIN term USING (w) GROUP BY u.doc_id ORDER BY u.doc_id"
     )
+
+
+# ------------------------------------------------ t_gopher_quality
+
+
+def t_gopher_quality(sf: str):
+    """Gopher-style quality gates (Rae et al. 2021, public heuristics)
+    over the word-level signals this corpus exposes: word count in
+    [50, 100k], mean word length in [3, 10] (evaluated by integer
+    cross-multiplication — 3*n_words <= sum_wlen <= 10*n_words, no
+    float ratio), and >= 80% of words containing an alphabetic
+    character (5*n_alpha_words >= 4*n_words). Emits each raw signal,
+    each gate bit, and the composite pass flag — all int64, one
+    streaming map_batches pass, every kernel vectorized Arrow (both
+    engines speak RE2, so token/char counting agrees by
+    construction)."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def gates(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        n_words = pc.count_substring_regex(txt, pattern=r"\S+").cast(pa.int64())
+        n_ws = pc.count_substring_regex(txt, pattern=r"\s").cast(pa.int64())
+        sum_wlen = pc.subtract(pc.utf8_length(txt).cast(pa.int64()), n_ws)
+        n_alpha_words = pc.count_substring_regex(
+            txt, pattern=r"\S*[a-zA-Z]\S*"
+        ).cast(pa.int64())
+        w = n_words.to_numpy(zero_copy_only=False)
+        sl = sum_wlen.to_numpy(zero_copy_only=False)
+        aw = n_alpha_words.to_numpy(zero_copy_only=False)
+        g_wc = ((w >= 50) & (w <= 100_000)).astype(np.int64)
+        g_mwl = ((3 * w <= sl) & (sl <= 10 * w)).astype(np.int64)
+        g_alpha = (5 * aw >= 4 * w).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_words": n_words,
+                "sum_wlen": sum_wlen,
+                "n_alpha_words": n_alpha_words,
+                "g_wc": pa.array(g_wc),
+                "g_mwl": pa.array(g_mwl),
+                "g_alpha": pa.array(g_alpha),
+                "pass_all": pa.array(g_wc & g_mwl & g_alpha),
+            }
+        )
+
+    return ds.map_batches(gates, batch_format="pyarrow").sort("doc_id")
+
+
+def t_gopher_quality_sql() -> str:
+    return (
+        "WITH s AS (SELECT doc_id, "
+        r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words, "
+        r"CAST(length(text) - len(regexp_extract_all(text, '\s')) AS BIGINT) "
+        "AS sum_wlen, "
+        r"CAST(len(regexp_extract_all(text, '\S*[a-zA-Z]\S*')) AS BIGINT) "
+        "AS n_alpha_words FROM documents) "
+        "SELECT doc_id, n_words, sum_wlen, n_alpha_words, "
+        "CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END "
+        "AS BIGINT) AS g_wc, "
+        "CAST(CASE WHEN 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words "
+        "THEN 1 ELSE 0 END AS BIGINT) AS g_mwl, "
+        "CAST(CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END "
+        "AS BIGINT) AS g_alpha, "
+        "CAST(CASE WHEN n_words BETWEEN 50 AND 100000 "
+        "AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words "
+        "AND 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) "
+        "AS pass_all FROM s ORDER BY doc_id"
+    )
