@@ -107,6 +107,7 @@ _PRIORITY_R5 = [
     # syllable-proxy readability, integer-exact dyadic EWMA window
     "m19_regex_extract", "t_readability", "w18_ewm8",
     "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
+    "w21_path_mining",
     "img_hash_variants_digest", "img_augment_digest",
     # never-sampled multimodal digest pins + rows-only surfaces; these
     # outrank the re-check group below (which already has green r2/r3
@@ -312,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d11_edit_pairs": rl2.d11_edit_pairs,
         "w20_mad_outliers": rl2.w20_mad_outliers,
         "t_gopher_quality": to3.t_gopher_quality,
+        "w21_path_mining": rl2.w21_path_mining,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -458,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         g31_gini_sql as _g31_sql,
         d11_edit_pairs_sql as _d11_sql,
         w20_mad_outliers_sql as _w20_sql,
+        w21_path_mining_sql as _w21_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -477,6 +480,8 @@ def oracle_sql() -> dict[str, str]:
         # t_gopher: Gopher-rule gates via integer cross-multiplication
         "w20_mad_outliers": _w20_sql(),
         "t_gopher_quality": _gopher_sql(),
+        # w21: top session paths — count-combined before both shuffles
+        "w21_path_mining": _w21_sql(),
         "t_chunk_dedup": t_chunk_dedup_sql(),
         "t_winnow": t_winnow_sql(),
         "t_winnow_pairs": t_winnow_pairs_sql(),

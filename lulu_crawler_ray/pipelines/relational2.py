@@ -461,3 +461,123 @@ def w20_mad_outliers_sql() -> str:
         "CAST(CASE WHEN 2 * d.dev2 > 3 * md.mad2 THEN 1 ELSE 0 END AS BIGINT) "
         "AS is_outlier FROM d JOIN md USING (event_type) ORDER BY d.event_id"
     )
+
+
+# ----------------------------------------------- w21 path mining
+
+
+def w21_path_mining(sf: str, gap_minutes: int = 30, k: int = 20):
+    """Top-k SESSION PATHS (the funnel-path product-analytics op):
+    sessionize per user with a ``gap_minutes`` inactivity gap (the w11
+    contract), stringify each session's event_type sequence ordered by
+    (ts, event_id) as 'a>b>c', count sessions per path, return the k
+    most common (count DESC, path ASC). Scale shape: user
+    co-partition -> per-partition vectorized sessionize + per-path
+    LOCAL count combiner (shuffle carries distinct-path x partition
+    partials, never per-session rows), path co-partition sum, then an
+    exact top-k merge (each path lives in one partition after the
+    second shuffle, so per-partition top-k + one k*partitions-row
+    finalize is exact — the o5 pattern, no global sort)."""
+    import ray
+
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+    ds = read_table(sf, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "us": pa.array(
+                    t["ts"].cast(pa.timestamp("us")).to_numpy()
+                    .astype("datetime64[us]").view(np.int64)
+                ),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    def paths_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"path": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, us, uid))
+        uid, us, et = uid[order], us[order], et[order]
+        brk = np.r_[True, (uid[1:] != uid[:-1]) | ((us[1:] - us[:-1]) > gap_us)]
+        sid = np.cumsum(brk) - 1
+        import pandas as pd
+
+        # per-session join then LOCAL count — the combiner: output is
+        # distinct-path-sized, not session-sized
+        paths = pd.Series(et).groupby(sid).agg(">".join)
+        cnt = paths.value_counts()
+        return pa.table(
+            {
+                "path": pa.array(cnt.index.to_numpy(dtype=object), pa.string()),
+                "cnt": pa.array(cnt.to_numpy().astype(np.int64)),
+            }
+        )
+
+    def sum_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = (
+            t.group_by("path")
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["path", "cnt"])
+        )
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("cnt", "descending"), ("path", "ascending")]
+            )[:k]
+        )
+        return g
+
+    parts = (
+        _hash_partitioned(ds.map_batches(prep, batch_format="pyarrow"), "user_id", _npart())
+        .map_groups(paths_part, batch_format="pyarrow")
+    )
+    # second co-partition on path (string key -> the general
+    # key_hash_u64 partitioner) so each path's partials meet once
+    from .relational import _hash_partitioned_any
+
+    combined = _hash_partitioned_any(parts, ["path"], _npart()).map_groups(
+        sum_topk, batch_format="pyarrow"
+    )
+
+    @ray.remote
+    def finalize(*blocks: pa.Table) -> pa.Table:
+        t = pa.concat_tables([b for b in blocks if b.num_rows]).combine_chunks()
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("cnt", "descending"), ("path", "ascending")]
+            )[:k]
+        )
+        return pa.table(
+            {"path": t["path"], "n_sessions": t["cnt"].cast(pa.int64())}
+        )
+
+    blocks = combined.to_arrow_refs()
+    return ray.get(finalize.remote(*blocks))
+
+
+def w21_path_mining_sql(gap_minutes: int = 30, k: int = 20) -> str:
+    g = gap_minutes * 60 * 1_000_000
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type "
+        "FROM events), "
+        "m AS (SELECT *, CASE WHEN us - LAG(us) OVER w > "
+        f"{g} OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+        "p AS (SELECT user_id, sid, "
+        "string_agg(event_type, '>' ORDER BY us, event_id) AS path "
+        "FROM s GROUP BY user_id, sid) "
+        "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p "
+        f"GROUP BY path ORDER BY n_sessions DESC, path LIMIT {k}"
+    )
