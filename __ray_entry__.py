@@ -107,7 +107,7 @@ _PRIORITY_R5 = [
     # syllable-proxy readability, integer-exact dyadic EWMA window
     "m19_regex_extract", "t_readability", "w18_ewm8",
     "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
-    "w21_path_mining",
+    "w21_path_mining", "w22_scd_intervals",
     "img_hash_variants_digest", "img_augment_digest",
     # never-sampled multimodal digest pins + rows-only surfaces; these
     # outrank the re-check group below (which already has green r2/r3
@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w20_mad_outliers": rl2.w20_mad_outliers,
         "t_gopher_quality": to3.t_gopher_quality,
         "w21_path_mining": rl2.w21_path_mining,
+        "w22_scd_intervals": rl2.w22_scd_intervals,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -461,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         d11_edit_pairs_sql as _d11_sql,
         w20_mad_outliers_sql as _w20_sql,
         w21_path_mining_sql as _w21_sql,
+        w22_scd_intervals_sql as _w22_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -482,6 +484,8 @@ def oracle_sql() -> dict[str, str]:
         "t_gopher_quality": _gopher_sql(),
         # w21: top session paths — count-combined before both shuffles
         "w21_path_mining": _w21_sql(),
+        # w22: SCD-style run compression (runs never span users)
+        "w22_scd_intervals": _w22_sql(),
         "t_chunk_dedup": t_chunk_dedup_sql(),
         "t_winnow": t_winnow_sql(),
         "t_winnow_pairs": t_winnow_pairs_sql(),

@@ -581,3 +581,75 @@ def w21_path_mining_sql(gap_minutes: int = 30, k: int = 20) -> str:
         "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p "
         f"GROUP BY path ORDER BY n_sessions DESC, path LIMIT {k}"
     )
+
+
+# --------------------------------------------- w22 SCD intervals
+
+
+def w22_scd_intervals(sf: str):
+    """Interval compression / SCD-style state history (the warehouse
+    ETL primitive): per user, collapse CONSECUTIVE runs of the same
+    event_type (ordered by ts, event_id) into one validity row
+    (user_id, event_type, from_us, to_us, n_events). One user_id hash
+    co-partition (runs never span users, so partition-local run
+    detection is exact); within a partition one lexsort + one shifted
+    comparison finds run boundaries and np.add.reduceat-style
+    positional folds emit the interval rows — never per run, never
+    per row."""
+    ds = read_table(sf, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def runs_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "from_us": pa.array([], pa.int64()),
+                "to_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            t["ts"].cast(pa.timestamp("us")).to_numpy()
+            .astype("datetime64[us]").view(np.int64)
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, us, uid))
+        uid, us, et = uid[order], us[order], et[order]
+        brk = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(uid)] - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "event_type": pa.array(et[starts].tolist(), pa.string()),
+                "from_us": pa.array(us[starts]),
+                "to_us": pa.array(us[ends]),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+            }
+        )
+
+    return (
+        _hash_partitioned(ds, "user_id", _npart())
+        .map_groups(runs_part, batch_format="pyarrow")
+        .sort(["user_id", "from_us", "event_type"])
+    )
+
+
+def w22_scd_intervals_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type "
+        "FROM events), "
+        "m AS (SELECT *, CASE WHEN event_type IS DISTINCT FROM "
+        "LAG(event_type) OVER w THEN 1 ELSE 0 END AS brk FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS rid FROM m) "
+        "SELECT user_id, event_type, MIN(us) AS from_us, MAX(us) AS to_us, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM s "
+        "GROUP BY user_id, rid, event_type "
+        "ORDER BY user_id, from_us, event_type"
+    )

@@ -145,6 +145,13 @@ def main() -> None:
         # closing additions: whitening projection (10x embeddings),
         # cohort retention + exact 2-sigma outliers (10x events)
         "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
+        # closing session: regex pull / readability / Gopher gates
+        # (10x docs), dyadic EWMA / MAD outliers / Gini / path mining
+        # (10x events). d11_edit_pairs is omitted — its input (part)
+        # isn't replicated; its quadratic step is vocab-bounded by
+        # construction.
+        "m19_regex_extract", "t_readability", "t_gopher_quality",
+        "w18_ewm8", "w20_mad_outliers", "g31_gini", "w21_path_mining",
     ):
         t0 = time.time()
         res = q[name](out_dir)
