@@ -107,7 +107,7 @@ _PRIORITY_R5 = [
     # syllable-proxy readability, integer-exact dyadic EWMA window
     "m19_regex_extract", "t_readability", "w18_ewm8",
     "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
-    "w21_path_mining", "w22_scd_intervals",
+    "w21_path_mining", "w22_scd_intervals", "img_histeq_digest",
     "img_hash_variants_digest", "img_augment_digest",
     # never-sampled multimodal digest pins + rows-only surfaces; these
     # outrank the re-check group below (which already has green r2/r3
@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_gopher_quality": to3.t_gopher_quality,
         "w21_path_mining": rl2.w21_path_mining,
         "w22_scd_intervals": rl2.w22_scd_intervals,
+        "img_histeq_digest": im.img_histeq_digest_query,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -486,6 +487,16 @@ def oracle_sql() -> dict[str, str]:
         "w21_path_mining": _w21_sql(),
         # w22: SCD-style run compression (runs never span users)
         "w22_scd_intervals": _w22_sql(),
+        # golden-pin digest: integer-exact histogram equalization
+        # (floor-division LUT; per-pixel re-derivation in
+        # tests/test_kernels.py keeps the pin honest)
+        "img_histeq_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(387752215 AS BIGINT) AS sum_eq_sum, "
+            "CAST(2059890384 AS BIGINT) AS mix_eq_sum, "
+            "CAST(742310279285 AS BIGINT) AS sum_eq_wsum, "
+            "CAST(1031157831748 AS BIGINT) AS mix_eq_wsum"
+        ),
         "t_chunk_dedup": t_chunk_dedup_sql(),
         "t_winnow": t_winnow_sql(),
         "t_winnow_pairs": t_winnow_pairs_sql(),

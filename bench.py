@@ -162,7 +162,7 @@ def run_bench() -> dict:
         "img_blob_digest", "x6_sssp",
         "m19_regex_extract", "t_readability", "w18_ewm8",
         "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
-        "w21_path_mining", "w22_scd_intervals",
+        "w21_path_mining", "w22_scd_intervals", "img_histeq_digest",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

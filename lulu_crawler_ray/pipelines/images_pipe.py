@@ -1274,6 +1274,69 @@ def img_otsu_digest_query(sf: str) -> pa.Table:
     return _one_row_digest(t, ["otsu_thr", "n_fg", "fg_wsum"])
 
 
+class HistEqStage:
+    """Actor-pool stage: integer-EXACT histogram equalization per
+    image — the contrast-normalization pass vision-curation pipelines
+    run before feature extraction so dark/washed-out captures compare
+    on content, not exposure. Gray is the exact 3x-luma sum (0..765,
+    766 bins); the classic equalization map is evaluated in pure
+    integer arithmetic, m(v) = (cdf(v) - cdf_min) * 765 //
+    (npix - cdf_min) (floor division, no float LUT), with the
+    constant-image degenerate mapping to 0. Per-pixel work is one
+    histogram + one LUT gather, all numpy; the 766-entry map is
+    per-IMAGE.
+
+    Emits per image: eq_sum = sum of equalized values (the exposure
+    witness) and eq_wsum = position-weighted sum (y+1)*(x+1)*m so a
+    flipped or transposed result cannot hash-match."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        esum_l, ewsum_l = [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            g = img.astype(np.int64).sum(axis=2)  # 0..765 exact
+            hist = np.bincount(g.ravel(), minlength=766)
+            cdf = np.cumsum(hist)
+            npix = int(cdf[-1])
+            nz = np.flatnonzero(hist)
+            cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+            if npix > cdf_min:
+                lut = (cdf - cdf_min) * 765 // (npix - cdf_min)
+                lut = np.maximum(lut, 0)
+            else:  # constant image
+                lut = np.zeros(766, np.int64)
+            eq = lut[g]
+            h, w = g.shape
+            yw = np.arange(1, h + 1, dtype=np.int64)[:, None]
+            xw = np.arange(1, w + 1, dtype=np.int64)[None, :]
+            esum_l.append(int(eq.sum()))
+            ewsum_l.append(int((yw * xw * eq).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "eq_sum": pa.array(esum_l, pa.int64()),
+                "eq_wsum": pa.array(ewsum_l, pa.int64()),
+            }
+        )
+
+
+def img_histeq_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): the integer histogram-
+    equalization stage over the deterministic fixture, one digest row.
+    Pin kept honest by a per-pixel float-reference re-derivation in
+    tests/test_kernels.py (floor semantics asserted exactly)."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    eq = ds.map_batches(
+        HistEqStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(eq.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["eq_sum", "eq_wsum"])
+
+
 def _blob_stats(mask: np.ndarray) -> tuple[int, int]:
     """4-connected component count + largest component size over a
     boolean mask, via single-pass union-find on row RUNS (the classic

@@ -668,3 +668,51 @@ def test_blob_stats_matches_flood_fill():
     masks += [cb, np.ones((6, 6), bool), np.zeros((4, 9), bool)]
     for m in masks:
         assert _blob_stats(m) == naive(m)
+
+
+def test_histeq_stage_matches_reference():
+    """HistEqStage's integer LUT vs a literal per-pixel re-derivation
+    of the textbook equalization map (floor semantics asserted
+    exactly), plus the constant-image degenerate (maps to 0) and the
+    monotonicity property (equalization never reorders gray levels)."""
+    import pyarrow as pa
+
+    from lulu_crawler_ray.functions.imagecodec import encode
+    from lulu_crawler_ray.pipelines.images_pipe import HistEqStage
+
+    rng = np.random.default_rng(123)
+    imgs = [rng.integers(0, 256, (17, 29, 3), np.uint8) for _ in range(4)]
+    imgs.append(np.full((8, 11, 3), 77, np.uint8))  # constant
+    t = pa.table(
+        {
+            "image_id": pa.array(range(len(imgs)), pa.int64()),
+            "bytes": pa.array([encode(im, "raw") for im in imgs], pa.binary()),
+            "fmt": pa.array(["raw"] * len(imgs), pa.string()),
+        }
+    )
+    got = HistEqStage()(t)
+    for i, img in enumerate(imgs[:-1]):
+        g = img.astype(np.int64).sum(axis=2)
+        hist = np.bincount(g.ravel(), minlength=766)
+        cdf = np.cumsum(hist)
+        npix = int(cdf[-1])
+        cdf_min = int(cdf[np.flatnonzero(hist)[0]])
+        # per-pixel reference, plain python ints
+        esum = 0
+        ewsum = 0
+        h, w = g.shape
+        for y in range(h):
+            for x in range(w):
+                m = (int(cdf[g[y, x]]) - cdf_min) * 765 // (npix - cdf_min)
+                esum += m
+                ewsum += (y + 1) * (x + 1) * m
+        assert got["eq_sum"][i].as_py() == esum
+        assert got["eq_wsum"][i].as_py() == ewsum
+        # monotone: sorted gray levels map to sorted outputs
+        lut = (cdf - cdf_min) * 765 // (npix - cdf_min)
+        assert (np.diff(lut) >= 0).all()
+        # range holds on POPULATED bins (below cdf_min no pixel exists;
+        # the stage clamps those unreachable entries to 0)
+        pop = lut[hist > 0]
+        assert pop.min() >= 0 and pop.max() <= 765
+    assert got["eq_sum"][len(imgs) - 1].as_py() == 0  # constant -> all 0
