@@ -108,6 +108,7 @@ _PRIORITY_R5 = [
     "m19_regex_extract", "t_readability", "w18_ewm8",
     "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
     "w21_path_mining", "w22_scd_intervals", "img_histeq_digest",
+    "t_bpe_train",
     "img_hash_variants_digest", "img_augment_digest",
     # never-sampled multimodal digest pins + rows-only surfaces; these
     # outrank the re-check group below (which already has green r2/r3
@@ -316,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w21_path_mining": rl2.w21_path_mining,
         "w22_scd_intervals": rl2.w22_scd_intervals,
         "img_histeq_digest": im.img_histeq_digest_query,
+        "t_bpe_train": to3.t_bpe_train,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -467,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
+        t_bpe_train_sql as _bpe_train_sql,
     )
 
     base = {
@@ -483,6 +486,9 @@ def oracle_sql() -> dict[str, str]:
         # t_gopher: Gopher-rule gates via integer cross-multiplication
         "w20_mad_outliers": _w20_sql(),
         "t_gopher_quality": _gopher_sql(),
+        # t_bpe_train: VALUES-form pin (trained merges at sf0.01);
+        # honest via the distributed-equals-driver retrain pytest
+        "t_bpe_train": _bpe_train_sql(),
         # w21: top session paths — count-combined before both shuffles
         "w21_path_mining": _w21_sql(),
         # w22: SCD-style run compression (runs never span users)

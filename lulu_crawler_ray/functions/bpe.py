@@ -45,6 +45,15 @@ def train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
         for w in s.split(" "):
             if w:
                 vocab[w] += 1
+    return train_bpe_from_vocab(dict(vocab), n_merges)
+
+
+def train_bpe_from_vocab(
+    vocab: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """The merge loop over a (word -> frequency) table — the form a
+    DISTRIBUTED trainer feeds after its word-count reduction (real
+    tokenizer trainers iterate on word counts, never raw text)."""
     words = {w: tuple(w) for w in vocab}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -326,3 +326,111 @@ def t_gopher_quality_sql() -> str:
         "AND 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) "
         "AS pass_all FROM s ORDER BY doc_id"
     )
+
+
+# -------------------------------------------------- t_bpe_train
+
+
+_BPE_VOCAB_BOUND = 5_000_000
+
+
+def t_bpe_train(sf: str, n_merges: int = 40):
+    """DISTRIBUTED BPE tokenizer training (Sennrich et al. 2016): the
+    word-frequency reduction runs distributed (per-batch local count
+    combiner -> word co-partition sum, so the shuffle carries
+    vocab x blocks partials, never corpus tokens), then the merge loop
+    runs over the (word, freq) table in ONE worker task — exactly how
+    production tokenizer trainers work: iterate on word COUNTS, never
+    raw text. Loud ValueError above _BPE_VOCAB_BOUND distinct words.
+    Tie rule (highest pair count, then lexicographically smallest
+    pair) matches functions/bpe.train_bpe, and
+    tests/test_training_ops.py asserts the distributed result equals
+    the driver-side trainer on the same corpus — which also keeps the
+    VALUES-form oracle pin honest."""
+    from ..functions.bpe import train_bpe_from_vocab
+    from .relational import _hash_partitioned_any, _npart
+
+    ds = read_table(sf, "documents", ["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        # split on the literal single space — the train_bpe contract
+        lst = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = lst.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = (
+            pa.table({"word": flat})
+            .group_by("word")
+            .aggregate([("word", "count")])
+            .rename_columns(["word", "cnt"])
+        )
+        return pa.table({"word": g["word"], "cnt": g["cnt"].cast(pa.int64())})
+
+    def sum_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        g = (
+            t.select(["word", "cnt"])
+            .group_by("word")
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["word", "cnt"])
+        )
+        return pa.table({"word": g["word"], "cnt": g["cnt"].cast(pa.int64())})
+
+    counts = _hash_partitioned_any(
+        ds.map_batches(wc, batch_format="pyarrow"), ["word"], _npart()
+    ).map_groups(sum_part, batch_format="pyarrow")
+
+    def train(t: pa.Table) -> pa.Table:
+        if t.num_rows > _BPE_VOCAB_BOUND:
+            raise ValueError(
+                f"t_bpe_train: {t.num_rows} distinct words exceeds the "
+                f"{_BPE_VOCAB_BOUND} single-task merge-loop bound"
+            )
+        vocab = dict(
+            zip(t["word"].to_pylist(), t["cnt"].to_numpy(zero_copy_only=False))
+        )
+        merges = train_bpe_from_vocab(
+            {w: int(c) for w, c in vocab.items()}, n_merges
+        )
+        return pa.table(
+            {
+                "merge_rank": pa.array(range(len(merges)), pa.int64()),
+                "left_sym": pa.array([a for a, _ in merges], pa.string()),
+                "right_sym": pa.array([b for _, b in merges], pa.string()),
+            }
+        )
+
+    return (
+        counts.repartition(1)
+        .map_batches(train, batch_format="pyarrow", batch_size=None)
+        .sort("merge_rank")
+    )
+
+
+# VALUES-form golden pin for sf0.01 (the driver's correctness scale):
+# produced by functions/bpe.train_bpe over the sf0.01 documents and
+# kept honest by the distributed-equals-driver retrain pytest.
+_BPE_MERGES_SF001 = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"),
+]
+
+
+def t_bpe_train_sql() -> str:
+    rows = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(_BPE_MERGES_SF001)
+    )
+    return (
+        f"SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym "
+        f"FROM (VALUES {rows}) AS t(merge_rank, left_sym, right_sym) "
+        "ORDER BY merge_rank"
+    )

@@ -1079,3 +1079,27 @@ def test_mjpeg_avi_roundtrip_and_stages(ray_session):
         SceneCutDetector, batch_format="pyarrow", concurrency=1
     ).to_pandas()
     assert 6 in list(cuts["cut_idx"])  # the planted hard cut survives MJPEG
+
+
+def test_bpe_train_distributed_equals_driver(ray_session):
+    """The distributed trainer (word-count reduction + worker merge
+    loop) must reproduce the driver-side train_bpe on the same corpus —
+    this also keeps t_bpe_train's VALUES-form oracle pin honest."""
+    import duckdb
+
+    from lulu_crawler_ray.functions.bpe import train_bpe
+    from lulu_crawler_ray.pipelines.textops3 import t_bpe_train
+
+    sf = "/root/testdata/sf0.01"
+    texts = (
+        duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+        )
+        .df()
+        .text.tolist()
+    )
+    want = train_bpe(texts, 40)
+    got = t_bpe_train(sf).to_pandas()
+    got_pairs = list(zip(got["left_sym"], got["right_sym"]))
+    assert got_pairs == want
+    assert got["merge_rank"].tolist() == list(range(40))
