@@ -108,7 +108,7 @@ _PRIORITY_R5 = [
     "m19_regex_extract", "t_readability", "w18_ewm8",
     "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
     "w21_path_mining", "w22_scd_intervals", "img_histeq_digest",
-    "t_bpe_train",
+    "t_bpe_train", "s14_hive_roundtrip",
     "img_hash_variants_digest", "img_augment_digest",
     # never-sampled multimodal digest pins + rows-only surfaces; these
     # outrank the re-check group below (which already has green r2/r3
@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w22_scd_intervals": rl2.w22_scd_intervals,
         "img_histeq_digest": im.img_histeq_digest_query,
         "t_bpe_train": to3.t_bpe_train,
+        "s14_hive_roundtrip": rl2.s14_hive_roundtrip,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -466,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         w20_mad_outliers_sql as _w20_sql,
         w21_path_mining_sql as _w21_sql,
         w22_scd_intervals_sql as _w22_sql,
+        s14_hive_roundtrip_sql as _s14_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -489,6 +491,8 @@ def oracle_sql() -> dict[str, str]:
         # t_bpe_train: VALUES-form pin (trained merges at sf0.01);
         # honest via the distributed-equals-driver retrain pytest
         "t_bpe_train": _bpe_train_sql(),
+        # s14: hive-partitioned write + partition-pruned read
+        "s14_hive_roundtrip": _s14_sql(),
         # w21: top session paths — count-combined before both shuffles
         "w21_path_mining": _w21_sql(),
         # w22: SCD-style run compression (runs never span users)

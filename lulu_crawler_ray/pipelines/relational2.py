@@ -653,3 +653,66 @@ def w22_scd_intervals_sql() -> str:
         "GROUP BY user_id, rid, event_type "
         "ORDER BY user_id, from_us, event_type"
     )
+
+
+# ------------------------------------------- s14 hive partitioning
+
+
+def s14_hive_roundtrip(sf: str, pick: str = "purchase"):
+    """S14 — hive-partitioned sink + partition-PRUNED source (the data-
+    lake layout every downstream reader expects): events write as
+    parquet partitioned by event_type (write_parquet partition_cols —
+    one directory per key, the resumable layout), then ONE partition
+    reads back via ray.data.read_parquet on the partition directory —
+    the read never touches the other partitions' files (pruning by
+    layout, stronger than predicate pushdown which still opens
+    footers). Result must hash-equal a WHERE-filtered SELECT over the
+    original parquet. Values compare as centi-integers (float parquet
+    roundtrip is bit-exact, but the integer contract keeps the compare
+    rounding-free)."""
+    import shutil
+
+    import ray
+
+    from .relational import _roundtrip_dir
+
+    ds = read_table(sf, "events", ["event_id", "event_type", "value"])
+    out = _roundtrip_dir("hive", sf)
+    shutil.rmtree(out, ignore_errors=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "event_type": t["event_type"],
+                "value_c": pa.array(c),
+            }
+        )
+
+    ds.map_batches(prep, batch_format="pyarrow").write_parquet(
+        out, partition_cols=["event_type"]
+    )
+    back = ray.data.read_parquet(f"{out}/event_type={pick}")
+
+    def restore(t: pa.Table) -> pa.Table:
+        # the partition key is encoded in the directory, not the files
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": pa.array([pick] * t.num_rows, pa.string()),
+                "value_c": t["value_c"],
+            }
+        )
+
+    return back.map_batches(restore, batch_format="pyarrow").sort("event_id")
+
+
+def s14_hive_roundtrip_sql(pick: str = "purchase") -> str:
+    return (
+        "SELECT event_id, event_type, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS value_c FROM events "
+        f"WHERE event_type = '{pick}' ORDER BY event_id"
+    )
