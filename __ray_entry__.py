@@ -83,6 +83,14 @@ _PRIORITY_R5 = [
     # red/ERR driver rows whose fixes are in-tree (r3 g11 hash-fail,
     # r2 t_prep ERR) — the only red marks left
     "g11_pivot", "t_prep_pipeline",
+    # never-sampled multimodal digest family (VERDICT r4 item 8): one
+    # pinned hash-checkable row each for the JPEG / blur / augment /
+    # phash-variants / hist-eq image stages and the WAV+ADPCM / FLAC /
+    # AVI-scene audio+video stages — the first driver rows ever for
+    # this surface, so they take the window right after the red marks
+    "img_jpeg_digest", "img_blur_digest", "img_histeq_digest",
+    "img_hash_variants_digest", "img_augment_digest",
+    "audio_digest", "audio_flac_digest", "video_digest",
     # new round-5 operators (chunk dedup / winnowing / fingerprint
     # pairs / split / integer MIPS)
     "t_chunk_dedup", "t_winnow", "t_winnow_pairs", "t_split", "e_mips_topk",
@@ -91,32 +99,25 @@ _PRIORITY_R5 = [
     "g20_quantile_hist", "g21_cms_registers", "g22_grouped_hll_registers",
     "j8_range_join", "j9_salted_join", "o8_percent_rank",
     "s11_pushdown_scan", "t_bpe_real", "d8_semi_join", "e_radius_search",
-    "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
-    "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     # late round-5 SQL-checked ops (dup-span coverage + SemDeDup +
     # the v4 corpus-prep capstone composing them)
     "t_dupspans", "e_semdedup", "t_prep_v4", "j10_asof",
     "o9_topk_per_group", "w11_sessionize",
-    # final round-5 additions: 3rd/4th-moment stats, deterministic
-    # weighted sampling, anti-join gaps-and-islands, EXCEPT ALL,
-    # k-core peeling, and the two pinned image digests
-    # (perceptual-hash family + augmentation stage)
+    # round-5 additions: 3rd/4th-moment stats, deterministic weighted
+    # sampling, anti-join gaps-and-islands, EXCEPT ALL, k-core peeling
     "g24_skew_kurt", "g25_entropy", "o10_weighted_sample",
     "m17_gaps_islands", "d9_except_all", "x4_kcore",
-    # closing-session relational2 ops: vectorized regex field pull,
-    # syllable-proxy readability, integer-exact dyadic EWMA window
-    "m19_regex_extract", "t_readability", "w18_ewm8",
-    "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
-    "w21_path_mining", "w22_scd_intervals", "img_histeq_digest",
-    "t_bpe_train", "s14_hive_roundtrip",
-    "img_hash_variants_digest", "img_augment_digest",
-    # never-sampled multimodal digest pins + rows-only surfaces; these
-    # outrank the re-check group below (which already has green r2/r3
-    # driver rows AND bit-exact pytest oracles) for the 50-key window
-    "img_jpeg_digest", "img_blur_digest", "audio_digest", "video_digest",
-    # continuation-session addition: real FLAC decode digest (hash-
-    # checkable) — outranks e_pq_ann's rows-only check for the window
-    "audio_flac_digest",
+    # closing-session ops: BPE training, hive sink, Gopher gates,
+    # path mining — rounding out the 50-key window
+    "t_bpe_train", "s14_hive_roundtrip", "t_gopher_quality",
+    "w21_path_mining", "g31_gini", "w20_mad_outliers",
+    # ---- past the 50-key window: everything below already has a
+    # bit-exact pytest oracle row (dtype-checked DuckDB gate), so a
+    # driver re-check is a bonus, not a need
+    "m19_regex_extract", "t_readability", "w18_ewm8", "d11_edit_pairs",
+    "w22_scd_intervals",
+    "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
+    "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
     # continuation-session ops past the 50-key window (oracle-equality
     # covered by the pytest gate): BFS hops, PMI collocations,
