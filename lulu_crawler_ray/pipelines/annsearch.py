@@ -320,8 +320,13 @@ def kmeans_fit(
     smallest vec_ids; an emptied centroid keeps its previous position.
     Scans the dataset `iters` times — at 100 TB you fit on a
     hash-residue sample instead (same code over ds.filter)."""
+    # vectorized seed scan (same fix as pq_kmeans_fit: a per-row
+    # Python lambda filter is a row-at-a-time pass over the table)
     init_t = (
-        ds.filter(lambda r: r["vec_id"] < k)
+        ds.map_batches(
+            lambda t: t.filter(pa.compute.less(t["vec_id"], k)),
+            batch_format="pyarrow",
+        )
         .to_pandas()
         .sort_values("vec_id")
     )
