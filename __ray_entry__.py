@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_histeq_digest": im.img_histeq_digest_query,
         "t_bpe_train": to3.t_bpe_train,
         "s14_hive_roundtrip": rl2.s14_hive_roundtrip,
+        "t_pii_redact": to3.t_pii_redact,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -473,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
         t_bpe_train_sql as _bpe_train_sql,
+        t_pii_redact_sql as _pii_sql,
     )
 
     base = {
@@ -492,6 +494,9 @@ def oracle_sql() -> dict[str, str]:
         # t_bpe_train: VALUES-form pin (trained merges at sf0.01);
         # honest via the distributed-equals-driver retrain pytest
         "t_bpe_train": _bpe_train_sql(),
+        # PII scrub: RE2 count/replace on both engines over the same
+        # deterministically-augmented text (see t_pii_redact docstring)
+        "t_pii_redact": _pii_sql(),
         # s14: hive-partitioned write + partition-pruned read
         "s14_hive_roundtrip": _s14_sql(),
         # w21: top session paths — count-combined before both shuffles

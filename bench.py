@@ -163,7 +163,7 @@ def run_bench() -> dict:
         "m19_regex_extract", "t_readability", "w18_ewm8",
         "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
         "w21_path_mining", "w22_scd_intervals", "img_histeq_digest",
-        "t_bpe_train", "s14_hive_roundtrip",
+        "t_bpe_train", "s14_hive_roundtrip", "t_pii_redact",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -434,3 +434,80 @@ def t_bpe_train_sql() -> str:
         f"FROM (VALUES {rows}) AS t(merge_rank, left_sym, right_sym) "
         "ORDER BY merge_rank"
     )
+
+
+# ------------------------------------------------- t_pii_redact
+
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def t_pii_redact(sf: str):
+    """PII redaction — the standard corpus-prep scrub stage (emails,
+    IPv4 addresses, phone-shaped numbers -> typed placeholders, as in
+    the BigScience/ROOTS pipeline). The synthetic corpus carries no
+    real PII, so each doc is first augmented with a deterministic
+    doc_id-derived contact line (same augmentation in the oracle SQL);
+    the scrub is then exercised on every row, not on a degenerate
+    zero-match corpus. One streaming map_batches pass: RE2 count +
+    replace kernels (count_substring_regex / replace_substring_regex),
+    no shuffle, no per-row Python — at 100 TB this is a pure map
+    stage. Replacement order (email, ip, phone) is fixed and mirrored
+    in the oracle so overlapping-pattern interactions stay bit-exact."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].cast(pa.int64())
+        d = did.to_numpy(zero_copy_only=False)
+
+        def s(a: np.ndarray) -> pa.Array:
+            return pa.array(a.astype(np.int64), pa.int64()).cast(pa.string())
+
+        txt = pc.binary_join_element_wise(
+            t["text"],
+            " contact user",
+            s(d),
+            "@mail.example.com from 10.",
+            s(d % 200),
+            ".0.",
+            s((d >> 8) % 256),
+            " call 555-867-",
+            pc.utf8_lpad(s(d % 10000), 4, "0"),
+            "",
+        )
+        n_email = pc.count_substring_regex(txt, pattern=_PII_EMAIL)
+        n_ip = pc.count_substring_regex(txt, pattern=_PII_IPV4)
+        n_phone = pc.count_substring_regex(txt, pattern=_PII_PHONE)
+        red = pc.replace_substring_regex(txt, pattern=_PII_EMAIL, replacement="<EMAIL>")
+        red = pc.replace_substring_regex(red, pattern=_PII_IPV4, replacement="<IP>")
+        red = pc.replace_substring_regex(red, pattern=_PII_PHONE, replacement="<PHONE>")
+        return pa.table(
+            {
+                "doc_id": did,
+                "n_email": n_email.cast(pa.int64()),
+                "n_ip": n_ip.cast(pa.int64()),
+                "n_phone": n_phone.cast(pa.int64()),
+                "red_text": red,
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+
+
+def t_pii_redact_sql() -> str:
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.' "
+        "|| CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST((doc_id // 256) % 256 AS VARCHAR) "
+        "|| ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    return (
+        f"WITH aug AS (SELECT doc_id, {aug} AS txt FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT) AS n_email, "
+        f"CAST(len(regexp_extract_all(txt, '{_PII_IPV4}')) AS BIGINT) AS n_ip, "
+        f"CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS BIGINT) AS n_phone, "
+        f"regexp_replace(regexp_replace(regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_PII_IPV4}', '<IP>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g') AS red_text "
+        "FROM aug ORDER BY doc_id"
+    )

@@ -411,3 +411,77 @@ def test_cov_matrix_matches_naive(ray_session):
     # diagonal of the cov stat == e_dim_stats' sumsq at matching scale
     diag = df[df.dim_i == df.dim_j]["sumprod_q"].to_numpy()
     assert diag.tolist() == (q * q).sum(axis=0).tolist()
+
+
+def test_pii_redact_kernel_semantics(ray_session):
+    """The scrub kernel on crafted strings: multiple matches per doc,
+    placeholder ordering (email before ip before phone), and the
+    \\b guards on ip/phone (digits embedded in longer runs don't
+    match)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lulu_crawler_ray.pipelines.textops3 import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+    )
+
+    txt = pa.array(
+        [
+            "mail a.b@x.io and c@y.org ip 1.2.3.4 call 555-111-2222",
+            "no pii here at all",
+            "version 1.2.3.4.5 is not an ip boundary case 12345-678-90123",
+        ]
+    )
+    n_email = pc.count_substring_regex(txt, pattern=_PII_EMAIL).to_pylist()
+    n_ip = pc.count_substring_regex(txt, pattern=_PII_IPV4).to_pylist()
+    n_phone = pc.count_substring_regex(txt, pattern=_PII_PHONE).to_pylist()
+    assert n_email == [2, 0, 0]
+    # "1.2.3.4.5": RE2 \b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b scans
+    # left-to-right; "1.2.3.4" is followed by '.', which is a \b, so
+    # the leading window still matches — same in DuckDB (both RE2).
+    assert n_ip == [1, 0, 1]
+    assert n_phone == [1, 0, 0]
+    red = pc.replace_substring_regex(txt, pattern=_PII_EMAIL, replacement="<EMAIL>")
+    red = pc.replace_substring_regex(red, pattern=_PII_IPV4, replacement="<IP>")
+    red = pc.replace_substring_regex(red, pattern=_PII_PHONE, replacement="<PHONE>")
+    assert red.to_pylist()[0] == "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE>"
+
+
+def test_pii_redact_full_vs_duckdb(ray_session, tmp_path):
+    """End-to-end on a tiny synthesized documents table, including an
+    empty doc and a doc whose own text already carries PII-shaped
+    strings (the augmentation must compose, not clobber)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lulu_crawler_ray.pipelines.textops3 import t_pii_redact, t_pii_redact_sql
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 300], pa.int64()),
+            "text": pa.array(
+                [
+                    "",
+                    "write to ops@corp.example please",
+                    "server 192.168.0.1 hotline 555-000-1111",
+                    "plain text",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = t_pii_redact(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(t_pii_redact_sql()).df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    assert got["n_email"].tolist() == [1, 2, 1, 1]
+    assert got["n_ip"].tolist() == [1, 1, 2, 1]
