@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_bpe_train": to3.t_bpe_train,
         "s14_hive_roundtrip": rl2.s14_hive_roundtrip,
         "t_pii_redact": to3.t_pii_redact,
+        "j12_bloom_semi": rl2.j12_bloom_semi,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -470,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         w21_path_mining_sql as _w21_sql,
         w22_scd_intervals_sql as _w22_sql,
         s14_hive_roundtrip_sql as _s14_sql,
+        j12_bloom_semi_sql as _j12_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -497,6 +499,9 @@ def oracle_sql() -> dict[str, str]:
         # PII scrub: RE2 count/replace on both engines over the same
         # deterministically-augmented text (see t_pii_redact docstring)
         "t_pii_redact": _pii_sql(),
+        # bloom pre-filtered exact semi join (zero false negatives by
+        # construction; false positives removed by the exact pass)
+        "j12_bloom_semi": _j12_sql(),
         # s14: hive-partitioned write + partition-pruned read
         "s14_hive_roundtrip": _s14_sql(),
         # w21: top session paths — count-combined before both shuffles

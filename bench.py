@@ -164,6 +164,7 @@ def run_bench() -> dict:
         "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
         "w21_path_mining", "w22_scd_intervals", "img_histeq_digest",
         "t_bpe_train", "s14_hive_roundtrip", "t_pii_redact",
+        "j12_bloom_semi",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ..sources.testdata import read_table
 from .relational import _hash_partitioned, _npart
@@ -715,4 +716,137 @@ def s14_hive_roundtrip_sql(pick: str = "purchase") -> str:
         "SELECT event_id, event_type, "
         "CAST(ROUND(value * 100, 0) AS BIGINT) AS value_c FROM events "
         f"WHERE event_type = '{pick}' ORDER BY event_id"
+    )
+
+
+# ------------------------------------------------- j12 bloom semi-join
+
+_BLOOM_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_mix(x: np.ndarray) -> np.ndarray:
+    from ..functions.hll import _mix64
+
+    return _mix64(x)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k_hashes: int):
+    """(k_hashes, n) bit positions via double hashing — the standard
+    Kirsch-Mitzenmacher construction: pos_j = h1 + j*h2 (mod m)."""
+    x = keys.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = _bloom_mix(x)
+        h2 = _bloom_mix(x ^ _BLOOM_GOLD) | np.uint64(1)
+        return np.stack(
+            [(h1 + np.uint64(j) * h2) % np.uint64(m_bits) for j in range(k_hashes)]
+        )
+
+
+def bloom_build_words(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """Set-bit word array (uint64, m_bits/64 words) for a key batch."""
+    words = np.zeros(m_bits // 64, np.uint64)
+    if len(keys):
+        pos = _bloom_positions(keys, m_bits, k_hashes).ravel()
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63))
+        )
+    return words
+
+
+def bloom_probe_mask(keys: np.ndarray, words: np.ndarray, k_hashes: int) -> np.ndarray:
+    """True where ALL k bits are set (candidate — zero false
+    negatives by construction)."""
+    m_bits = len(words) * 64
+    pos = _bloom_positions(keys, m_bits, k_hashes)
+    hit = np.ones(len(keys), bool)
+    for j in range(k_hashes):
+        p = pos[j]
+        hit &= (words[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63))) & np.uint64(1) != 0
+    return hit
+
+
+def j12_bloom_semi(sf: str, m_bits: int = 1 << 20, k_hashes: int = 4):
+    """Bloom-pre-filtered fact-fact SEMI join — the shuffle-volume
+    reducer for the case adaptive_semi_filter's broadcast path can't
+    take (build side above the key-broadcast bound) but where a
+    few-MB bit array still fits in every worker: build a Bloom filter
+    over the build keys IN A WORKER (driver never sees keys), ray.put
+    the word array once, stream the probe side through the k-bit test
+    (drops ~all non-matching rows before any shuffle), then run the
+    EXACT co-partitioned semi join on the surviving candidates so
+    false positives never reach the output. At 100 TB: m_bits is
+    sized from a streamed count of build-side distinct keys
+    (n*10 bits gives ~1% fpp at k=4); the shuffle then moves
+    selectivity+fpp of the fact table instead of all of it.
+
+    Query shape: lineitem rows whose order is 1-URGENT, aggregated per
+    returnflag — exact result, verified against the plain semi-join
+    oracle."""
+    from .relational import adaptive_semi_filter, grouped_agg
+
+    urgent = read_table(sf, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    @ray.remote
+    def build_words(*tables: pa.Table) -> np.ndarray:
+        w = np.zeros(m_bits // 64, np.uint64)
+        for t in tables:
+            w |= bloom_build_words(
+                t["o_orderkey"].to_numpy(zero_copy_only=False), m_bits, k_hashes
+            )
+        return w
+
+    refs = [
+        ray.put(b)
+        for b in urgent.iter_batches(batch_format="pyarrow", batch_size=262144)
+        if b.num_rows
+    ]
+    wref = build_words.remote(*refs) if refs else None
+
+    li = read_table(sf, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        if wref is None:
+            return t.slice(0, 0)
+        w = ray.get(wref)
+        mask = bloom_probe_mask(
+            t["l_orderkey"].to_numpy(zero_copy_only=False), w, k_hashes
+        )
+        return t.filter(pa.array(mask))
+
+    cand = li.map_batches(prefilter, batch_format="pyarrow")
+    # exact pass: broadcast_max=0 forces the co-partitioned shuffle
+    # path — the scenario the bloom pre-filter exists for
+    exact = adaptive_semi_filter(
+        cand, urgent, "l_orderkey", "o_orderkey", anti=False, broadcast_max=0
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty_ci": pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0), 0), pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        exact.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("qty_c", "sum", "qty_ci"), ("n_rows", "count", None)],
+        round_to=None,
+    ).sort("l_returnflag")
+
+
+def j12_bloom_semi_sql() -> str:
+    return (
+        "SELECT l_returnflag, "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_c, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
     )

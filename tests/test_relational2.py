@@ -63,3 +63,48 @@ def test_gini_closed_form_matches_rank_definition():
         p = np.concatenate(([0], np.cumsum(k)[:-1]))
         w_fold = int(np.sum(v * (k * p + k * (k + 1) // 2)))
         assert w_fold == w_direct
+
+
+def test_bloom_no_false_negatives_and_fpp():
+    """Kernel property: every inserted key probes True (bloom
+    correctness invariant the exact pass relies on); the false-positive
+    rate on disjoint keys stays near the k=4, m/n=10 textbook value."""
+    import numpy as np
+
+    from lulu_crawler_ray.pipelines.relational2 import (
+        bloom_build_words,
+        bloom_probe_mask,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(1 << 40, size=100_000, replace=False).astype(np.int64)
+    ins, out = keys[:50_000], keys[50_000:]
+    m_bits = 1 << 19  # ~10.5 bits/key
+    words = bloom_build_words(ins, m_bits, 4)
+    assert bloom_probe_mask(ins, words, 4).all()  # zero false negatives
+    fpp = bloom_probe_mask(out, words, 4).mean()
+    assert fpp < 0.03, fpp  # textbook ~1.2% at k=4, m/n~10.5
+
+
+def test_j12_bloom_prefilter_reduces_shuffle_volume(ray_session):
+    """The bloom pre-filter must drop (nearly) all non-urgent lineitem
+    rows BEFORE the exact co-partitioned pass — the op's reason to
+    exist. Checked by running the pre-filter stage alone."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from lulu_crawler_ray.pipelines.relational2 import (
+        bloom_build_words,
+        bloom_probe_mask,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.filter(pc.equal(orders["o_orderpriority"], "1-URGENT"))["o_orderkey"]
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey"])["l_orderkey"]
+    words = bloom_build_words(urgent.to_numpy(), 1 << 20, 4)
+    mask = bloom_probe_mask(li.to_numpy(), words, 4)
+    true_frac = np.isin(li.to_numpy(), urgent.to_numpy()).mean()
+    # candidates = true matches + fpp; must be well under the full table
+    assert true_frac <= mask.mean() <= true_frac + 0.03
