@@ -108,14 +108,15 @@ _PRIORITY_R5 = [
     "g24_skew_kurt", "g25_entropy", "o10_weighted_sample",
     "m17_gaps_islands", "d9_except_all", "x4_kcore",
     # closing-session ops: BPE training, hive sink, Gopher gates,
-    # path mining — rounding out the 50-key window
+    # path mining — rounding out the 50-key window (m19/t_readability
+    # are positions 48-49, the window's last two)
     "t_bpe_train", "s14_hive_roundtrip", "t_gopher_quality",
     "w21_path_mining", "g31_gini", "w20_mad_outliers",
+    "m19_regex_extract", "t_readability",
     # ---- past the 50-key window: everything below already has a
     # bit-exact pytest oracle row (dtype-checked DuckDB gate), so a
     # driver re-check is a bonus, not a need
-    "m19_regex_extract", "t_readability", "w18_ewm8", "d11_edit_pairs",
-    "w22_scd_intervals",
+    "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals",
     "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
     "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
