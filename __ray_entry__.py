@@ -116,7 +116,7 @@ _PRIORITY_R5 = [
     # ---- past the 50-key window: everything below already has a
     # bit-exact pytest oracle row (dtype-checked DuckDB gate), so a
     # driver re-check is a bonus, not a need
-    "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals",
+    "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals", "t_quality_clf",
     "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
     "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s14_hive_roundtrip": rl2.s14_hive_roundtrip,
         "t_pii_redact": to3.t_pii_redact,
         "j12_bloom_semi": rl2.j12_bloom_semi,
+        "t_quality_clf": to3.t_quality_clf,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -478,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         t_gopher_quality_sql as _gopher_sql,
         t_bpe_train_sql as _bpe_train_sql,
         t_pii_redact_sql as _pii_sql,
+        t_quality_clf_sql as _qclf_sql,
     )
 
     base = {
@@ -500,6 +502,9 @@ def oracle_sql() -> dict[str, str]:
         # PII scrub: RE2 count/replace on both engines over the same
         # deterministically-augmented text (see t_pii_redact docstring)
         "t_pii_redact": _pii_sql(),
+        # hashed-feature linear classifier scoring: same md5 ->
+        # bucket -> bucket-weight chain on both engines, zero shuffle
+        "t_quality_clf": _qclf_sql(),
         # bloom pre-filtered exact semi join (zero false negatives by
         # construction; false positives removed by the exact pass)
         "j12_bloom_semi": _j12_sql(),

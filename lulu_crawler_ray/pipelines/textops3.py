@@ -511,3 +511,104 @@ def t_pii_redact_sql() -> str:
         f"'{_PII_IPV4}', '<IP>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g') AS red_text "
         "FROM aug ORDER BY doc_id"
     )
+
+
+# ------------------------------------------------ t_quality_clf
+
+
+def t_quality_clf(sf: str, n_buckets: int = 4096, scale: int = 1000):
+    """Hashed-feature LINEAR classifier scoring — the fastText-style
+    quality-classifier pass of the CCNet / GPT-3 / LLaMA corpus
+    recipes (Joulin et al. 2016; Brown et al. 2020 §A): each token
+    hashes into one of ``n_buckets`` feature buckets, the doc score is
+    the sum of the bucket weights over token OCCURRENCES, and the keep
+    flag is score >= 0. The weight table here is a deterministic hash
+    surrogate (w[b] = b-th bucket's md5-derived value in
+    [-scale, scale]) standing in for trained coefficients — a real
+    fastText/LR model drops in by replacing `_weights` with the
+    trained vector (broadcast once via ray.put at size n_buckets; the
+    streaming structure is unchanged). Distinct from t_quality
+    (hand-rule heuristics) and t_lm_score (n-gram LM perplexity):
+    this is the learned-model seam.
+
+    Scale shape: ONE zero-shuffle streaming map_batches pass — a doc
+    never spans a batch, so tokenize -> hash -> bucket-weight ->
+    per-doc sum all happen locally (np.bincount over the doc row
+    index); md5 runs once per UNIQUE token per batch (np.unique
+    inverse), not per occurrence. Integer contract: |score| <=
+    n_tokens * scale, int64-safe at any doc length; flag = score >= 0
+    so no float threshold exists on either side."""
+    import hashlib
+
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+").combine_chunks()
+        flat = lst.flatten()
+        keep = pc.not_equal(flat, "")
+        k = keep.to_numpy(zero_copy_only=False)
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        row = np.searchsorted(offs, np.arange(n), side="right") - 1
+        row = row[k]
+        toks = flat.filter(keep).to_pylist()
+        # hash once per unique token, then scatter back per occurrence
+        uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(w.encode("utf-8", "surrogatepass")).digest()[:8], "big"
+                )
+                for w in uniq
+            ),
+            np.uint64,
+            count=len(uniq),
+        )
+        bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+        # deterministic surrogate weight per BUCKET (not per token):
+        # md5 of the bucket id, reduced to [-scale, scale]
+        wt_u = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(b).encode()).digest()[:8], "big")
+                for b in bucket
+            ),
+            np.uint64,
+            count=len(bucket),
+        )
+        wt = (wt_u % np.uint64(2 * scale + 1)).astype(np.int64) - scale
+        occ_w = wt[inv]
+        nb = len(did)
+        s = np.bincount(row, weights=occ_w, minlength=nb).astype(np.int64)
+        ntok = np.bincount(row, minlength=nb).astype(np.int64)
+        has = ntok > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(did[has]),
+                "n_tokens": pa.array(ntok[has]),
+                "score": pa.array(s[has]),
+                "keep_flag": pa.array((s[has] >= 0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def t_quality_clf_sql(n_buckets: int = 4096, scale: int = 1000) -> str:
+    """Same md5 chain: token -> uint64 prefix -> bucket -> md5(bucket)
+    -> weight in [-scale, scale]; DuckDB's UBIGINT % keeps both mods
+    non-negative exactly like numpy's uint64 %."""
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split_regex("
+        "lower(text), '\\s+'), x -> x <> '') AS l FROM documents), "
+        "u AS (SELECT doc_id, UNNEST(l) AS w FROM d), "
+        "b AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(w),1,16) AS UBIGINT) "
+        f"% {n_buckets} AS BIGINT) AS bkt FROM u), "
+        "wt AS (SELECT doc_id, CAST(CAST('0x' || substr(md5("
+        "CAST(bkt AS VARCHAR)),1,16) AS UBIGINT) "
+        f"% {2 * scale + 1} AS BIGINT) - {scale} AS w FROM b) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(w) AS BIGINT) AS score, "
+        "CAST(CASE WHEN SUM(w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag "
+        "FROM wt GROUP BY doc_id ORDER BY doc_id"
+    )
