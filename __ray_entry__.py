@@ -117,6 +117,7 @@ _PRIORITY_R5 = [
     # bit-exact pytest oracle row (dtype-checked DuckDB gate), so a
     # driver re-check is a bonus, not a need
     "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals", "t_quality_clf",
+    "img_resize_bilinear_digest",
     "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
     "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
@@ -319,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w21_path_mining": rl2.w21_path_mining,
         "w22_scd_intervals": rl2.w22_scd_intervals,
         "img_histeq_digest": im.img_histeq_digest_query,
+        "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "t_bpe_train": to3.t_bpe_train,
         "s14_hive_roundtrip": rl2.s14_hive_roundtrip,
         "t_pii_redact": to3.t_pii_redact,
@@ -591,6 +593,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(906398 AS BIGINT) AS mix_n_edge, "
             "CAST(277005184 AS BIGINT) AS sum_edge_wsum, "
             "CAST(6718577334 AS BIGINT) AS mix_edge_wsum"
+        ),
+        # integer-exact bilinear resize digest: golden pin (the
+        # fixed-point tap arithmetic is not SQL-expressible) kept
+        # honest by the naive rational re-derivation + identity /
+        # constant-image property tests in tests/test_kernels.py
+        "img_resize_bilinear_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(73454290 AS BIGINT) AS sum_px_sum, "
+            "CAST(4943799 AS BIGINT) AS mix_px_sum, "
+            "CAST(18819644273 AS BIGINT) AS sum_px_wsum, "
+            "CAST(15883430855 AS BIGINT) AS mix_px_wsum, "
+            "CAST(78060 AS BIGINT) AS sum_center, "
+            "CAST(70583 AS BIGINT) AS mix_center"
         ),
         # cohort retention matrix (distinct-activity combiner + one
         # user co-partition; finalize sums a days^2-sized table)

@@ -494,3 +494,41 @@ def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
     ys = (np.arange(h) * sh // h).clip(0, sh - 1)
     xs = (np.arange(w) * sw // w).clip(0, sw - 1)
     return img[np.ix_(ys, xs)]
+
+
+def resize_bilinear(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Bilinear resize, INTEGER-EXACT (numpy only) — the standard
+    vision-preprocessing interpolation (half-pixel source centers,
+    the align_corners=False convention shared by PIL / OpenCV /
+    torchvision). All arithmetic is fixed-point int64: the source
+    coordinate of output pixel d along an axis of source length s and
+    output length m is (2d+1)*s - m in units of 1/(2m), so the two
+    tap weights are exact integers summing to 2m per axis and the
+    final division by (2w)*(2h) rounds half-up once. Identity sizes
+    reproduce the input bit-for-bit (fx = fy = 0); a constant image
+    stays constant at any size (weights sum exactly to the
+    denominator). Edge taps clamp (edge-replicate)."""
+    sh, sw = img.shape[:2]
+    if sw == w and sh == h:
+        return img.copy()
+    if img.ndim == 2:
+        return resize_bilinear(img[:, :, None], w, h)[:, :, 0]
+
+    def axis(s: int, m: int):
+        num = (2 * np.arange(m, dtype=np.int64) + 1) * s - m  # units 1/(2m)
+        lo = num // (2 * m)
+        f = num - lo * 2 * m  # in [0, 2m)
+        i0 = np.clip(lo, 0, s - 1)
+        i1 = np.clip(lo + 1, 0, s - 1)
+        return i0, i1, f, 2 * m
+
+    x0, x1, fx, dx = axis(sw, w)
+    y0, y1, fy, dy = axis(sh, h)
+    p = img.astype(np.int64)
+    wx0 = (dx - fx)[None, :, None]
+    wx1 = fx[None, :, None]
+    top = wx0 * p[np.ix_(y0, x0)] + wx1 * p[np.ix_(y0, x1)]
+    bot = wx0 * p[np.ix_(y1, x0)] + wx1 * p[np.ix_(y1, x1)]
+    acc = (dy - fy)[:, None, None] * top + fy[:, None, None] * bot
+    den = dx * dy
+    return ((acc + den // 2) // den).astype(np.uint8)

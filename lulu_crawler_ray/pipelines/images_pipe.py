@@ -1417,3 +1417,58 @@ def img_blob_digest_query(sf: str) -> pa.Table:
     ).combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
     return _one_row_digest(t, ["n_blobs", "max_blob"])
+
+
+class BilinearResizeStage:
+    """Actor-pool stage: INTEGER-EXACT bilinear resize (continuation
+    session) — the standard vision-preprocess interpolation
+    (half-pixel centers, align_corners=False; resize_nearest is the
+    cheap sibling used by phash). Every image in the batch resizes to
+    a fixed (RW, RH) training-grid shape via pure int64 fixed-point
+    taps (see functions/imagecodec.resize_bilinear), so the output is
+    bit-identical across batch splits, CPU counts and hosts. Emits per
+    image the resized pixel sum and a position-weighted witness (a
+    transposed or off-by-one-tap grid cannot hash-match), plus the
+    exact center sample."""
+
+    RW, RH = 40, 24
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import resize_bilinear
+
+        ps_l, wsum_l, ctr_l = [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            r = resize_bilinear(img, self.RW, self.RH).astype(np.int64)
+            g = r.sum(axis=2)
+            yw = np.arange(1, self.RH + 1, dtype=np.int64)[:, None]
+            xw = np.arange(1, self.RW + 1, dtype=np.int64)[None, :]
+            ps_l.append(int(g.sum()))
+            wsum_l.append(int((yw * xw * g).sum()))
+            ctr_l.append(int(g[self.RH // 2, self.RW // 2]))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "px_sum": pa.array(ps_l, pa.int64()),
+                "px_wsum": pa.array(wsum_l, pa.int64()),
+                "center": pa.array(ctr_l, pa.int64()),
+            }
+        )
+
+
+def img_resize_bilinear_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): the integer-exact bilinear
+    resize stage over the deterministic fixture, folded to one digest
+    row. The pin is kept honest by a per-pixel rational-arithmetic
+    re-derivation and identity/constant property tests in
+    tests/test_kernels.py."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    rz = ds.map_batches(
+        BilinearResizeStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(rz.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["px_sum", "px_wsum", "center"])

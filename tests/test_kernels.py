@@ -716,3 +716,47 @@ def test_histeq_stage_matches_reference():
         pop = lut[hist > 0]
         assert pop.min() >= 0 and pop.max() <= 765
     assert got["eq_sum"][len(imgs) - 1].as_py() == 0  # constant -> all 0
+
+
+def test_resize_bilinear_identity_and_constant():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(ic.resize_bilinear(img, 17, 13), img)
+    c = np.full((9, 7, 3), 137, np.uint8)
+    assert (ic.resize_bilinear(c, 20, 5) == 137).all()
+    g = rng.integers(0, 256, (11, 6), dtype=np.uint8)
+    assert ic.resize_bilinear(g, 8, 8).shape == (8, 8)
+
+
+def test_resize_bilinear_matches_rational_reference():
+    """The vectorized fixed-point kernel == a per-pixel plain-python-int
+    re-derivation of the half-pixel-center bilinear formula (keeps the
+    img_resize_bilinear_digest golden pin honest)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+
+    def naive(img, w, h):
+        sh, sw = img.shape[:2]
+        out = np.zeros((h, w, img.shape[2]), np.uint8)
+        for dy in range(h):
+            ny = (2 * dy + 1) * sh - h
+            y0 = ny // (2 * h)
+            fy = ny - y0 * 2 * h
+            ya, yb = min(max(y0, 0), sh - 1), min(max(y0 + 1, 0), sh - 1)
+            for dx in range(w):
+                nx = (2 * dx + 1) * sw - w
+                x0 = nx // (2 * w)
+                fx = nx - x0 * 2 * w
+                xa, xb = min(max(x0, 0), sw - 1), min(max(x0 + 1, 0), sw - 1)
+                for ch in range(img.shape[2]):
+                    p00, p01 = int(img[ya, xa, ch]), int(img[ya, xb, ch])
+                    p10, p11 = int(img[yb, xa, ch]), int(img[yb, xb, ch])
+                    acc = (2 * h - fy) * ((2 * w - fx) * p00 + fx * p01) + fy * (
+                        (2 * w - fx) * p10 + fx * p11
+                    )
+                    den = 4 * w * h
+                    out[dy, dx, ch] = (acc + den // 2) // den
+        return out
+
+    for (w, h) in [(5, 9), (30, 4), (1, 1), (40, 24)]:
+        assert np.array_equal(ic.resize_bilinear(img, w, h), naive(img, w, h)), (w, h)
