@@ -117,7 +117,7 @@ _PRIORITY_R5 = [
     # bit-exact pytest oracle row (dtype-checked DuckDB gate), so a
     # driver re-check is a bonus, not a need
     "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals", "t_quality_clf",
-    "img_resize_bilinear_digest",
+    "img_resize_bilinear_digest", "img_trainprep_digest",
     "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
     "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w22_scd_intervals": rl2.w22_scd_intervals,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
+        "img_trainprep_digest": im.img_trainprep_digest_query,
         "t_bpe_train": to3.t_bpe_train,
         "s14_hive_roundtrip": rl2.s14_hive_roundtrip,
         "t_pii_redact": to3.t_pii_redact,
@@ -606,6 +607,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(15883430855 AS BIGINT) AS mix_px_wsum, "
             "CAST(78060 AS BIGINT) AS sum_center, "
             "CAST(70583 AS BIGINT) AS mix_center"
+        ),
+        # eval-preprocess chain digest (short-side bilinear resize ->
+        # center crop -> channel stats): golden pin kept honest by the
+        # stage-vs-naive-composition + square-image tests in
+        # tests/test_kernels.py
+        "img_trainprep_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(26169354 AS BIGINT) AS sum_r_sum, "
+            "CAST(6833639 AS BIGINT) AS mix_r_sum, "
+            "CAST(26103660 AS BIGINT) AS sum_g_sum, "
+            "CAST(3745718 AS BIGINT) AS mix_g_sum, "
+            "CAST(26114507 AS BIGINT) AS sum_b_sum, "
+            "CAST(1789307 AS BIGINT) AS mix_b_sum, "
+            "CAST(12073153219 AS BIGINT) AS sum_sq_sum, "
+            "CAST(283255256 AS BIGINT) AS mix_sq_sum, "
+            "CAST(21350033245 AS BIGINT) AS sum_crop_wsum, "
+            "CAST(4789571427 AS BIGINT) AS mix_crop_wsum"
         ),
         # cohort retention matrix (distinct-activity combiner + one
         # user co-partition; finalize sums a days^2-sized table)

@@ -164,7 +164,8 @@ def run_bench() -> dict:
         "g31_gini", "d11_edit_pairs", "w20_mad_outliers", "t_gopher_quality",
         "w21_path_mining", "w22_scd_intervals", "img_histeq_digest",
         "t_bpe_train", "s14_hive_roundtrip", "t_pii_redact",
-        "j12_bloom_semi",
+        "j12_bloom_semi", "t_quality_clf", "img_resize_bilinear_digest",
+        "img_trainprep_digest",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

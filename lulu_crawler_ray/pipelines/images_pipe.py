@@ -1472,3 +1472,73 @@ def img_resize_bilinear_digest_query(sf: str) -> pa.Table:
     ).combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
     return _one_row_digest(t, ["px_sum", "px_wsum", "center"])
+
+
+class TrainPrepStage:
+    """Actor-pool stage: the canonical vision EVAL-PREPROCESS chain
+    (short-side resize -> center crop -> per-channel normalization
+    statistics), integer-exact end to end — what an ImageNet-style
+    training/eval loader does to every image before the model sees it.
+    Short side resizes to S with the aspect ratio preserved (the long
+    side rounds half-up in exact integers: n = (2*long*S + short) //
+    (2*short)), interpolation is the fixed-point bilinear kernel, the
+    center S x S crop offsets floor, and the emitted per-channel sum /
+    sum-of-squares over the crop are the sufficient statistics a
+    normalization pass (mean/std per channel) folds downstream.
+    Square inputs crop nothing (the resize IS the S x S grid) —
+    property-tested. Bit-identical across batch splits and hosts."""
+
+    S = 32
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import resize_bilinear
+
+        S = self.S
+        rs, gs, bs, sq, wsum = [], [], [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            h, w = img.shape[:2]
+            if h <= w:
+                nh, nw = S, (2 * w * S + h) // (2 * h)
+            else:
+                nh, nw = (2 * h * S + w) // (2 * w), S
+            r = resize_bilinear(img, nw, nh)
+            oy, ox = (nh - S) // 2, (nw - S) // 2
+            c = r[oy : oy + S, ox : ox + S].astype(np.int64)
+            g = c.sum(axis=2)
+            yw = np.arange(1, S + 1, dtype=np.int64)[:, None]
+            xw = np.arange(1, S + 1, dtype=np.int64)[None, :]
+            rs.append(int(c[:, :, 0].sum()))
+            gs.append(int(c[:, :, 1].sum()))
+            bs.append(int(c[:, :, 2].sum()))
+            sq.append(int((c * c).sum()))
+            wsum.append(int((yw * xw * g).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "r_sum": pa.array(rs, pa.int64()),
+                "g_sum": pa.array(gs, pa.int64()),
+                "b_sum": pa.array(bs, pa.int64()),
+                "sq_sum": pa.array(sq, pa.int64()),
+                "crop_wsum": pa.array(wsum, pa.int64()),
+            }
+        )
+
+
+def img_trainprep_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): the eval-preprocess chain
+    (short-side bilinear resize -> center crop -> channel stats) over
+    the deterministic fixture, folded to one digest row. Honest via a
+    stage-vs-naive-composition recompute + square-image property test
+    in tests/test_kernels.py (the bilinear kernel itself is
+    rational-reference-tested there)."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    pp = ds.map_batches(
+        TrainPrepStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(pp.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["r_sum", "g_sum", "b_sum", "sq_sum", "crop_wsum"])

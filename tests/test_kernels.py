@@ -760,3 +760,42 @@ def test_resize_bilinear_matches_rational_reference():
 
     for (w, h) in [(5, 9), (30, 4), (1, 1), (40, 24)]:
         assert np.array_equal(ic.resize_bilinear(img, w, h), naive(img, w, h)), (w, h)
+
+
+def test_trainprep_stage_matches_naive_composition():
+    """TrainPrepStage == the straightforward resize->crop->stats
+    composition recomputed per image (keeps the img_trainprep_digest
+    pin honest); square images crop nothing."""
+    import pyarrow as pa
+
+    from lulu_crawler_ray.pipelines.images_pipe import TrainPrepStage, build_image_fixture
+
+    t = build_image_fixture(24)
+    got = TrainPrepStage()(t)
+    S = TrainPrepStage.S
+    for i in range(t.num_rows):
+        img = ic.decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+        h, w = img.shape[:2]
+        if h <= w:
+            nh, nw = S, (2 * w * S + h) // (2 * h)
+        else:
+            nh, nw = (2 * h * S + w) // (2 * w), S
+        r = ic.resize_bilinear(img, nw, nh)
+        oy, ox = (nh - S) // 2, (nw - S) // 2
+        c = r[oy : oy + S, ox : ox + S].astype(np.int64)
+        assert got["r_sum"][i].as_py() == int(c[:, :, 0].sum())
+        assert got["sq_sum"][i].as_py() == int((c * c).sum())
+    # square image: crop is a no-op (resize IS the SxS grid)
+    sq_img = np.arange(50 * 50 * 3, dtype=np.int64).reshape(50, 50, 3) % 256
+    sq_img = sq_img.astype(np.uint8)
+    enc = ic.encode(sq_img, "png")
+    t2 = pa.table(
+        {
+            "image_id": pa.array(["sq"]),
+            "bytes": pa.array([enc], pa.binary()),
+            "fmt": pa.array(["png"]),
+        }
+    )
+    got2 = TrainPrepStage()(t2)
+    ref = ic.resize_bilinear(sq_img, S, S).astype(np.int64)
+    assert got2["r_sum"][0].as_py() == int(ref[:, :, 0].sum())
