@@ -117,7 +117,7 @@ _PRIORITY_R5 = [
     # bit-exact pytest oracle row (dtype-checked DuckDB gate), so a
     # driver re-check is a bonus, not a need
     "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals", "t_quality_clf",
-    "img_resize_bilinear_digest", "img_trainprep_digest",
+    "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
     "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pii_redact": to3.t_pii_redact,
         "j12_bloom_semi": rl2.j12_bloom_semi,
         "t_quality_clf": to3.t_quality_clf,
+        "t_doc_embed": to3.t_doc_embed,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -483,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         t_bpe_train_sql as _bpe_train_sql,
         t_pii_redact_sql as _pii_sql,
         t_quality_clf_sql as _qclf_sql,
+        t_doc_embed_sql as _dembed_sql,
     )
 
     base = {
@@ -508,6 +510,9 @@ def oracle_sql() -> dict[str, str]:
         # hashed-feature linear classifier scoring: same md5 ->
         # bucket -> bucket-weight chain on both engines, zero shuffle
         "t_quality_clf": _qclf_sql(),
+        # hashed doc embeddings (text -> vector bridge), long-form
+        # integer components — same md5 chain mirrored in UBIGINT
+        "t_doc_embed": _dembed_sql(),
         # bloom pre-filtered exact semi join (zero false negatives by
         # construction; false positives removed by the exact pass)
         "j12_bloom_semi": _j12_sql(),

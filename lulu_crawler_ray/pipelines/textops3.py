@@ -612,3 +612,97 @@ def t_quality_clf_sql(n_buckets: int = 4096, scale: int = 1000) -> str:
         "CAST(CASE WHEN SUM(w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag "
         "FROM wt GROUP BY doc_id ORDER BY doc_id"
     )
+
+
+# ------------------------------------------------ t_doc_embed
+
+
+def t_doc_embed(sf: str, dim: int = 16, scale: int = 100):
+    """Hashed DOCUMENT EMBEDDINGS — the text -> vector bridge (the
+    feature-hashing / random-projection baseline embedder of Weinberger
+    et al. 2009's hashing trick; a learned encoder drops in by
+    replacing the per-token component function with model inference in
+    this same actor-pool slot). Each token deterministically maps to a
+    ``dim``-vector of integers in [-scale, scale] (md5 of
+    "<token-hash>-<dim>"); the doc embedding is the SUM over token
+    occurrences, emitted LONG-form (doc_id, dim, comp_sum) so the
+    DuckDB oracle is a plain unnest/cross-join mirror — bit-exact, no
+    float anywhere. Downstream the e_* family consumes these exactly
+    like the embeddings table's vectors (sum -> mean is a divide by
+    the also-emitted n_tokens at the consumer's chosen precision).
+
+    Scale shape: ONE zero-shuffle streaming pass (doc never spans a
+    batch): md5 runs once per UNIQUE token per batch (np.unique
+    inverse), components accumulate via one np.add.at per dim over the
+    doc row index. Integer contract: |comp_sum| <= n_tokens * scale,
+    int64-safe at any doc length."""
+    import hashlib
+
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    def embed(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+").combine_chunks()
+        flat = lst.flatten()
+        keep = pc.not_equal(flat, "")
+        k = keep.to_numpy(zero_copy_only=False)
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        row = np.searchsorted(offs, np.arange(n), side="right") - 1
+        row = row[k]
+        toks = flat.filter(keep).to_pylist()
+        uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+        th = [
+            int.from_bytes(
+                hashlib.md5(w.encode("utf-8", "surrogatepass")).digest()[:8], "big"
+            )
+            for w in uniq
+        ]
+        m = np.uint64(2 * scale + 1)
+        comp = np.empty((len(uniq), dim), np.int64)
+        for j, h in enumerate(th):
+            hs = str(h)
+            for d in range(dim):
+                u = int.from_bytes(hashlib.md5(f"{hs}-{d}".encode()).digest()[:8], "big")
+                comp[j, d] = u % int(m) - scale
+        occ = comp[inv]  # (n_occurrences, dim)
+        nb = len(did)
+        sums = np.zeros((nb, dim), np.int64)
+        np.add.at(sums, row, occ)
+        ntok = np.bincount(row, minlength=nb).astype(np.int64)
+        has = np.flatnonzero(ntok > 0)
+        d_ids = np.repeat(did[has], dim)
+        dims = np.tile(np.arange(dim, dtype=np.int64), len(has))
+        return pa.table(
+            {
+                "doc_id": pa.array(d_ids),
+                "dim": pa.array(dims),
+                "comp_sum": pa.array(sums[has].ravel()),
+                "n_tokens": pa.array(np.repeat(ntok[has], dim)),
+            }
+        )
+
+    return ds.map_batches(embed, batch_format="pyarrow").sort(["doc_id", "dim"])
+
+
+def t_doc_embed_sql(dim: int = 16, scale: int = 100) -> str:
+    """Mirror md5 chain: token -> uint64 -> md5('<u64>-<dim>') ->
+    component; DuckDB's CAST(UBIGINT AS VARCHAR) prints the same
+    decimal digits python's str() does."""
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split_regex("
+        "lower(text), '\\s+'), x -> x <> '') AS l FROM documents), "
+        "u AS (SELECT doc_id, UNNEST(l) AS w FROM d), "
+        "h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,16) AS UBIGINT) AS th FROM u), "
+        f"g AS (SELECT UNNEST(range({dim})) AS dim), "
+        "c AS (SELECT doc_id, dim, CAST(CAST('0x' || substr(md5("
+        "CAST(th AS VARCHAR) || '-' || CAST(dim AS VARCHAR)),1,16) AS UBIGINT) "
+        f"% {2 * scale + 1} AS BIGINT) - {scale} AS comp "
+        "FROM h CROSS JOIN g), "
+        "nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM u GROUP BY doc_id) "
+        "SELECT c.doc_id, CAST(c.dim AS BIGINT) AS dim, "
+        "CAST(SUM(c.comp) AS BIGINT) AS comp_sum, "
+        "CAST(MAX(nt.n_tokens) AS BIGINT) AS n_tokens "
+        "FROM c JOIN nt USING (doc_id) GROUP BY c.doc_id, c.dim "
+        "ORDER BY c.doc_id, c.dim"
+    )
