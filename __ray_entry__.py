@@ -135,7 +135,7 @@ _PRIORITY_R5 = [
     "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
     "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
     "img_edge_digest", "w17_transitions", "img_otsu_digest",
-    "img_blob_digest", "x6_sssp",
+    "img_blob_digest", "x6_sssp", "x7_hits",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines.graph import x4_kcore as _kcore
     from lulu_crawler_ray.pipelines.graph import x5_bfs as _bfs
     from lulu_crawler_ray.pipelines.graph import x6_sssp as _sssp
+    from lulu_crawler_ray.pipelines.graph import x7_hits as _hits
     from lulu_crawler_ray.pipelines.kmeans import e_kmeans_int as _kmeans
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
@@ -217,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x4_kcore": _kcore,
         "x5_bfs": _bfs,
         "x6_sssp": _sssp,
+        "x7_hits": _hits,
         "j6_left_join": rl.j6_left_join,
         "j7_full_outer": rl.j7_full_outer,
         "g11_pivot": rl.g11_pivot,
@@ -413,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.graph import x4_kcore_sql as _x4_sql
     from lulu_crawler_ray.pipelines.graph import x5_bfs_sql as _x5_sql
     from lulu_crawler_ray.pipelines.graph import x6_sssp_sql as _x6_sql
+    from lulu_crawler_ray.pipelines.graph import x7_hits_sql as _x7_sql
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
     from lulu_crawler_ray.pipelines.relational import j10_asof_sql as _j10_asof_sql
     from lulu_crawler_ray.pipelines.relational import (
@@ -550,6 +553,9 @@ def oracle_sql() -> dict[str, str]:
         # x5_bfs: multi-source BFS hop distances; unrolled frontier
         # rounds (fixpoint-stable, the x4 pattern)
         "x5_bfs": _x5_sql(),
+        # x7_hits: HITS hubs/authorities, unrolled half-steps with
+        # integer max-normalization (all values non-negative)
+        "x7_hits": _x7_sql(),
         # x6_sssp: weighted multi-source shortest paths; unrolled
         # Bellman-Ford rounds (min over map ∪ relax per round)
         "x6_sssp": _x6_sql(),

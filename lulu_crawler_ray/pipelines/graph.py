@@ -933,3 +933,156 @@ def x6_sssp_sql(
         ", ".join(parts)
         + f" SELECT node, CAST(dist AS BIGINT) AS dist FROM d{max_hops} ORDER BY node"
     )
+
+
+def x7_hits(sf: str, iters: int = 2, n_nodes: int = 1000):
+    """HITS hubs & authorities (Kleinberg 1999) — the mutual-
+    reinforcement sibling of x1's PageRank, completing the graph
+    family (pagerank / triangles / components / k-core / BFS / SSSP /
+    HITS). Integer-exact: scores are int64 micro-units; each half-step
+    is a_t = A^T h_{t-1} (sum of hub scores over in-edges) then
+    h_t = A a_t (sum of the NEW authority scores over out-edges), and
+    every half-step max-normalizes by s' = s * 10^6 // max(s) — floor
+    division on positive ints, so DuckDB's truncating ``//`` agrees
+    and the unrolled-CTE oracle hash-matches bit-for-bit. The max is
+    ONE scalar pulled per half-step (node-bounded aggregate, never the
+    edge set).
+
+    Distributed shape per half-step: one edges ⋈ scores shuffle join
+    on the shared endpoint (the edge-cardinality exchange, same as
+    x1), a pre-aggregated grouped sum, a node-sized LEFT join back so
+    degree-0 nodes keep score 0. Edges materialize once. Overflow
+    bound: max raw sum * 10^6 must stay under 2^63 — checked loudly;
+    the fix at larger scale is a bigger n_nodes (thinner in-degrees)
+    or a smaller unit."""
+    edges = _edges(sf, n_nodes).materialize()
+    npart = _npart(table_rows(sf, "lineitem"))
+
+    nodes = grouped_agg(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"node": pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()])}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        [("c", "count", None)],
+        round_to=None,
+    ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow").materialize()
+
+    def _const_scores(name):
+        return nodes.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"], name: pa.array(np.full(t.num_rows, R0, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def _half_step(scores, score_col, join_on, group_to, out_col):
+        """scores(node, score_col) -> (node, out_col): sum score over
+        edges joined on `join_on`, grouped to `group_to`, then
+        max-normalized to micro-units."""
+        raw = grouped_agg(
+            shuffle_join(
+                edges, scores, join_on, "node", num_partitions=npart
+            ).map_batches(
+                lambda t: pa.table({"gnode": t[group_to], "s": t[score_col]}),
+                batch_format="pyarrow",
+            ),
+            ["gnode"],
+            [("s", "sum", "s")],
+            round_to=None,
+        )
+        m = raw.max("s")
+        m = int(m) if m is not None else 0
+        if m * R0 >= 2**63:
+            raise ValueError(
+                f"x7_hits: max raw score {m} * {R0} overflows int64 — raise n_nodes"
+            )
+        m = max(m, 1)
+        return shuffle_join(
+            nodes, raw, "node", "gnode",
+            num_partitions=_npart(n_nodes),
+            join_type="left_outer",
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    out_col: pa.array(
+                        pc.fill_null(pc.cast(t["s"], pa.int64()), 0).to_numpy(
+                            zero_copy_only=False
+                        )
+                        * R0
+                        // m
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    hub = _const_scores("h")
+    auth = None
+    for _ in range(iters):
+        # authority from hubs: in-edges (join hubs on src, group by dst)
+        auth = _half_step(hub, "h", "src", "dst", "a")
+        # hubs from the NEW authorities: out-edges (join on dst, group by src)
+        hub = _half_step(auth, "a", "dst", "src", "h")
+
+    auth_r = auth.map_batches(
+        lambda t: pa.table({"anode": t["node"], "a": t["a"]}),
+        batch_format="pyarrow",
+    )
+    both = shuffle_join(
+        hub, auth_r, "node", "anode", num_partitions=_npart(n_nodes)
+    )
+    return both.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "hub": pc.cast(t["h"], pa.int64()),
+                "auth": pc.cast(t["a"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("node")
+
+
+def x7_hits_sql(iters: int = 2, n_nodes: int = 1000) -> str:
+    """Unrolled HITS half-steps as a CTE chain (the x1 oracle idiom):
+    every value is a non-negative BIGINT so DuckDB's truncating //
+    equals numpy's floor //; the max-normalizer is a scalar subquery
+    per half-step."""
+    ctes = [
+        f"edges AS (SELECT l_orderkey % {n_nodes} AS src, "
+        f"l_partkey % {n_nodes} AS dst FROM lineitem)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, CAST({R0} AS BIGINT) AS s FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i}r AS (SELECT e.dst AS node, SUM(h.s) AS s FROM edges e "
+            f"JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT n.node, COALESCE(r.s, 0) * {R0} // "
+            f"GREATEST((SELECT MAX(s) FROM a{i}r), 1) AS s "
+            f"FROM nodes n LEFT JOIN a{i}r r USING (node))"
+        )
+        ctes.append(
+            f"h{i}r AS (SELECT e.src AS node, SUM(a.s) AS s FROM edges e "
+            f"JOIN a{i} a ON a.node = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT n.node, COALESCE(r.s, 0) * {R0} // "
+            f"GREATEST((SELECT MAX(s) FROM h{i}r), 1) AS s "
+            f"FROM nodes n LEFT JOIN h{i}r r USING (node))"
+        )
+        prev_h = f"h{i}"
+    k = iters
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT CAST(h.node AS BIGINT) AS node, CAST(h.s AS BIGINT) AS hub, "
+        f"CAST(a.s AS BIGINT) AS auth "
+        f"FROM h{k} h JOIN a{k} a USING (node) ORDER BY h.node"
+    )

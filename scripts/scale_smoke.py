@@ -152,6 +152,11 @@ def main() -> None:
         # construction.
         "m19_regex_extract", "t_readability", "t_gopher_quality",
         "w18_ewm8", "w20_mad_outliers", "g31_gini", "w21_path_mining",
+        # sixth pass: SCD run compression (10x events), PII scrub /
+        # classifier scoring / hashed embeddings (10x docs), bloom
+        # semi join (10x orders x lineitem)
+        "w22_scd_intervals", "t_pii_redact", "t_quality_clf",
+        "t_doc_embed", "j12_bloom_semi",
     ):
         t0 = time.time()
         res = q[name](out_dir)
