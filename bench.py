@@ -165,7 +165,7 @@ def run_bench() -> dict:
         "w21_path_mining", "w22_scd_intervals", "img_histeq_digest",
         "t_bpe_train", "s14_hive_roundtrip", "t_pii_redact",
         "j12_bloom_semi", "t_quality_clf", "img_resize_bilinear_digest",
-        "img_trainprep_digest", "t_doc_embed", "x7_hits",
+        "img_trainprep_digest", "t_doc_embed", "x7_hits", "e_hnsw_ann",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -1188,3 +1188,213 @@ def e_whiten_digest(sf: str, k: int = 8):
 
     refs = parts.materialize().to_arrow_refs()
     return ray.data.from_arrow_refs([finalize.remote(*refs)])
+
+
+# ----------------------------------------------------------- HNSW
+
+
+def _hnsw_build(ids: np.ndarray, m: np.ndarray, M: int = 8, efc: int = 48):
+    """Deterministic HNSW graph build (Malkov & Yashunin 2018), pure
+    numpy + heapq. Determinism: insertion in vec_id order; node level =
+    trailing-zero-bit count of splitmix64(vec_id) // 2 (a geometric
+    law with p = 1/4, the paper's mL ~ 1/ln(M) shape without any RNG
+    state); every candidate heap breaks similarity ties by id. Returns
+    (adjacency per level, entry point, top level). Neighbor selection
+    is simple top-M by similarity (the paper's base heuristic)."""
+    import heapq
+
+    n = len(ids)
+    # splitmix64 finalizer on the raw ids
+    h = ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(30); h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27); h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    tz = np.zeros(n, np.int64)
+    hh = h.copy()
+    mask = hh != 0
+    while mask.any():  # trailing zeros, vectorized (<= 64 rounds)
+        bit = (hh & np.uint64(1)) == 0
+        adv = mask & bit
+        if not adv.any():
+            break
+        tz[adv] += 1
+        hh[adv] >>= np.uint64(1)
+        mask = adv
+    levels = np.minimum(tz // 2, 8)
+
+    adj: list[dict[int, list[int]]] = [dict() for _ in range(int(levels.max()) + 1)]
+    entry, top = 0, int(levels[0])
+    for lv in range(top + 1):
+        adj[lv][0] = []
+
+    def _search_layer(q: np.ndarray, eps: list[int], ef: int, lv: int) -> list[tuple[float, int]]:
+        sims = {e: float(m[e] @ q) for e in eps}
+        visited = set(eps)
+        cand = [(-s, e) for e, s in sims.items()]
+        heapq.heapify(cand)
+        res = [(s, -e) for e, s in sims.items()]  # min-heap; tie evicts LARGER id
+        heapq.heapify(res)
+        while cand:
+            ns, u = heapq.heappop(cand)
+            if len(res) >= ef and -ns < res[0][0]:
+                break
+            for v in adj[lv][u]:
+                if v in visited:
+                    continue
+                visited.add(v)
+                sv = float(m[v] @ q)
+                if len(res) < ef or sv > res[0][0] or (sv == res[0][0] and -v > res[0][1]):
+                    heapq.heappush(cand, (-sv, v))
+                    heapq.heappush(res, (sv, -v))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+        return sorted(((s, -ni) for s, ni in res), key=lambda x: (-x[0], x[1]))
+
+    for i in range(1, n):
+        li = int(levels[i])
+        q = m[i]
+        eps = [entry]
+        for lv in range(top, li, -1):
+            eps = [_search_layer(q, eps, 1, lv)[0][1]]
+        for lv in range(min(li, top), -1, -1):
+            cands = _search_layer(q, eps, efc, lv)
+            nbrs = [c[1] for c in cands[:M]]
+            adj[lv][i] = list(nbrs)
+            for v in nbrs:
+                lst = adj[lv][v]
+                lst.append(i)
+                if len(lst) > M:
+                    # prune to top-M by (sim to v desc, id asc)
+                    sims_v = sorted(
+                        ((float(m[w] @ m[v]), w) for w in lst),
+                        key=lambda x: (-x[0], x[1]),
+                    )
+                    adj[lv][v] = [w for _, w in sims_v[:M]]
+            eps = [c[1] for c in cands]
+        for lv in range(top + 1, li + 1):
+            adj[lv][i] = []
+        if li > top:
+            entry, top = i, li
+    return adj, entry, top
+
+
+_HNSW_BOUND = 1_000_000  # loud build bound; above it, build per-IVF-cell
+
+
+@ray.remote(num_cpus=1)
+def _hnsw_build_remote(sf: str, M: int, efc: int):
+    """Worker-side build (never on the driver): loads the embeddings,
+    asserts the loud bound, returns (ids, normalized matrix, graph).
+    The 100-TB scale path is one HNSW per IVF cell (build this same
+    graph per centroid bucket; route queries by nprobe cells) — the
+    bound makes that switch explicit instead of letting a driver-
+    adjacent single graph grow unbounded."""
+    t = pa.concat_tables(
+        list(
+            read_table(sf, "embeddings", ["vec_id", "embedding"]).iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            )
+        )
+    )
+    ids, m = _emb_matrix(t)
+    if len(ids) > _HNSW_BOUND:
+        raise ValueError(
+            f"hnsw: {len(ids)} vectors exceeds the single-graph bound "
+            f"{_HNSW_BOUND} — build per-IVF-cell graphs instead"
+        )
+    order = np.argsort(ids)
+    ids, m = ids[order], _normalize(m[order])
+    adj, entry, top = _hnsw_build(ids, m, M=M, efc=efc)
+    return ids, m, adj, entry, top
+
+
+class _HnswSearcher:
+    """Actor-pool query stage: the graph broadcasts once per actor via
+    the shared object-store ref; each batch of query vectors runs
+    greedy descent + ef-limited base-layer search."""
+
+    def __init__(self, gref, k: int, ef: int):
+        self.ids, self.m, self.adj, self.entry, self.top = ray.get(gref)
+        self.k, self.ef = k, ef
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import heapq
+
+        adj, m = self.adj, self.m
+        out_q, out_n, out_r = [], [], []
+        qids = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = np.array(t["qvec"].to_pylist(), np.float64)
+        for j in range(len(qids)):
+            q = qm[j]
+
+            def _layer(eps, ef, lv):
+                sims = {e: float(m[e] @ q) for e in eps}
+                visited = set(eps)
+                cand = [(-s, e) for e, s in sims.items()]
+                heapq.heapify(cand)
+                res = [(s, -e) for e, s in sims.items()]
+                heapq.heapify(res)
+                while cand:
+                    ns, u = heapq.heappop(cand)
+                    if len(res) >= ef and -ns < res[0][0]:
+                        break
+                    for v in adj[lv][u]:
+                        if v in visited:
+                            continue
+                        visited.add(v)
+                        sv = float(m[v] @ q)
+                        if len(res) < ef or sv > res[0][0] or (sv == res[0][0] and -v > res[0][1]):
+                            heapq.heappush(cand, (-sv, v))
+                            heapq.heappush(res, (sv, -v))
+                            if len(res) > ef:
+                                heapq.heappop(res)
+                return sorted(((s, -ni) for s, ni in res), key=lambda x: (-x[0], x[1]))
+
+            eps = [self.entry]
+            for lv in range(self.top, 0, -1):
+                eps = [_layer(eps, 1, lv)[0][1]]
+            found = _layer(eps, self.ef, 0)
+            qid = int(qids[j])
+            picked = [(s, i) for s, i in found if int(self.ids[i]) != qid][: self.k]
+            for r, (_, i) in enumerate(picked, 1):
+                out_q.append(qid)
+                out_n.append(int(self.ids[i]))
+                out_r.append(r)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "rnk": pa.array(out_r, pa.int64()),
+            }
+        )
+
+
+def e_hnsw_ann(sf: str, k: int = 10, n_queries: int = 3, ef: int = 64, M: int = 8):
+    """Approximate top-k via a deterministic HNSW graph (Malkov &
+    Yashunin 2018) — the graph-ANN family member beside LSH (bucket
+    pruning) and IVF (centroid pruning). Build runs in ONE worker task
+    with a loud 1M-vector bound (the documented scale path is one
+    graph per IVF cell); queries stream through an actor-pool search
+    stage with the graph broadcast once. Same output contract as
+    e_ivf_ann; recall vs the exact brute-force top-k and run-to-run
+    determinism are pytest-checked (approximate -> rows-only driver
+    check by design)."""
+    gref = ray.put(ray.get(_hnsw_build_remote.remote(sf, M, ef)))
+    qids, qm = load_queries(sf, n_queries)
+    qt = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "qvec": pa.array([list(map(float, r)) for r in qm]),
+        }
+    )
+    qds = ray.data.from_arrow(qt)
+    out = qds.map_batches(
+        _HnswSearcher,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=1,
+        fn_constructor_kwargs={"gref": gref, "k": k, "ef": ef},
+    )
+    return pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()

@@ -1103,3 +1103,21 @@ def test_bpe_train_distributed_equals_driver(ray_session):
     got_pairs = list(zip(got["left_sym"], got["right_sym"]))
     assert got_pairs == want
     assert got["merge_rank"].tolist() == list(range(40))
+
+
+def test_hnsw_ann_recall_and_determinism(ray_session):
+    """Deterministic HNSW: two runs identical; recall vs exact
+    brute-force top-k >= 0.9 at ef=64 on the sf0.01 corpus."""
+    from lulu_crawler_ray.pipelines.annsearch import e_hnsw_ann, e_knn_bruteforce
+
+    sf = "/root/testdata/sf0.01"
+    h1 = e_hnsw_ann(sf).to_pandas()
+    h2 = e_hnsw_ann(sf).to_pandas()
+    assert h1.equals(h2)
+    ex = e_knn_bruteforce(sf).to_pandas()
+    recalls = []
+    for q in ex.query_id.unique():
+        e = set(ex[ex.query_id == q].neighbor_id)
+        a = set(h1[h1.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, f"HNSW recall too low: {recalls}"
