@@ -118,6 +118,7 @@ _PRIORITY_R5 = [
     # driver re-check is a bonus, not a need
     "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals", "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
+    "s15_schema_evolution", "audio_resample_digest",
     "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
     "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
@@ -324,10 +325,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
+        "audio_resample_digest": im.audio_resample_digest_query,
         "t_bpe_train": to3.t_bpe_train,
         "s14_hive_roundtrip": rl2.s14_hive_roundtrip,
         "t_pii_redact": to3.t_pii_redact,
         "j12_bloom_semi": rl2.j12_bloom_semi,
+        "s15_schema_evolution": rl2.s15_schema_evolution,
         "t_quality_clf": to3.t_quality_clf,
         "t_doc_embed": to3.t_doc_embed,
         "t_token_count": to.t_token_count,
@@ -482,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         w22_scd_intervals_sql as _w22_sql,
         s14_hive_roundtrip_sql as _s14_sql,
         j12_bloom_semi_sql as _j12_sql,
+        s15_schema_evolution_sql as _s15_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -520,6 +524,8 @@ def oracle_sql() -> dict[str, str]:
         # bloom pre-filtered exact semi join (zero false negatives by
         # construction; false positives removed by the exact pass)
         "j12_bloom_semi": _j12_sql(),
+        # schema-evolution scan: union-schema read with null fill
+        "s15_schema_evolution": _s15_sql(),
         # s14: hive-partitioned write + partition-pruned read
         "s14_hive_roundtrip": _s14_sql(),
         # w21: top session paths — count-combined before both shuffles
@@ -636,6 +642,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(283255256 AS BIGINT) AS mix_sq_sum, "
             "CAST(21350033245 AS BIGINT) AS sum_crop_wsum, "
             "CAST(4789571427 AS BIGINT) AS mix_crop_wsum"
+        ),
+        # integer-exact linear sample-rate conversion digest: golden
+        # pin kept honest by the rational-reference resampler tests
+        "audio_resample_digest": (
+            "SELECT CAST(3 AS BIGINT) AS n_rows, "
+            "CAST(57600 AS BIGINT) AS sum_n_out, "
+            "CAST(100352 AS BIGINT) AS mix_n_out, "
+            "CAST(297609120 AS BIGINT) AS sum_out_abs, "
+            "CAST(531690272 AS BIGINT) AS mix_out_abs, "
+            "CAST(-2933299200 AS BIGINT) AS sum_out_wsum, "
+            "CAST(-4264134912 AS BIGINT) AS mix_out_wsum"
         ),
         # cohort retention matrix (distinct-activity combiner + one
         # user co-partition; finalize sums a days^2-sized table)

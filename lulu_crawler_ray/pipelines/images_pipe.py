@@ -1542,3 +1542,40 @@ def img_trainprep_digest_query(sf: str) -> pa.Table:
     ).combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
     return _one_row_digest(t, ["r_sum", "g_sum", "b_sum", "sq_sum", "crop_wsum"])
+
+
+def audio_resample_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): integer-exact linear
+    sample-rate conversion (8 kHz -> 16 kHz) of the sine/silence WAV
+    fixtures through the actor-pool AudioResampler, folded to one
+    digest row. Honest via the rational-reference + identity /
+    constant property tests in tests/test_multimodal_kernels (and the
+    fixture synthesis is the audio_segments one)."""
+    import ray.data
+
+    from ..stages.multimodal import AudioResampler, encode_wav_pcm16
+
+    n_rows = 6 if _is_big_sf(sf) else 3
+    sr = 8000
+    rows = {"media_id": [], "bytes": []}
+    for i in range(n_rows):
+        tone = 0.5 * np.sin(2 * np.pi * (300 + 100 * i) * np.arange(sr // 5) / sr)
+        quiet = np.zeros(sr // 5)
+        pcm = np.concatenate([np.r_[tone, quiet] for _ in range(i + 2)])
+        rows["media_id"].append(f"a{i:03d}")
+        rows["bytes"].append(encode_wav_pcm16(pcm, sample_rate=sr))
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = ds.map_batches(
+        AudioResampler, batch_format="pyarrow", batch_size=4, concurrency=2
+    )
+    r = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    r = r.take(pc.sort_indices(r, sort_keys=[("media_id", "ascending")]))
+    return _one_row_digest(r, ["n_out", "out_abs", "out_wsum"])

@@ -850,3 +850,61 @@ def j12_bloom_semi_sql() -> str:
         "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
         "GROUP BY l_returnflag ORDER BY l_returnflag"
     )
+
+
+# ------------------------------------------------ s15 schema evolution
+
+
+def s15_schema_evolution(sf: str):
+    """S15 — schema-EVOLUTION scan (continuation session): half the
+    orders rows (even o_orderkey) write as "v1" files WITHOUT the
+    o_orderstatus column (the historical shards), the other half as
+    "v2" files with it; `sources.evolution.read_parquet_union` then
+    reads the whole tree as ONE dataset under the union schema, with
+    the missing column surfacing as typed nulls, coalesced to '' for
+    the null-free hash compare. Proves the migration read end to end:
+    footer-only schema unification, per-file null fill, pruned
+    columns. Oracle reconstructs the same fill from the original
+    table's key parity."""
+    import shutil
+
+    import ray.data as _rd
+
+    from ..sources.evolution import read_parquet_union
+    from .relational import _roundtrip_dir
+
+    ds = read_table(sf, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    out = _roundtrip_dir("schevo", sf)
+    shutil.rmtree(out, ignore_errors=True)
+
+    def v1(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t["o_orderkey"], 1), 0)
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    def v2(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t["o_orderkey"], 1), 1)
+        return t.filter(keep)
+
+    ds.map_batches(v1, batch_format="pyarrow").write_parquet(f"{out}/v1")
+    ds.map_batches(v2, batch_format="pyarrow").write_parquet(f"{out}/v2")
+
+    back = read_parquet_union(out)
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "status_filled": pc.fill_null(t["o_orderstatus"], ""),
+            }
+        )
+
+    return back.map_batches(fill, batch_format="pyarrow").sort("o_orderkey")
+
+
+def s15_schema_evolution_sql() -> str:
+    return (
+        "SELECT o_orderkey, o_custkey, "
+        "CASE WHEN o_orderkey % 2 = 0 THEN '' ELSE o_orderstatus END AS status_filled "
+        "FROM orders ORDER BY o_orderkey"
+    )

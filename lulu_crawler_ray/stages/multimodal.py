@@ -522,3 +522,68 @@ class AudioSegmenter:
             {f.name: pa.array(out[f.name], f.type) for f in SEGMENT_SCHEMA},
             schema=SEGMENT_SCHEMA,
         )
+
+
+def resample_linear_int16(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear sample-rate conversion, INTEGER-EXACT (the audio sibling
+    of imagecodec.resize_bilinear): output length n_out = n_in *
+    sr_out // sr_in; output sample t reads source position
+    t * sr_in / sr_out as the exact rational (num = t * sr_in, den =
+    sr_out), blending the two neighbor samples with integer weights
+    that sum to den and one half-away-from-zero division at the end.
+    int16-safe in int64 for any real rate pair; identical rates return
+    the input bit-for-bit; a constant signal stays constant. (Linear
+    interpolation is the deterministic baseline; a windowed-sinc
+    resampler drops into the same stage slot.)"""
+    x = x.astype(np.int64)
+    n = len(x)
+    if sr_in == sr_out or n == 0:
+        return x.astype(np.int16)
+    n_out = n * sr_out // sr_in
+    t = np.arange(n_out, dtype=np.int64)
+    num = t * sr_in
+    i0 = num // sr_out
+    frac = num - i0 * sr_out
+    i1 = np.minimum(i0 + 1, n - 1)
+    acc = x[i0] * (sr_out - frac) + x[i1] * frac
+    den = sr_out
+    out = np.where(acc >= 0, (acc + den // 2) // den, -((-acc + den // 2) // den))
+    return out.astype(np.int16)
+
+
+class AudioResampler:
+    """Actor-pool stage: WAV int16 PCM -> target sample rate via the
+    integer-exact linear resampler. Decodes the RAW int16 samples (no
+    float normalization — the integer domain is the determinism
+    contract), resamples, and emits per row the output length, the
+    exact L1 energy (the raw sum of a symmetric tone is identically
+    zero — no signal), and a position-weighted witness (an off-by-one
+    phase or a dropped tail cannot hash-match)."""
+
+    def __init__(self, target_rate: int = 16000):
+        self.target_rate = target_rate
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        n_l, s_l, w_l = [], [], []
+        for i in range(t.num_rows):
+            with wave.open(io.BytesIO(t["bytes"][i].as_py()), "rb") as w:
+                if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                    raise NotImplementedError("AudioResampler: mono int16 PCM only")
+                sr = w.getframerate()
+                x = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+            y = resample_linear_int16(x, sr, self.target_rate).astype(np.int64)
+            pos = np.arange(1, len(y) + 1, dtype=np.int64)
+            n_l.append(len(y))
+            s_l.append(int(np.abs(y).sum()))
+            w_l.append(int((y * pos).sum()))
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "n_out": pa.array(n_l, pa.int64()),
+                "out_abs": pa.array(s_l, pa.int64()),
+                "out_wsum": pa.array(w_l, pa.int64()),
+            }
+        )

@@ -799,3 +799,34 @@ def test_trainprep_stage_matches_naive_composition():
     got2 = TrainPrepStage()(t2)
     ref = ic.resize_bilinear(sq_img, S, S).astype(np.int64)
     assert got2["r_sum"][0].as_py() == int(ref[:, :, 0].sum())
+
+
+def test_resample_linear_int16_matches_rational_reference():
+    """Integer linear resampler == per-sample plain-int re-derivation
+    (keeps the audio_resample_digest golden pin honest); identity and
+    constant-signal properties hold."""
+    from lulu_crawler_ray.stages.multimodal import resample_linear_int16
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(-32768, 32768, 777, dtype=np.int16)
+    assert np.array_equal(resample_linear_int16(x, 8000, 8000), x)
+    c = np.full(100, -1234, np.int16)
+    assert (resample_linear_int16(c, 8000, 16000) == -1234).all()
+
+    def naive(x, si, so):
+        n = len(x)
+        m = n * so // si
+        out = np.empty(m, np.int16)
+        for t in range(m):
+            num = t * si
+            i0 = num // so
+            f = num - i0 * so
+            i1 = min(i0 + 1, n - 1)
+            acc = int(x[i0]) * (so - f) + int(x[i1]) * f
+            q, r = divmod(abs(acc), so)
+            v = q + (1 if 2 * r >= so else 0)
+            out[t] = v if acc >= 0 else -v
+        return out
+
+    for (si, so) in [(8000, 16000), (16000, 8000), (8000, 11025), (44100, 16000)]:
+        assert np.array_equal(resample_linear_int16(x, si, so), naive(x, si, so)), (si, so)
