@@ -118,7 +118,7 @@ _PRIORITY_R5 = [
     # driver re-check is a bonus, not a need
     "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals", "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
-    "s15_schema_evolution", "audio_resample_digest",
+    "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
     "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
     "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pii_redact": to3.t_pii_redact,
         "j12_bloom_semi": rl2.j12_bloom_semi,
         "s15_schema_evolution": rl2.s15_schema_evolution,
+        "w19_windowed_topk": rl2.w19_windowed_topk,
         "t_quality_clf": to3.t_quality_clf,
         "t_doc_embed": to3.t_doc_embed,
         "t_token_count": to.t_token_count,
@@ -486,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         s14_hive_roundtrip_sql as _s14_sql,
         j12_bloom_semi_sql as _j12_sql,
         s15_schema_evolution_sql as _s15_sql,
+        w19_windowed_topk_sql as _w19_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -526,6 +528,9 @@ def oracle_sql() -> dict[str, str]:
         "j12_bloom_semi": _j12_sql(),
         # schema-evolution scan: union-schema read with null fill
         "s15_schema_evolution": _s15_sql(),
+        # tumbling-window top-k: count-table combiner + o9 per-group
+        # top-k discipline on the completed counts
+        "w19_windowed_topk": _w19_sql(),
         # s14: hive-partitioned write + partition-pruned read
         "s14_hive_roundtrip": _s14_sql(),
         # w21: top session paths — count-combined before both shuffles

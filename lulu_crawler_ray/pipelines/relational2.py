@@ -908,3 +908,98 @@ def s15_schema_evolution_sql() -> str:
         "CASE WHEN o_orderkey % 2 = 0 THEN '' ELSE o_orderstatus END AS status_filled "
         "FROM orders ORDER BY o_orderkey"
     )
+
+
+# ------------------------------------------------ w19 windowed top-k
+
+
+def w19_windowed_topk(sf: str, size_min: int = 60, k: int = 3):
+    """Top-k per TUMBLING WINDOW (continuation session) — the
+    trending-items streaming classic ("top users per hour"), filling
+    the w19 slot between w12's windowed distinct and w20's robust
+    outliers. Two-level shape: (1) one combiner-first grouped count
+    over (window, user) — the only row-cardinality exchange, shrunk
+    per block before it moves; (2) the o9 per-group top-k discipline
+    ON THE COUNT TABLE (valid only after step 1 completes — a user's
+    events span blocks, so a per-block top-k of raw counts would be
+    wrong; the count table's (window, user) rows are whole): per-block
+    partial top-k per window, one window co-partition of k x windows x
+    blocks rows, per-partition finalize. Ties: count DESC, user ASC —
+    deterministic on both engines. The full count table never
+    range-sorts."""
+    import ray
+
+    from ..sources.testdata import read_table as _rt
+    from .relational import _hash_partitioned_any, _npart, grouped_agg
+
+    ds = _rt(sf, "events", ["user_id", "ts"])
+    win_us = np.int64(size_min * 60 * 1_000_000)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = (
+            t["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {"ws_us": pa.array((us // win_us) * win_us), "user_id": t["user_id"].cast(pa.int64())}
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["ws_us", "user_id"],
+        [("n", "count", None)],
+        round_to=None,
+    )
+
+    keys = [("ws_us", "ascending"), ("n", "descending"), ("user_id", "ascending")]
+
+    def _head_per_window(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        g = t["ws_us"].to_numpy(zero_copy_only=False)
+        starts = np.r_[True, g[1:] != g[:-1]]
+        gidx = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(g)), 0)
+        )
+        return t.filter(pa.array(gidx < k))
+
+    parts = counts.map_batches(_head_per_window, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        t = _head_per_window(t)
+        g = t["ws_us"].to_numpy(zero_copy_only=False)
+        starts = np.r_[True, g[1:] != g[:-1]]
+        rnk = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(g)), 0)
+        )
+        return t.append_column("rnk", pa.array(rnk + 1, pa.int64()))
+
+    out = (
+        _hash_partitioned_any(parts, ["ws_us"], _npart())
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort(["ws_us", "rnk"])
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "ws_us": t["ws_us"].cast(pa.int64()),
+                "user_id": t["user_id"].cast(pa.int64()),
+                "n": t["n"].cast(pa.int64()),
+                "rnk": t["rnk"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def w19_windowed_topk_sql(size_min: int = 60, k: int = 3) -> str:
+    win_us = size_min * 60 * 1_000_000
+    return (
+        "WITH p AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) "
+        f"// {win_us}) * {win_us} AS ws_us, user_id FROM events), "
+        "c AS (SELECT ws_us, user_id, COUNT(*) AS n FROM p GROUP BY ws_us, user_id), "
+        "r AS (SELECT ws_us, user_id, n, ROW_NUMBER() OVER ("
+        "PARTITION BY ws_us ORDER BY n DESC, user_id) AS rnk FROM c) "
+        "SELECT CAST(ws_us AS BIGINT) AS ws_us, CAST(user_id AS BIGINT) AS user_id, "
+        f"CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k} "
+        "ORDER BY ws_us, rnk"
+    )
