@@ -119,6 +119,7 @@ _PRIORITY_R5 = [
     "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals", "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
+    "video_clip_digest",
     "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
     "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
@@ -326,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
         "audio_resample_digest": im.audio_resample_digest_query,
+        "video_clip_digest": im.video_clip_digest_query,
         "t_bpe_train": to3.t_bpe_train,
         "s14_hive_roundtrip": rl2.s14_hive_roundtrip,
         "t_pii_redact": to3.t_pii_redact,
@@ -658,6 +660,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(531690272 AS BIGINT) AS mix_out_abs, "
             "CAST(-2933299200 AS BIGINT) AS sum_out_wsum, "
             "CAST(-4264134912 AS BIGINT) AS mix_out_wsum"
+        ),
+        # TSN-style uniform segment sampling digest: golden pin kept
+        # honest by the index-law recompute test in tests/test_kernels.py
+        "video_clip_digest": (
+            "SELECT CAST(15 AS BIGINT) AS n_rows, "
+            "CAST(135 AS BIGINT) AS sum_frame_idx, "
+            "CAST(200 AS BIGINT) AS mix_frame_idx, "
+            "CAST(1244160 AS BIGINT) AS sum_px_sum, "
+            "CAST(864256 AS BIGINT) AS mix_px_sum, "
+            "CAST(102375360 AS BIGINT) AS sum_px_wsum, "
+            "CAST(207538176 AS BIGINT) AS mix_px_wsum"
         ),
         # cohort retention matrix (distinct-activity combiner + one
         # user co-partition; finalize sums a days^2-sized table)

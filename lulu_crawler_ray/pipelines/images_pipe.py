@@ -1579,3 +1579,48 @@ def audio_resample_digest_query(sf: str) -> pa.Table:
     ).combine_chunks()
     r = r.take(pc.sort_indices(r, sort_keys=[("media_id", "ascending")]))
     return _one_row_digest(r, ["n_out", "out_abs", "out_wsum"])
+
+
+def video_clip_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): TSN-style uniform segment
+    frame sampling (5 segments, center pick) over deterministic
+    20-frame AVI fixtures through the actor-pool ClipSampler, folded
+    to one digest row. Honest via the index-law + recompute test in
+    tests/test_kernels.py."""
+    import ray.data
+
+    from ..stages.multimodal import VIDEO_SCHEMA, ClipSampler, encode_avi_rgb24
+
+    n_vids = 6 if _is_big_sf(sf) else 3
+    rows = {"media_id": [], "bytes": [], "codec": [], "fps": [], "n_frames": []}
+    for v in range(n_vids):
+        frames = [
+            ((np.indices((16, 16)).sum(axis=0)[:, :, None] * (v + 2) + 7 * kf) % 256)
+            .astype(np.uint8)
+            .repeat(3, axis=2)
+            for kf in range(20)
+        ]
+        rows["media_id"].append(f"c{v:03d}")
+        rows["bytes"].append(encode_avi_rgb24(frames, fps=10))
+        rows["codec"].append("avi")
+        rows["fps"].append(10.0)
+        rows["n_frames"].append(20)
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "codec": pa.array(rows["codec"]),
+            "fps": pa.array(rows["fps"], pa.float32()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+        },
+        schema=VIDEO_SCHEMA,
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = ds.map_batches(ClipSampler, batch_format="pyarrow", concurrency=1)
+    r = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    r = r.take(
+        pc.sort_indices(r, sort_keys=[("media_id", "ascending"), ("seg_idx", "ascending")])
+    )
+    return _one_row_digest(r, ["frame_idx", "px_sum", "px_wsum"])

@@ -587,3 +587,53 @@ class AudioResampler:
                 "out_wsum": pa.array(w_l, pa.int64()),
             }
         )
+
+
+class ClipSampler:
+    """Actor-pool stage: TSN-style UNIFORM SEGMENT sampling (Wang et
+    al. 2016, the standard video-training frame selection): the N
+    decoded frames divide into ``n_segments`` spans (span s covers
+    [s*N//S, (s+1)*N//S)), and the deterministic eval-mode pick is
+    each span's CENTER frame, start + (len-1)//2 — no RNG, so output
+    is bit-identical across runs and batch splits. Emits one row per
+    (video, segment) with the picked frame index, its exact pixel sum,
+    and a position-weighted witness (a transposed or off-by-one frame
+    cannot hash-match). codec == "avi" decodes for real (RGB24 or
+    MJPG); others hit the declared seam."""
+
+    def __init__(self, n_segments: int = 5):
+        self.n_segments = n_segments
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = {"media_id": [], "seg_idx": [], "frame_idx": [], "px_sum": [], "px_wsum": []}
+        for i in range(t.num_rows):
+            codec = t["codec"][i].as_py()
+            if codec != "avi":
+                raise NotImplementedError(
+                    "non-AVI video codecs unavailable in this sandbox — plug a real decoder here"
+                )
+            frames, _fps = decode_avi_rgb24(t["bytes"][i].as_py())
+            n = len(frames)
+            S = min(self.n_segments, n)
+            for s in range(S):
+                lo, hi = s * n // S, (s + 1) * n // S
+                idx = lo + (hi - lo - 1) // 2
+                f = frames[idx].astype(np.int64)
+                g = f.sum(axis=2)
+                h, w = g.shape
+                yw = np.arange(1, h + 1, dtype=np.int64)[:, None]
+                xw = np.arange(1, w + 1, dtype=np.int64)[None, :]
+                out["media_id"].append(t["media_id"][i].as_py())
+                out["seg_idx"].append(s)
+                out["frame_idx"].append(idx)
+                out["px_sum"].append(int(g.sum()))
+                out["px_wsum"].append(int((yw * xw * g).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "seg_idx": pa.array(out["seg_idx"], pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+                "px_sum": pa.array(out["px_sum"], pa.int64()),
+                "px_wsum": pa.array(out["px_wsum"], pa.int64()),
+            }
+        )

@@ -830,3 +830,50 @@ def test_resample_linear_int16_matches_rational_reference():
 
     for (si, so) in [(8000, 16000), (16000, 8000), (8000, 11025), (44100, 16000)]:
         assert np.array_equal(resample_linear_int16(x, si, so), naive(x, si, so)), (si, so)
+
+
+def test_clip_sampler_matches_index_law():
+    """ClipSampler == the TSN segment-center law recomputed directly
+    on the decoded frames (keeps the video_clip_digest pin honest)."""
+    import pyarrow as pa
+
+    from lulu_crawler_ray.stages.multimodal import (
+        ClipSampler,
+        decode_avi_rgb24,
+        encode_avi_rgb24,
+    )
+
+    frames = [
+        ((np.indices((16, 16)).sum(axis=0)[:, :, None] * 3 + 7 * kf) % 256)
+        .astype(np.uint8)
+        .repeat(3, axis=2)
+        for kf in range(17)  # N not divisible by S
+    ]
+    data = encode_avi_rgb24(frames, fps=10)
+    t = pa.table(
+        {
+            "media_id": pa.array(["x"]),
+            "bytes": pa.array([data], pa.binary()),
+            "codec": pa.array(["avi"]),
+        }
+    )
+    got = ClipSampler(n_segments=5)(t)
+    dec, _ = decode_avi_rgb24(data)
+    n, S = len(dec), 5
+    for s in range(S):
+        lo, hi = s * n // S, (s + 1) * n // S
+        idx = lo + (hi - lo - 1) // 2
+        assert got["frame_idx"][s].as_py() == idx
+        g = dec[idx].astype(np.int64).sum(axis=2)
+        assert got["px_sum"][s].as_py() == int(g.sum())
+    # more segments than frames: one per frame
+    t2 = pa.table(
+        {
+            "media_id": pa.array(["y"]),
+            "bytes": pa.array([encode_avi_rgb24(frames[:3], fps=10)], pa.binary()),
+            "codec": pa.array(["avi"]),
+        }
+    )
+    got2 = ClipSampler(n_segments=5)(t2)
+    assert got2.num_rows == 3
+    assert got2["frame_idx"].to_pylist() == [0, 1, 2]
