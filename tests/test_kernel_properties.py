@@ -246,3 +246,63 @@ def test_lev_many_matches_reference(pairs):
     got = _lev_many(ac, al, bc, bl)
     want = [ref(a, b) for a, b in pairs]
     assert list(got) == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sh=st.integers(1, 20),
+    sw=st.integers(1, 20),
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 10**6),
+)
+def test_resize_bilinear_hypothesis_vs_reference(sh, sw, w, h, seed):
+    """Random shapes: the vectorized fixed-point bilinear kernel equals
+    the per-pixel rational re-derivation, and output stays in range."""
+    from lulu_crawler_ray.functions.imagecodec import resize_bilinear
+
+    img = np.random.default_rng(seed).integers(0, 256, (sh, sw, 3), dtype=np.uint8)
+    got = resize_bilinear(img, w, h)
+    assert got.shape == (h, w, 3)
+    for dy in range(h):
+        ny = (2 * dy + 1) * sh - h
+        y0 = ny // (2 * h)
+        fy = ny - y0 * 2 * h
+        ya, yb = min(max(y0, 0), sh - 1), min(max(y0 + 1, 0), sh - 1)
+        for dx in range(w):
+            nx = (2 * dx + 1) * sw - w
+            x0 = nx // (2 * w)
+            fx = nx - x0 * 2 * w
+            xa, xb = min(max(x0, 0), sw - 1), min(max(x0 + 1, 0), sw - 1)
+            for ch in range(3):
+                p00, p01 = int(img[ya, xa, ch]), int(img[ya, xb, ch])
+                p10, p11 = int(img[yb, xa, ch]), int(img[yb, xb, ch])
+                acc = (2 * h - fy) * ((2 * w - fx) * p00 + fx * p01) + fy * (
+                    (2 * w - fx) * p10 + fx * p11
+                )
+                den = 4 * w * h
+                assert int(got[dy, dx, ch]) == (acc + den // 2) // den
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 400),
+    si=st.sampled_from([8000, 11025, 16000, 22050, 44100]),
+    so=st.sampled_from([8000, 11025, 16000, 22050, 44100]),
+    seed=st.integers(0, 10**6),
+)
+def test_resample_hypothesis_properties(n, si, so, seed):
+    """Random signals/rates: output length law, range preservation,
+    identity at equal rates, constant preservation."""
+    from lulu_crawler_ray.stages.multimodal import resample_linear_int16
+
+    x = np.random.default_rng(seed).integers(-32768, 32768, n, dtype=np.int16)
+    y = resample_linear_int16(x, si, so)
+    if si == so or n == 0:
+        assert np.array_equal(y, x)
+        return
+    assert len(y) == n * so // si
+    if n:
+        assert y.min() >= x.min() and y.max() <= x.max()
+    c = np.full(max(n, 1), 777, np.int16)
+    assert (resample_linear_int16(c, si, so) == 777).all()
