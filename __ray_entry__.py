@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_lsh_ann": an.e_lsh_ann,
         "e_ivf_ann": an.e_ivf_ann,
         "e_hnsw_ann": an.e_hnsw_ann,
+        "e_hnsw_ivf_ann": an.e_hnsw_ivf_ann,
         "e_pq_ann": _pq_ann,
         "e_radius_search": an.e_radius_search,
         "e_cosine_neardup": an.e_cosine_neardup,
@@ -1664,7 +1665,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(5800 AS BIGINT) AS sum_end_ms, CAST(9832 AS BIGINT) AS mix_end_ms"
         ),
         # g4_hll_distinct, g8_approx_quantile, t_langid, e_lsh_ann,
-        # e_ivf_ann, e_hnsw_ann, e_cosine_neardup_blocked: approximate / heuristic
+        # e_ivf_ann, e_hnsw_ann, e_hnsw_ivf_ann, e_cosine_neardup_blocked: approximate / heuristic
         # BY DESIGN -> rows-only check; correctness covered by pytest
         # oracles (error-bound, recall, brute-force equivalence).
         # crawl_*/img_*/audio/video: non-SQL (synthetic crawl / binary

@@ -1308,6 +1308,42 @@ def _hnsw_build_remote(sf: str, M: int, efc: int):
     return ids, m, adj, entry, top
 
 
+def _hnsw_search(adj, m: np.ndarray, entry: int, top: int, q: np.ndarray, ef: int):
+    """Greedy descent + ef-limited base-layer best-first search over a
+    built graph; returns [(sim, node_index)] sorted (sim desc, idx
+    asc). Shared by the flat searcher stage and the per-IVF-cell
+    path."""
+    import heapq
+
+    def _layer(eps, ef_, lv):
+        sims = {e: float(m[e] @ q) for e in eps}
+        visited = set(eps)
+        cand = [(-s, e) for e, s in sims.items()]
+        heapq.heapify(cand)
+        res = [(s, -e) for e, s in sims.items()]
+        heapq.heapify(res)
+        while cand:
+            ns, u = heapq.heappop(cand)
+            if len(res) >= ef_ and -ns < res[0][0]:
+                break
+            for v in adj[lv][u]:
+                if v in visited:
+                    continue
+                visited.add(v)
+                sv = float(m[v] @ q)
+                if len(res) < ef_ or sv > res[0][0] or (sv == res[0][0] and -v > res[0][1]):
+                    heapq.heappush(cand, (-sv, v))
+                    heapq.heappush(res, (sv, -v))
+                    if len(res) > ef_:
+                        heapq.heappop(res)
+        return sorted(((s, -ni) for s, ni in res), key=lambda x: (-x[0], x[1]))
+
+    eps = [entry]
+    for lv in range(top, 0, -1):
+        eps = [_layer(eps, 1, lv)[0][1]]
+    return _layer(eps, ef, 0)
+
+
 class _HnswSearcher:
     """Actor-pool query stage: the graph broadcasts once per actor via
     the shared object-store ref; each batch of query vectors runs
@@ -1318,42 +1354,11 @@ class _HnswSearcher:
         self.k, self.ef = k, ef
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import heapq
-
-        adj, m = self.adj, self.m
         out_q, out_n, out_r = [], [], []
         qids = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         qm = np.array(t["qvec"].to_pylist(), np.float64)
         for j in range(len(qids)):
-            q = qm[j]
-
-            def _layer(eps, ef, lv):
-                sims = {e: float(m[e] @ q) for e in eps}
-                visited = set(eps)
-                cand = [(-s, e) for e, s in sims.items()]
-                heapq.heapify(cand)
-                res = [(s, -e) for e, s in sims.items()]
-                heapq.heapify(res)
-                while cand:
-                    ns, u = heapq.heappop(cand)
-                    if len(res) >= ef and -ns < res[0][0]:
-                        break
-                    for v in adj[lv][u]:
-                        if v in visited:
-                            continue
-                        visited.add(v)
-                        sv = float(m[v] @ q)
-                        if len(res) < ef or sv > res[0][0] or (sv == res[0][0] and -v > res[0][1]):
-                            heapq.heappush(cand, (-sv, v))
-                            heapq.heappush(res, (sv, -v))
-                            if len(res) > ef:
-                                heapq.heappop(res)
-                return sorted(((s, -ni) for s, ni in res), key=lambda x: (-x[0], x[1]))
-
-            eps = [self.entry]
-            for lv in range(self.top, 0, -1):
-                eps = [_layer(eps, 1, lv)[0][1]]
-            found = _layer(eps, self.ef, 0)
+            found = _hnsw_search(self.adj, self.m, self.entry, self.top, qm[j], self.ef)
             qid = int(qids[j])
             picked = [(s, i) for s, i in found if int(self.ids[i]) != qid][: self.k]
             for r, (_, i) in enumerate(picked, 1):
@@ -1398,3 +1403,55 @@ def e_hnsw_ann(sf: str, k: int = 10, n_queries: int = 3, ef: int = 64, M: int = 
     return pa.concat_tables(
         list(out.iter_batches(batch_format="pyarrow", batch_size=65536))
     ).combine_chunks()
+
+
+def e_hnsw_ivf_ann(
+    sf: str, k: int = 10, n_queries: int = 3, dim: int = 64,
+    nprobe: int = 4, ef: int = 64, M: int = 8,
+):
+    """The HNSW SCALE PATH made concrete (the e_hnsw_ann docstring's
+    'one graph per IVF cell'): the durable IVF artifact's centroid
+    lists each build their OWN deterministic HNSW graph in parallel
+    (groupby(cid).map_groups — a cell is corpus/n_centroids sized,
+    which IS the per-worker bound), queries route to their nprobe
+    nearest cells exactly as e_ivf_ann routes, each probed cell
+    searches its local graph for the queries that probed it, and the
+    per-(query, cell) candidates merge through the standard
+    _finalize_topk. No single worker ever holds more than a cell;
+    recall is pytest-gated against brute force like the other
+    approximate paths (rows-only driver check by design)."""
+    idx = ivf_index(sf, dim=dim)
+    qids, qm = load_queries(sf, n_queries)
+    order = np.argsort(-(qm @ idx.centroids.T), axis=1)[:, :nprobe]
+    probe_ref = ray.put((qids, qm, order))
+
+    def per_cell(t: pa.Table) -> pa.Table:
+        qids_, qm_, probes = ray.get(probe_ref)
+        cid = int(t["cid"][0].as_py())
+        qsel = [j for j in range(len(qids_)) if cid in probes[j]]
+        if not qsel:
+            return pa.table(_EMPTY_TOPK)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.frombuffer(b"".join(t["emb"].to_pylist()), np.float64).reshape(len(ids), -1)
+        srt = np.argsort(ids)
+        ids, m = ids[srt], np.ascontiguousarray(m[srt])
+        adj, entry, top = _hnsw_build(ids, m, M=M, efc=ef)
+        out_q, out_n, out_s = [], [], []
+        for j in qsel:
+            found = _hnsw_search(adj, m, entry, top, qm_[j], ef)
+            qid = int(qids_[j])
+            picked = [(s, i) for s, i in found if int(ids[i]) != qid][:k]
+            out_q.extend([qid] * len(picked))
+            out_n.extend(int(ids[i]) for _, i in picked)
+            out_s.extend(s for s, _ in picked)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cells = idx.artifact.read_for(np.unique(order.ravel()))
+    parts = cells.groupby("cid").map_groups(per_cell, batch_format="pyarrow").to_pandas()
+    return _finalize_topk(parts, k)

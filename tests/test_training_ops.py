@@ -1121,3 +1121,26 @@ def test_hnsw_ann_recall_and_determinism(ray_session):
         a = set(h1[h1.query_id == q].neighbor_id)
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.9, f"HNSW recall too low: {recalls}"
+
+
+def test_hnsw_ivf_recall_and_determinism(ray_session):
+    """Per-IVF-cell HNSW (the scale path): deterministic, and recall
+    matches the IVF routing ceiling — the graph search inside a probed
+    cell must not lose neighbors the exact cell scan would find."""
+    from lulu_crawler_ray.pipelines.annsearch import (
+        e_hnsw_ivf_ann,
+        e_ivf_ann,
+        e_knn_bruteforce,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    h1 = e_hnsw_ivf_ann(sf).to_pandas()
+    h2 = e_hnsw_ivf_ann(sf).to_pandas()
+    assert h1.equals(h2)
+    ex = e_knn_bruteforce(sf).to_pandas()
+    ivf = e_ivf_ann(sf).to_pandas()
+    for q in ex.query_id.unique():
+        e = set(ex[ex.query_id == q].neighbor_id)
+        g = set(h1[h1.query_id == q].neighbor_id)
+        c = set(ivf[ivf.query_id == q].neighbor_id)
+        assert len(e & g) / len(e) >= len(e & c) / len(e) - 0.101, q
