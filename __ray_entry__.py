@@ -119,7 +119,7 @@ _PRIORITY_R5 = [
     "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals", "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
-    "video_clip_digest",
+    "video_clip_digest", "t_prep_v5",
     "g10_mode", "g15_histogram", "g16_regr_slope", "m15_token_explode",
     "w6_hopping_window", "w7_lag_delta", "t_jaccard_search", "t_stopword",
     "crawl_summary", "e_pq_ann", "g14_grouped_hll",
@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w19_windowed_topk": rl2.w19_windowed_topk,
         "t_quality_clf": to3.t_quality_clf,
         "t_doc_embed": to3.t_doc_embed,
+        "t_prep_v5": to3.t_prep_v5,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -498,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
         t_pii_redact_sql as _pii_sql,
         t_quality_clf_sql as _qclf_sql,
         t_doc_embed_sql as _dembed_sql,
+        t_prep_v5_sql as _prep5_sql,
     )
 
     base = {
@@ -526,6 +528,9 @@ def oracle_sql() -> dict[str, str]:
         # hashed doc embeddings (text -> vector bridge), long-form
         # integer components — same md5 chain mirrored in UBIGINT
         "t_doc_embed": _dembed_sql(),
+        # v5 capstone: structural gates + classifier gate + exact
+        # dedup + per-source mix, one composed CTE chain
+        "t_prep_v5": _prep5_sql(),
         # bloom pre-filtered exact semi join (zero false negatives by
         # construction; false positives removed by the exact pass)
         "j12_bloom_semi": _j12_sql(),

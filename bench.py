@@ -167,7 +167,7 @@ def run_bench() -> dict:
         "j12_bloom_semi", "t_quality_clf", "img_resize_bilinear_digest",
         "img_trainprep_digest", "t_doc_embed", "x7_hits", "e_hnsw_ann",
         "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
-        "video_clip_digest", "e_hnsw_ivf_ann",
+        "video_clip_digest", "e_hnsw_ivf_ann", "t_prep_v5",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

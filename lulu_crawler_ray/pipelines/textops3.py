@@ -706,3 +706,147 @@ def t_doc_embed_sql(dim: int = 16, scale: int = 100) -> str:
         "FROM c JOIN nt USING (doc_id) GROUP BY c.doc_id, c.dim "
         "ORDER BY c.doc_id, c.dim"
     )
+
+
+# ------------------------------------------------ t_prep_v5
+
+
+def t_prep_v5(
+    sf: str,
+    min_words: int = 20,
+    clf_threshold: int = -10000,
+    n_buckets: int = 4096,
+    scale: int = 1000,
+):
+    """Corpus-prep capstone v5 — the chain a modern recipe actually
+    runs, composing THIS round's classifier with the heuristic gates:
+    (1) Gopher-style structural gates (word count >= min_words, mean
+    word length in [3, 10] by integer cross-multiplication), (2) the
+    hashed-feature CLASSIFIER gate (t_quality_clf's md5 chain, keep
+    score >= clf_threshold — heuristics catch structure, the model
+    catches content; both gate classes appear in CCNet/GPT-3/LLaMA
+    recipes), (3) exact dedup among survivors (md5(text) -> min
+    doc_id, the shuffle carries hashes only), (4) per-source
+    (n_docs, sum_words) — the mix report a curation run ends with.
+
+    Scale shape: ONE streaming pass computes every per-doc signal
+    (tokens, lengths, classifier score, content hash) so the text is
+    read once and never shuffles; dedup is a hash-keyed grouped min +
+    an adaptive semi-join on doc_id; the finale is a source-sized
+    grouped sum."""
+    import hashlib
+
+    from .relational import adaptive_semi_filter, grouped_agg
+
+    ds = read_table(sf, "documents", ["doc_id", "text", "source"])
+
+    def signals(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+").combine_chunks()
+        flat = lst.flatten()
+        keep = pc.not_equal(flat, "")
+        k = keep.to_numpy(zero_copy_only=False)
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        row = np.searchsorted(offs, np.arange(n), side="right") - 1
+        row = row[k]
+        kept = flat.filter(keep)
+        toks = kept.to_pylist()
+        wlen = pc.utf8_length(kept).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(w.encode("utf-8", "surrogatepass")).digest()[:8], "big"
+                )
+                for w in uniq
+            ),
+            np.uint64,
+            count=len(uniq),
+        )
+        bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+        wt_u = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(b).encode()).digest()[:8], "big")
+                for b in bucket
+            ),
+            np.uint64,
+            count=len(bucket),
+        )
+        wt = (wt_u % np.uint64(2 * scale + 1)).astype(np.int64) - scale
+        nb = len(did)
+        score = np.bincount(row, weights=wt[inv], minlength=nb).astype(np.int64)
+        nw = np.bincount(row, minlength=nb).astype(np.int64)
+        swl = np.bincount(row, weights=wlen, minlength=nb).astype(np.int64)
+        ok = (
+            (nw >= min_words)
+            & (3 * nw <= swl)
+            & (swl <= 10 * nw)
+            & (score >= clf_threshold)
+        )
+        ch = [
+            hashlib.md5(s.encode()).hexdigest()
+            for s in pa.table({"x": t["text"]}).filter(pa.array(ok))["x"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[ok]),
+                "source": t["source"].filter(pa.array(ok)),
+                "n_words": pa.array(nw[ok]),
+                "h": pa.array(ch, pa.string()),
+            }
+        )
+
+    surv = ds.map_batches(signals, batch_format="pyarrow").materialize()
+    winners = grouped_agg(
+        surv.map_batches(lambda t: t.select(["h", "doc_id"]), batch_format="pyarrow"),
+        ["h"],
+        [("doc_id", "min", "doc_id")],
+        round_to=None,
+    ).map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    kept = adaptive_semi_filter(surv, winners, "doc_id", "doc_id")
+    out = grouped_agg(
+        kept,
+        ["source"],
+        [("n_docs", "count", None), ("sum_words", "sum", "n_words")],
+        round_to=None,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "sum_words": t["sum_words"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("source")
+
+
+def t_prep_v5_sql(
+    min_words: int = 20,
+    clf_threshold: int = -10000,
+    n_buckets: int = 4096,
+    scale: int = 1000,
+) -> str:
+    return (
+        "WITH d AS (SELECT doc_id, source, text, list_filter(string_split_regex("
+        "lower(text), '\\s+'), x -> x <> '') AS l FROM documents), "
+        "u AS (SELECT doc_id, UNNEST(l) AS w FROM d), "
+        "wt AS (SELECT doc_id, length(w) AS wl, "
+        "CAST(CAST('0x' || substr(md5(CAST("
+        "CAST(CAST('0x' || substr(md5(w),1,16) AS UBIGINT) "
+        f"% {n_buckets} AS BIGINT) AS VARCHAR)),1,16) AS UBIGINT) "
+        f"% {2 * scale + 1} AS BIGINT) - {scale} AS wgt FROM u), "
+        "st AS (SELECT doc_id, COUNT(*) AS nw, SUM(wl) AS swl, SUM(wgt) AS score "
+        "FROM wt GROUP BY doc_id), "
+        "surv AS (SELECT d.doc_id, d.source, st.nw, md5(d.text) AS h "
+        "FROM d JOIN st USING (doc_id) "
+        f"WHERE st.nw >= {min_words} AND 3 * st.nw <= st.swl "
+        f"AND st.swl <= 10 * st.nw AND st.score >= {clf_threshold}), "
+        "win AS (SELECT h, MIN(doc_id) AS doc_id FROM surv GROUP BY h), "
+        "kept AS (SELECT s.* FROM surv s JOIN win USING (doc_id)) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(nw) AS BIGINT) AS sum_words "
+        "FROM kept GROUP BY source ORDER BY source"
+    )
