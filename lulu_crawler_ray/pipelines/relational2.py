@@ -1003,3 +1003,99 @@ def w19_windowed_topk_sql(size_min: int = 60, k: int = 3) -> str:
         f"CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k} "
         "ORDER BY ws_us, rnk"
     )
+
+
+# ------------------------------------------------------ w23 cusum
+
+
+def w23_cusum(sf: str, drift_c: int = 6000, h_c: int = 50000):
+    """Per-user CUSUM change detection (Page 1954), the classic
+    sequential drift alarm a metrics pipeline runs per entity: with
+    y_i = value_cents_i - ``drift_c`` in (ts, event_id) order, the
+    one-sided CUSUM statistic is the clamped recursion
+    s_i = max(0, s_{i-1} + y_i), and the alarm fires when
+    s_i > ``h_c``. The recursion looks inherently sequential, but the
+    reflected-walk identity s_i = p_i - min(0, min_{j<=i} p_j)
+    (p = prefix sum of y) makes it TWO vectorized accumulates — so
+    the stage is one user_id hash co-partition (the w7/w13/w18 shape)
+    + one lexsort + cumsum/cummin per partition, never per key, never
+    per row. Per-segment running min uses a DECREASING segment offset
+    (span > p range, so each segment's first element undercuts all
+    earlier segments and minimum.accumulate never leaks across),
+    with a loud int64-overflow guard. Integer-exact end to end; the
+    DuckDB oracle evaluates the same closed form with window SUM/MIN,
+    and tests/test_relational2.py cross-checks the closed form
+    against the naive clamped recursion."""
+    ds = read_table(sf, "events", ["user_id", "ts", "event_id", "value"])
+
+    def cusum_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "s_c": pa.array([], pa.int64()),
+                    "flag": pa.array([], pa.int64()),
+                }
+            )
+        us = t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort(
+            (
+                t["event_id"].to_numpy(zero_copy_only=False),
+                us,
+                t["user_id"].to_numpy(zero_copy_only=False),
+            )
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False)[order].astype(np.float64) * 100
+        ).astype(np.int64)
+        y = c - np.int64(drift_c)
+        n = len(uid)
+        starts = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(starts) - 1  # 0-based segment id per row
+        tot = np.cumsum(y)
+        start_pos = np.flatnonzero(starts)
+        base = np.where(start_pos > 0, tot[start_pos - 1], np.int64(0))
+        p = tot - base[seg]
+        span = int(p.max()) - int(p.min()) + 1
+        n_segs = int(seg[-1]) + 1
+        if n_segs * span + max(abs(int(p.max())), abs(int(p.min()))) > (1 << 62):
+            raise ValueError(
+                f"w23: segment-offset trick would overflow int64 "
+                f"({n_segs} segments x span {span}); split the partition"
+            )
+        shifted = p - seg * np.int64(span)
+        runmin = np.minimum.accumulate(shifted) + seg * np.int64(span)
+        s = p - np.minimum(np.int64(0), runmin)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "s_c": pa.array(s),
+                "flag": pa.array((s > np.int64(h_c)).astype(np.int64)),
+            }
+        )
+
+    return (
+        _hash_partitioned(ds, "user_id", _npart())
+        .map_groups(cusum_part, batch_format="pyarrow")
+        .sort(["user_id", "event_id"])
+    )
+
+
+def w23_cusum_sql(drift_c: int = 6000, h_c: int = 50000) -> str:
+    return (
+        "WITH e AS (SELECT user_id, ts, event_id, "
+        f"CAST(ROUND(value * 100, 0) AS BIGINT) - {drift_c} AS y FROM events), "
+        "p AS (SELECT user_id, ts, event_id, SUM(y) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+        "AS p FROM e), "
+        "s AS (SELECT user_id, event_id, p - LEAST(CAST(0 AS BIGINT), "
+        "MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING)) AS s_c FROM p) "
+        "SELECT user_id, event_id, s_c, "
+        f"CAST(CASE WHEN s_c > {h_c} THEN 1 ELSE 0 END AS BIGINT) AS flag "
+        "FROM s ORDER BY user_id, event_id"
+    )

@@ -108,3 +108,47 @@ def test_j12_bloom_prefilter_reduces_shuffle_volume(ray_session):
     true_frac = np.isin(li.to_numpy(), urgent.to_numpy()).mean()
     # candidates = true matches + fpp; must be well under the full table
     assert true_frac <= mask.mean() <= true_frac + 0.03
+
+
+def test_cusum_closed_form_matches_clamped_recursion():
+    """w23's reflected-walk identity s_i = p_i - min(0, min_{j<=i} p_j)
+    vs the naive clamped recursion s_i = max(0, s_{i-1} + y_i), on
+    adversarial integer sequences including all-negative, all-positive
+    and sign-flip runs — and the multi-segment offset trick on
+    concatenated users."""
+    rng = random.Random(23)
+    for trial in range(200):
+        n = rng.randrange(1, 40)
+        y = np.array(
+            [rng.randrange(-50, 50) for _ in range(n)], np.int64
+        )
+        if trial % 5 == 0:
+            y = np.abs(y)
+        if trial % 5 == 1:
+            y = -np.abs(y)
+        s_naive = []
+        s = 0
+        for v in y:
+            s = max(0, s + int(v))
+            s_naive.append(s)
+        p = np.cumsum(y)
+        runmin = np.minimum.accumulate(p)
+        s_closed = p - np.minimum(0, runmin)
+        assert list(s_closed) == s_naive
+
+    # multi-segment: two users concatenated must not leak the running
+    # min across the segment boundary (the decreasing-offset trick)
+    y = np.array([-100, 5, 7, -1, 3, 9], np.int64)
+    seg = np.array([0, 0, 0, 1, 1, 1], np.int64)
+    starts = np.r_[True, seg[1:] != seg[:-1]]
+    tot = np.cumsum(y)
+    start_pos = np.flatnonzero(starts)
+    base = np.where(start_pos > 0, tot[start_pos - 1], np.int64(0))
+    p = tot - base[seg]
+    span = int(p.max()) - int(p.min()) + 1
+    shifted = p - seg * np.int64(span)
+    runmin = np.minimum.accumulate(shifted) + seg * np.int64(span)
+    s = p - np.minimum(np.int64(0), runmin)
+    # user 2's walk starts fresh: -1 -> 0+3 -> wait: max(0,-1)=0, 3, 12
+    assert list(s[3:]) == [0, 3, 12]
+    assert list(s[:3]) == [0, 5, 12]
