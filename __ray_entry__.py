@@ -138,7 +138,8 @@ _PRIORITY_R5 = [
     "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
     "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
     "img_edge_digest", "w17_transitions", "img_otsu_digest",
-    "img_blob_digest", "x6_sssp", "x7_hits",
+    "img_blob_digest", "img_morph_digest", "img_rle_digest",
+    "x6_sssp", "x7_hits",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -308,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w17_transitions": rl.w17_transitions,
         "img_otsu_digest": im.img_otsu_digest_query,
         "img_blob_digest": im.img_blob_digest_query,
+        "img_morph_digest": im.img_morph_digest_query,
+        "img_rle_digest": im.img_rle_digest_query,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -713,6 +716,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(377194 AS BIGINT) AS mix_n_blobs, "
             "CAST(37941 AS BIGINT) AS sum_max_blob, "
             "CAST(138396 AS BIGINT) AS mix_max_blob"
+        ),
+        # golden-pin digest: Otsu + 3x3 morphology (erode/dilate/open
+        # shifted-slice folds vs a naive per-pixel neighborhood pass
+        # in tests/test_kernels.py)
+        "img_morph_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(16173 AS BIGINT) AS sum_n_erode, "
+            "CAST(379984 AS BIGINT) AS mix_n_erode, "
+            "CAST(993415 AS BIGINT) AS sum_n_dilate, "
+            "CAST(2892465 AS BIGINT) AS mix_n_dilate, "
+            "CAST(45367 AS BIGINT) AS sum_n_open, "
+            "CAST(449708 AS BIGINT) AS mix_n_open, "
+            "CAST(72845467 AS BIGINT) AS sum_open_wsum, "
+            "CAST(791376138 AS BIGINT) AS mix_open_wsum"
+        ),
+        # golden-pin digest: COCO-style column-major RLE of the Otsu
+        # mask (kept honest by the decode-roundtrip property test)
+        "img_rle_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(470860 AS BIGINT) AS sum_n_runs, "
+            "CAST(1945514 AS BIGINT) AS mix_n_runs, "
+            "CAST(3012 AS BIGINT) AS sum_max_run, "
+            "CAST(100410 AS BIGINT) AS mix_max_run, "
+            "CAST(2092296 AS BIGINT) AS sum_run_mix, "
+            "CAST(7834660 AS BIGINT) AS mix_run_mix"
         ),
         # golden-pin digest (fixture is seed-deterministic; values
         # re-derived + asserted in tests/test_continuation_ops.py)

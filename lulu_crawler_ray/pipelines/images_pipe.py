@@ -1624,3 +1624,155 @@ def video_clip_digest_query(sf: str) -> pa.Table:
         pc.sort_indices(r, sort_keys=[("media_id", "ascending"), ("seg_idx", "ascending")])
     )
     return _one_row_digest(r, ["frame_idx", "px_sum", "px_wsum"])
+
+
+def _morph3(mask: np.ndarray, op: str) -> np.ndarray:
+    """3x3 binary erosion ('erode') / dilation ('dilate') with
+    edge-replication at the border (the blob/edge-stage padding
+    convention): nine shifted boolean slices folded with AND/OR —
+    no float, no per-pixel Python. Exact and deterministic."""
+    p = np.pad(mask, 1, mode="edge")
+    h, w = mask.shape
+    out = p[1 : h + 1, 1 : w + 1].copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            s = p[1 + dy : h + 1 + dy, 1 + dx : w + 1 + dx]
+            out = (out & s) if op == "erode" else (out | s)
+    return out
+
+
+class MorphStage:
+    """Actor-pool stage: binary MORPHOLOGY over the Otsu foreground
+    mask — 3x3 erosion, dilation, and OPENING (dilate(erode(m))), the
+    standard speckle-removal pass document/image curation runs before
+    counting objects (a one-pixel noise dot survives thresholding but
+    not opening). Threshold comes from the exact-integer Otsu argmax
+    (OtsuStage); all three operators are shifted-slice boolean folds
+    (_morph3), integer-exact and vectorized. Emits per image the
+    eroded/dilated/opened foreground counts and a position-weighted
+    witness of the OPENED mask so a transposed or un-eroded result
+    cannot hash-match."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ot = OtsuStage()(t)
+        ne_l, nd_l, no_l, ow_l = [], [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            g = img.astype(np.int64).sum(axis=2)
+            fg = g > ot["otsu_thr"][i].as_py()
+            er = _morph3(fg, "erode")
+            di = _morph3(fg, "dilate")
+            op = _morph3(er, "dilate")
+            h, w = g.shape
+            yw = np.arange(1, h + 1, dtype=np.int64)[:, None]
+            xw = np.arange(1, w + 1, dtype=np.int64)[None, :]
+            ne_l.append(int(er.sum()))
+            nd_l.append(int(di.sum()))
+            no_l.append(int(op.sum()))
+            ow_l.append(int((yw * xw * op).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "n_erode": pa.array(ne_l, pa.int64()),
+                "n_dilate": pa.array(nd_l, pa.int64()),
+                "n_open": pa.array(no_l, pa.int64()),
+                "open_wsum": pa.array(ow_l, pa.int64()),
+            }
+        )
+
+
+def img_morph_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): Otsu + 3x3 morphology
+    (erode / dilate / open) over the deterministic fixture, one digest
+    row. The shifted-slice folds are kept honest by a naive per-pixel
+    neighborhood re-derivation in tests/test_kernels.py."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    mo = ds.map_batches(
+        MorphStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(mo.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["n_erode", "n_dilate", "n_open", "open_wsum"])
+
+
+def rle_encode_mask(mask: np.ndarray) -> np.ndarray:
+    """COCO-style column-major RLE of a boolean mask: run lengths of
+    alternating background/foreground pixels over the Fortran-order
+    flattening, always STARTING with background (a leading foreground
+    pixel yields a zero-length first run — the COCO convention). One
+    np.diff over the flattened mask; work scales with runs."""
+    f = mask.ravel(order="F").astype(np.int8)
+    if len(f) == 0:
+        return np.zeros(0, np.int64)
+    bounds = np.r_[
+        np.int64(0), np.flatnonzero(np.diff(f)).astype(np.int64) + 1, np.int64(len(f))
+    ]
+    runs = np.diff(bounds)
+    if f[0] == 1:
+        runs = np.r_[np.int64(0), runs]
+    return runs.astype(np.int64)
+
+
+def rle_decode_mask(runs: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Inverse of rle_encode_mask: rebuild the (h, w) boolean mask from
+    the alternating column-major run lengths."""
+    vals = np.zeros(len(runs), np.int8)
+    vals[1::2] = 1
+    f = np.repeat(vals, runs.astype(np.int64))
+    return f.reshape((h, w), order="F").astype(bool)
+
+
+class RleMaskStage:
+    """Actor-pool stage: COCO-style RLE MASK ENCODING of the Otsu
+    foreground (the segmentation-annotation storage format — masks
+    ship as run lengths, not pixel grids, in detection/segmentation
+    training data). Emits per image the run count, the longest run,
+    and an order-sensitive run witness (xor of run*rank) so a
+    permuted or row-major encoding cannot hash-match; the encoder is
+    kept honest by an exact decode-roundtrip pytest."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ot = OtsuStage()(t)
+        nr_l, mx_l, wit_l = [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            g = img.astype(np.int64).sum(axis=2)
+            fg = g > ot["otsu_thr"][i].as_py()
+            runs = rle_encode_mask(fg)
+            rank = np.arange(1, len(runs) + 1, dtype=np.int64)
+            nr_l.append(len(runs))
+            mx_l.append(int(runs.max()) if len(runs) else 0)
+            wit_l.append(
+                int(np.bitwise_xor.reduce(runs * rank)) if len(runs) else 0
+            )
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "n_runs": pa.array(nr_l, pa.int64()),
+                "max_run": pa.array(mx_l, pa.int64()),
+                "run_mix": pa.array(wit_l, pa.int64()),
+            }
+        )
+
+
+def img_rle_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): Otsu + column-major RLE
+    mask encoding over the deterministic fixture, one digest row.
+    Pin kept honest by the encode/decode roundtrip property test in
+    tests/test_kernels.py (decode(encode(m)) == m on random,
+    constant, single-pixel and checkerboard masks)."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    rl = ds.map_batches(
+        RleMaskStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(rl.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["n_runs", "max_run", "run_mix"])

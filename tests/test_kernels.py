@@ -877,3 +877,76 @@ def test_clip_sampler_matches_index_law():
     got2 = ClipSampler(n_segments=5)(t2)
     assert got2.num_rows == 3
     assert got2["frame_idx"].to_pylist() == [0, 1, 2]
+
+
+def test_morph3_matches_naive_neighborhood():
+    """MorphStage's shifted-slice 3x3 erode/dilate vs a per-pixel
+    neighborhood loop with edge replication, on random, constant and
+    single-pixel masks."""
+    import numpy as np
+
+    from lulu_crawler_ray.pipelines.images_pipe import _morph3
+
+    rng = np.random.default_rng(5)
+
+    def naive(mask, op):
+        h, w = mask.shape
+        p = np.pad(mask, 1, mode="edge")
+        out = np.zeros_like(mask)
+        for y in range(h):
+            for x in range(w):
+                nb = p[y : y + 3, x : x + 3]
+                out[y, x] = nb.all() if op == "erode" else nb.any()
+        return out
+
+    cases = [
+        rng.random((9, 7)) > 0.5,
+        np.zeros((5, 5), bool),
+        np.ones((5, 5), bool),
+        np.eye(6, dtype=bool),
+    ]
+    one = np.zeros((5, 5), bool)
+    one[2, 2] = True
+    cases.append(one)
+    for m in cases:
+        for op in ("erode", "dilate"):
+            assert (_morph3(m, op) == naive(m, op)).all(), op
+    # opening removes an isolated pixel, keeps a 3x3 block
+    block = np.zeros((7, 7), bool)
+    block[2:5, 2:5] = True
+    speck = block.copy()
+    speck[0, 6] = True
+    opened = _morph3(_morph3(speck, "erode"), "dilate")
+    assert (opened == block).all()
+
+
+def test_rle_mask_roundtrip():
+    """rle_decode(rle_encode(m)) == m on random, constant, leading-fg,
+    single-pixel and checkerboard masks; encoding starts with a
+    background run (COCO convention)."""
+    import numpy as np
+
+    from lulu_crawler_ray.pipelines.images_pipe import (
+        rle_decode_mask,
+        rle_encode_mask,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.random((8, 6)) > 0.5,
+        np.zeros((4, 4), bool),
+        np.ones((4, 4), bool),
+        np.indices((5, 5)).sum(axis=0) % 2 == 0,  # checkerboard, fg at (0,0)
+    ]
+    one = np.zeros((3, 3), bool)
+    one[0, 0] = True
+    cases.append(one)
+    for m in cases:
+        runs = rle_encode_mask(m)
+        assert runs.sum() == m.size
+        # even indices are background runs: a leading-fg mask must
+        # start with a zero-length bg run
+        if m.ravel(order="F")[0]:
+            assert runs[0] == 0
+        back = rle_decode_mask(runs, *m.shape)
+        assert (back == m).all()
