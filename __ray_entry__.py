@@ -139,7 +139,7 @@ _PRIORITY_R5 = [
     "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
     "img_edge_digest", "w17_transitions", "img_otsu_digest",
     "img_blob_digest", "img_morph_digest", "img_rle_digest",
-    "x6_sssp", "x7_hits",
+    "audio_wht_digest", "x6_sssp", "x7_hits",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_blob_digest": im.img_blob_digest_query,
         "img_morph_digest": im.img_morph_digest_query,
         "img_rle_digest": im.img_rle_digest_query,
+        "audio_wht_digest": im.audio_wht_digest_query,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -730,6 +731,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(449708 AS BIGINT) AS mix_n_open, "
             "CAST(72845467 AS BIGINT) AS sum_open_wsum, "
             "CAST(791376138 AS BIGINT) AS mix_open_wsum"
+        ),
+        # golden-pin digest: Walsh-Hadamard band energies (the
+        # integer-exact spectral front end; Parseval + naive-Hadamard
+        # re-derivation tests keep the kernel honest)
+        "audio_wht_digest": (
+            "SELECT CAST(30 AS BIGINT) AS n_rows, "
+            "CAST(930 AS BIGINT) AS sum_n_frames, "
+            "CAST(33 AS BIGINT) AS mix_n_frames, "
+            "CAST(2559062002 AS BIGINT) AS sum_band0_l1, "
+            "CAST(814859946 AS BIGINT) AS mix_band0_l1, "
+            "CAST(3702317970 AS BIGINT) AS sum_band1_l1, "
+            "CAST(15234972510 AS BIGINT) AS mix_band1_l1, "
+            "CAST(3492925428 AS BIGINT) AS sum_band2_l1, "
+            "CAST(15944221908 AS BIGINT) AS mix_band2_l1, "
+            "CAST(3941665492 AS BIGINT) AS sum_band3_l1, "
+            "CAST(13538676022 AS BIGINT) AS mix_band3_l1"
         ),
         # golden-pin digest: COCO-style column-major RLE of the Otsu
         # mask (kept honest by the decode-roundtrip property test)

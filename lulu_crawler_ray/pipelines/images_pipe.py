@@ -1776,3 +1776,51 @@ def img_rle_digest_query(sf: str) -> pa.Table:
     ).combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
     return _one_row_digest(t, ["n_runs", "max_run", "run_mix"])
+
+
+def audio_wht_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): Walsh-Hadamard band
+    energies (the integer-exact spectral front end — see
+    AudioWhtExtractor) over the deterministic sine-tone WAV fixture,
+    one digest row. Pin kept honest by the exact-Parseval +
+    naive-O(n^2)-Hadamard re-derivation tests in tests/test_kernels.py
+    (and the band energies do discriminate: each fixture tone's
+    frequency moves L1 mass across sequency bands)."""
+    import ray.data
+
+    from ..stages.multimodal import AUDIO_SCHEMA, AudioWhtExtractor, encode_wav_pcm16
+
+    n = 60 if _is_big_sf(sf) else 30
+    sr = 8000
+    rows = {"media_id": [], "bytes": [], "codec": [], "sample_rate": [], "n_channels": []}
+    t_axis = np.arange(sr, dtype=np.float32) / sr
+    for i in range(n):
+        freq = 110.0 * (1 + i % 8)
+        amp = 0.2 + 0.1 * (i % 5)
+        tone = (amp * np.sin(2 * np.pi * freq * t_axis)).astype(np.float32)
+        rows["media_id"].append(f"a{i:04d}")
+        rows["bytes"].append(encode_wav_pcm16(tone, sr))
+        rows["codec"].append("wav")
+        rows["sample_rate"].append(sr)
+        rows["n_channels"].append(1)
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "codec": pa.array(rows["codec"]),
+            "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+            "n_channels": pa.array(rows["n_channels"], pa.int32()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = ds.map_batches(
+        AudioWhtExtractor, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+    tt = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    tt = tt.take(pc.sort_indices(tt, sort_keys=[("media_id", "ascending")]))
+    return _one_row_digest(
+        tt, ["n_frames", "band0_l1", "band1_l1", "band2_l1", "band3_l1"]
+    )

@@ -637,3 +637,86 @@ class ClipSampler:
                 "px_wsum": pa.array(out["px_wsum"], pa.int64()),
             }
         )
+
+
+def wht_fast(x: np.ndarray) -> np.ndarray:
+    """In-place-style fast Walsh-Hadamard transform (natural /
+    Hadamard order) of a length-2^k int64 vector — the ±1-coefficient
+    orthogonal transform, so the output is INTEGER-EXACT (no
+    irrational twiddles, unlike the DFT): butterflies are adds and
+    subtracts only. O(n log n); Parseval holds exactly as
+    sum(X^2) == n * sum(x^2) (pytest-gated)."""
+    y = x.astype(np.int64).copy()
+    n = len(y)
+    if n & (n - 1):
+        raise ValueError(f"wht: length {n} is not a power of two")
+    h = 1
+    while h < n:
+        y = y.reshape(-1, 2, h)
+        a = y[:, 0, :] + y[:, 1, :]
+        b = y[:, 0, :] - y[:, 1, :]
+        y = np.stack([a, b], axis=1).reshape(-1)
+        h *= 2
+    return y
+
+
+class AudioWhtExtractor:
+    """Actor-pool stage: WALSH-HADAMARD spectral band energies per
+    fixed-length frame — the integer-exact stand-in for the
+    mel-spectrogram front end of an audio-training pipeline (WHT
+    features are the classic fixed-point spectral analysis; a
+    learned / FFT front end drops into the same slot, but its float
+    twiddles can't be bit-pinned across hosts, so the WHT keeps the
+    digest contract exact). Each decoded mono PCM stream frames into
+    non-overlapping 256-sample windows; each frame's WHT coefficients
+    (natural order) fold into 4 sequency bands of L1 energy
+    (sum |X_j| over j in band b = [64b, 64b+64)). Emits per media row
+    n_frames + the 4 band totals; everything int64-exact (|X| <=
+    256 * 32768 and frames are bounded, loudly checked)."""
+
+    FRAME = 256
+    N_BANDS = 4
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out: dict[str, list[int]] = {
+            "media_id": [],
+            "n_frames": [],
+            **{f"band{b}_l1": [] for b in range(self.N_BANDS)},
+        }
+        for i in range(t.num_rows):
+            data = t["bytes"][i].as_py()
+            codec = t["codec"][i].as_py()
+            if codec == "wav":
+                x, _sr, _nch = decode_wav_pcm(data)
+                # decode_wav_pcm's contract is float32 in [-1, 1]
+                # (exactly v/32767 for the 16-bit path); rint * 32767
+                # recovers the original int16 samples bit-exactly
+                pcm = np.rint(x.astype(np.float64) * 32767.0).astype(np.int64)
+            elif codec == "flac":
+                from ..functions.flac import decode_flac
+
+                samples, _sr, _bps = decode_flac(data)
+                pcm = samples[:, 0].astype(np.int64)
+            else:
+                raise NotImplementedError(f"audio_wht: codec {codec!r}")
+            nf = len(pcm) // self.FRAME
+            bands = np.zeros(self.N_BANDS, np.int64)
+            for f in range(nf):
+                seg = pcm[f * self.FRAME : (f + 1) * self.FRAME]
+                coef = np.abs(wht_fast(seg))
+                w = self.FRAME // self.N_BANDS
+                bands += coef.reshape(self.N_BANDS, w).sum(axis=1)
+            out["media_id"].append(t["media_id"][i].as_py())
+            out["n_frames"].append(nf)
+            for b in range(self.N_BANDS):
+                out[f"band{b}_l1"].append(int(bands[b]))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "n_frames": pa.array(out["n_frames"], pa.int64()),
+                **{
+                    f"band{b}_l1": pa.array(out[f"band{b}_l1"], pa.int64())
+                    for b in range(self.N_BANDS)
+                },
+            }
+        )

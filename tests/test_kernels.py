@@ -950,3 +950,31 @@ def test_rle_mask_roundtrip():
             assert runs[0] == 0
         back = rle_decode_mask(runs, *m.shape)
         assert (back == m).all()
+
+
+def test_wht_parseval_and_naive_hadamard():
+    """wht_fast vs the O(n^2) explicit Hadamard-matrix product, plus
+    the exact Parseval identity sum(X^2) == n * sum(x^2) and the
+    non-power-of-two loud failure."""
+    import numpy as np
+    import pytest
+
+    from lulu_crawler_ray.stages.multimodal import wht_fast
+
+    def hadamard(n):
+        H = np.array([[1]], np.int64)
+        while H.shape[0] < n:
+            H = np.block([[H, H], [H, -H]])
+        return H
+
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 4, 8, 64, 256):
+        x = rng.integers(-32768, 32768, n).astype(np.int64)
+        got = wht_fast(x)
+        want = hadamard(n) @ x
+        assert (got == want).all(), n
+        assert int((got.astype(object) ** 2).sum()) == n * int(
+            (x.astype(object) ** 2).sum()
+        )
+    with pytest.raises(ValueError):
+        wht_fast(np.zeros(6, np.int64))
