@@ -116,7 +116,7 @@ _PRIORITY_R5 = [
     # ---- past the 50-key window: everything below already has a
     # bit-exact pytest oracle row (dtype-checked DuckDB gate), so a
     # driver re-check is a bonus, not a need
-    "w18_ewm8", "d11_edit_pairs", "w22_scd_intervals", "w23_cusum",
+    "w18_ewm8", "d11_edit_pairs", "d12_entity_groups", "w22_scd_intervals", "w23_cusum",
     "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w21_path_mining": rl2.w21_path_mining,
         "w22_scd_intervals": rl2.w22_scd_intervals,
         "w23_cusum": rl2.w23_cusum,
+        "d12_entity_groups": rl2.d12_entity_groups,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
@@ -499,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         s15_schema_evolution_sql as _s15_sql,
         w19_windowed_topk_sql as _w19_sql,
         w23_cusum_sql as _w23_sql,
+        d12_entity_groups_sql as _d12grp_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -555,6 +557,9 @@ def oracle_sql() -> dict[str, str]:
         # per-user CUSUM drift alarm: clamped recursion evaluated
         # as the reflected-walk closed form on both engines
         "w23_cusum": _w23_sql(),
+        # entity resolution: transitive closure of the d11 edit-pair
+        # graph, min-name representative (recursive min-root CTE oracle)
+        "d12_entity_groups": _d12grp_sql(),
         # golden-pin digest: integer-exact histogram equalization
         # (floor-division LUT; per-pixel re-derivation in
         # tests/test_kernels.py keeps the pin honest)

@@ -1099,3 +1099,81 @@ def w23_cusum_sql(drift_c: int = 6000, h_c: int = 50000) -> str:
         f"CAST(CASE WHEN s_c > {h_c} THEN 1 ELSE 0 END AS BIGINT) AS flag "
         "FROM s ORDER BY user_id, event_id"
     )
+
+
+# --------------------------------------------- d12 entity groups
+
+
+def d12_entity_groups(sf: str, max_dist: int = 2):
+    """ENTITY RESOLUTION over the part-name vocabulary: cluster names
+    transitively connected by edit distance <= ``max_dist`` (the d11
+    pair graph) and assign every distinct name its cluster
+    representative = the lexicographically smallest member — the
+    canonical catalog-cleanup "merge these variants" op. Scale shape:
+    like d11, the quadratic candidate step AND the union-find both run
+    on the DISTINCT vocabulary inside ONE worker task (loud
+    _D11_VOCAB_BOUND; entity graphs are vocab-sized, the corpus never
+    gathers), after a distributed distinct. The recursive min-root CTE
+    is the DuckDB oracle (the x3_components SQL shape on string
+    nodes)."""
+    from .relational import _distinct
+
+    ds = _distinct(read_table(sf, "part", ["p_name"]), "p_name")
+
+    def groups(t: pa.Table) -> pa.Table:
+        names = sorted(t["p_name"].to_pylist())
+        if len(names) > _D11_VOCAB_BOUND:
+            raise ValueError(
+                f"d12: {len(names)} distinct names exceeds the "
+                f"{_D11_VOCAB_BOUND} single-task bound; use length-bucket "
+                "map_groups"
+            )
+        lens = np.array([len(s) for s in names], np.int64)
+        idx = {s: i for i, s in enumerate(names)}
+        parent = list(range(len(names)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, na in enumerate(names):
+            for j in range(i + 1, len(names)):
+                if abs(int(lens[j]) - int(lens[i])) > max_dist:
+                    continue
+                if _banded_levenshtein(na, names[j], max_dist) is not None:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        # names is sorted, so min root index = lexicographically
+        # smallest member
+        reps = [names[find(idx[s])] for s in names]
+        return pa.table(
+            {
+                "p_name": pa.array(names, pa.string()),
+                "rep": pa.array(reps, pa.string()),
+            }
+        )
+
+    return (
+        ds.repartition(1)
+        .map_batches(groups, batch_format="pyarrow", batch_size=None)
+        .sort("p_name")
+    )
+
+
+def d12_entity_groups_sql(max_dist: int = 2) -> str:
+    return (
+        "WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part), "
+        "cand AS (SELECT a.p_name AS a, b.p_name AS b FROM n a JOIN n b "
+        "ON a.p_name < b.p_name "
+        f"WHERE abs(length(a.p_name) - length(b.p_name)) <= {max_dist} "
+        f"AND levenshtein(a.p_name, b.p_name) <= {max_dist}), "
+        "bi AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand), "
+        "reach(node, root) AS (SELECT p_name, p_name FROM n UNION "
+        "SELECT bi.b, r.root FROM reach r JOIN bi ON bi.a = r.node "
+        "WHERE r.root < bi.b) "
+        "SELECT node AS p_name, MIN(root) AS rep FROM reach GROUP BY node "
+        "ORDER BY p_name"
+    )
