@@ -168,6 +168,8 @@ def run_bench() -> dict:
         "img_trainprep_digest", "t_doc_embed", "x7_hits", "e_hnsw_ann",
         "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
         "video_clip_digest", "e_hnsw_ivf_ann", "t_prep_v5",
+        "w23_cusum", "d12_entity_groups", "img_morph_digest",
+        "img_rle_digest", "audio_wht_digest",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -76,12 +76,18 @@ class BucketIndexArtifact:
         if os.path.exists(man_path):
             with open(man_path) as f:
                 man = json.load(f)
-            if man.get("digest") == digest:
+            # a matching manifest only counts as sealed if the data dir
+            # survived with it — an interrupted rmtree (killed process)
+            # can leave manifest.json with data/ already gone, and
+            # trusting it would crash the first probe
+            if man.get("digest") == digest and os.path.isdir(
+                os.path.join(root, "data")
+            ):
                 return (
                     cls(root, man["key_col"], man["n_shards"], man["identity"]),
                     False,
                 )
-            shutil.rmtree(root)  # stale artifact for other params/data
+            shutil.rmtree(root)  # stale or corrupt artifact
         elif os.path.exists(root):
             shutil.rmtree(root)  # unsealed partial build
         os.makedirs(os.path.join(root, "data"), exist_ok=True)

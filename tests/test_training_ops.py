@@ -1144,3 +1144,37 @@ def test_hnsw_ivf_recall_and_determinism(ray_session):
         g = set(h1[h1.query_id == q].neighbor_id)
         c = set(ivf[ivf.query_id == q].neighbor_id)
         assert len(e & g) / len(e) >= len(e & c) / len(e) - 0.101, q
+
+
+def test_index_artifact_recovers_from_interrupted_cleanup(ray_session, tmp_path):
+    """A sealed manifest whose data/ directory vanished (interrupted
+    rmtree from a killed process) must be treated as a partial build
+    and rebuilt, not trusted and crashed on first probe."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lulu_crawler_ray.pipelines.annindex import BucketIndexArtifact
+
+    root = str(tmp_path / "idx")
+
+    def build():
+        return rd.from_arrow(
+            pa.table({"bucket": pa.array([0, 1, 2, 3], pa.int64()),
+                      "v": pa.array([10, 11, 12, 13], pa.int64())})
+        )
+
+    art, built = BucketIndexArtifact.build_or_load(
+        root, "d1", "bucket", build, n_shards=2, identity=True
+    )
+    assert built and art.num_shards_on_disk() == 2
+    # simulate the interrupted cleanup: data/ gone, manifest intact
+    shutil.rmtree(os.path.join(root, "data"))
+    assert os.path.exists(os.path.join(root, "manifest.json"))
+    art2, built2 = BucketIndexArtifact.build_or_load(
+        root, "d1", "bucket", build, n_shards=2, identity=True
+    )
+    assert built2, "corrupt artifact must rebuild"
+    assert art2.num_shards_on_disk() == 2
