@@ -132,7 +132,7 @@ _PRIORITY_R5 = [
     "s13_avro_roundtrip",
     # continuation-session corpus/analytics ops: n-gram novelty, DSIR
     # importance weights, exact kNN graph, rolling per-key median
-    "t_ngram_novelty", "t_dsir_weights", "e_knn_graph",
+    "t_ngram_novelty", "t_dsir_weights", "e_knn_graph", "e_hard_negatives",
     "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
     "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
     "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_ngram_novelty": to3.t_ngram_novelty,
         "t_dsir_weights": to3.t_dsir_weights,
         "e_knn_graph": an.e_knn_graph,
+        "e_hard_negatives": an.e_hard_negatives,
         "w13_rolling_median": rl.w13_rolling_median,
         "j11_interval_join": rl.j11_interval_join,
         "g28_chi2": rl.g28_chi2,
@@ -460,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.annsearch import e_dim_stats_sql as _dim_stats_sql
     from lulu_crawler_ray.pipelines.annsearch import e_cov_matrix_sql as _cov_sql
     from lulu_crawler_ray.pipelines.annsearch import e_knn_graph_sql as _knn_graph_sql
+    from lulu_crawler_ray.pipelines.annsearch import e_hard_negatives_sql as _hardneg_sql
     from lulu_crawler_ray.pipelines.annsearch import e_maxsim_sql as _maxsim_sql
     from lulu_crawler_ray.pipelines.textops3 import (
         t_dsir_weights_sql as _to3_dsir_sql,
@@ -605,6 +607,9 @@ def oracle_sql() -> dict[str, str]:
         "t_ngram_novelty": _to3_novelty_sql(),
         "t_dsir_weights": _to3_dsir_sql(),
         "e_knn_graph": _knn_graph_sql(),
+        # hard-negative mining: same exact-int top-k shape with the
+        # anchor source cohort masked out
+        "e_hard_negatives": _hardneg_sql(),
         "w13_rolling_median": _w13_sql(),
         "j11_interval_join": _j11_sql(),
         "g28_chi2": _g28_sql(),

@@ -1455,3 +1455,88 @@ def e_hnsw_ivf_ann(
     cells = idx.artifact.read_for(np.unique(order.ravel()))
     parts = cells.groupby("cid").map_groups(per_cell, batch_format="pyarrow").to_pandas()
     return _finalize_topk(parts, k)
+
+
+def e_hard_negatives(
+    sf: str, k: int = 3, n_src: int = 4, dim_max: int = 2_000_000
+):
+    """HARD-NEGATIVE MINING for retrieval training (the DPR/contriever
+    recipe: for every anchor, the most-similar candidates from a
+    DIFFERENT source are the negatives that actually teach the
+    model — random negatives are too easy): top-``k`` exact
+    inner-product neighbors of every vector EXCLUDING its own source
+    cohort (src = vec_id % ``n_src``, the deterministic stand-in for
+    a real source column). Same shape as e_knn_graph — quantized
+    matrix broadcast once behind the loud ``dim_max`` bound, one
+    bit-exact float64-BLAS matmul per batch, per-row top-k with
+    (ip desc, neighbor asc) ties, no finalize merge; above the bound
+    it refuses toward the IVF route."""
+    emb = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+    refs, n = [], 0
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=65536):
+        n += b.num_rows
+        if n > dim_max:
+            raise ValueError(
+                f"e_hard_negatives: >{dim_max} vectors — use the "
+                "IVF-bucketed path at this scale"
+            )
+        if b.num_rows:
+            refs.append(ray.put(b))
+
+    @ray.remote
+    def build(*blocks: pa.Table):
+        t = pa.concat_tables(list(blocks)).combine_chunks()
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        m = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6)
+        o = np.argsort(ids, kind="stable")
+        return ids[o], m[o]
+
+    mat_ref = build.remote(*refs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(mat_ref)
+        all_src = all_ids % n_src
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        q = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6)
+        ip = q @ all_m.T  # exact: every partial sum < 2^53
+        # mask the anchor's whole source cohort (covers self too)
+        ip[all_src[None, :] == (ids % n_src)[:, None]] = -np.inf
+        kk = min(k, ip.shape[1] - 1)
+        order = np.lexsort((np.broadcast_to(all_ids, ip.shape), -ip), axis=1)[:, :kk]
+        out_v, out_n, out_s, out_r = [], [], [], []
+        for r in range(len(ids)):
+            sel = order[r]
+            keep = np.isfinite(ip[r, sel])  # degenerate: < k valid
+            sel = sel[keep]
+            out_v.extend([int(ids[r])] * len(sel))
+            out_n.extend(all_ids[sel].tolist())
+            out_s.extend(ip[r, sel].astype(np.int64).tolist())
+            out_r.extend(range(1, len(sel) + 1))
+        return pa.table(
+            {
+                "vec_id": pa.array(out_v, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "ip_e12": pa.array(out_s, pa.int64()),
+                "rnk": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(partial, batch_format="pyarrow").sort(["vec_id", "rnk"])
+
+
+def e_hard_negatives_sql(k: int = 3, n_src: int = 4) -> str:
+    return (
+        "WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v "
+        "FROM embeddings), "
+        "s AS (SELECT a.vec_id AS qid, b.vec_id AS nid, "
+        "CAST(SUM(a.v * b.v) AS BIGINT) AS ip FROM u a JOIN u b "
+        f"ON a.i = b.i AND a.vec_id % {n_src} <> b.vec_id % {n_src} "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT qid, nid, ip, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY ip DESC, nid) AS rn FROM s) "
+        "SELECT CAST(qid AS BIGINT) AS vec_id, CAST(nid AS BIGINT) AS neighbor_id, "
+        f"ip AS ip_e12, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= {k} "
+        "ORDER BY vec_id, rnk"
+    )
