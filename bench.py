@@ -169,7 +169,8 @@ def run_bench() -> dict:
         "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
         "video_clip_digest", "e_hnsw_ivf_ann", "t_prep_v5",
         "w23_cusum", "d12_entity_groups", "img_morph_digest",
-        "img_rle_digest", "audio_wht_digest",
+        "img_rle_digest", "audio_wht_digest", "img_palette_digest",
+        "e_hard_negatives",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

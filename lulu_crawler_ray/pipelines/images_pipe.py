@@ -1824,3 +1824,99 @@ def audio_wht_digest_query(sf: str) -> pa.Table:
     return _one_row_digest(
         tt, ["n_frames", "band0_l1", "band1_l1", "band2_l1", "band3_l1"]
     )
+
+
+def midcut_palette(img: np.ndarray, rounds: int = 2):
+    """Deterministic MID-CUT color quantization (the median-cut family,
+    Heckbert 1982, with the split point fixed at the channel
+    mid-range so the rule is integer-exact and order-free): starting
+    from one box holding every pixel, each round splits every
+    splittable box on its widest channel (ties to the lowest channel
+    index) at t = (lo + hi) // 2, left = v <= t — both sides are
+    provably non-empty when the range is positive, and a
+    zero-range (constant) box stays whole. Palette color per box is
+    the component-wise integer mean (sum // n). Returns
+    (palette (k,3) int64, labels (h,w) int64 box index in palette
+    order, l1_err = sum |pixel - palette[box]| over all channels).
+    Everything int64; no float anywhere."""
+    h, w, _ = img.shape
+    px = img.reshape(-1, 3).astype(np.int64)
+    labels = np.zeros(len(px), np.int64)
+    n_boxes = 1
+    for _ in range(rounds):
+        nxt = labels.copy()
+        new_n = 0
+        for b in range(n_boxes):
+            m = labels == b
+            if not m.any():
+                continue
+            sub = px[m]
+            lo = sub.min(axis=0)
+            hi = sub.max(axis=0)
+            rng = hi - lo
+            c = int(np.argmax(rng))  # argmax ties -> lowest index
+            if rng[c] == 0:
+                nxt[m] = new_n
+                new_n += 1
+                continue
+            t = (int(lo[c]) + int(hi[c])) // 2
+            left = sub[:, c] <= t
+            ids = np.where(m)[0]
+            nxt[ids[left]] = new_n
+            nxt[ids[~left]] = new_n + 1
+            new_n += 2
+        labels, n_boxes = nxt, new_n
+    pal = np.zeros((n_boxes, 3), np.int64)
+    for b in range(n_boxes):
+        m = labels == b
+        if m.any():
+            pal[b] = px[m].sum(axis=0) // int(m.sum())
+    err = int(np.abs(px - pal[labels]).sum())
+    return pal, labels.reshape(h, w), err
+
+
+class PaletteStage:
+    """Actor-pool stage: mid-cut COLOR QUANTIZATION per image — the
+    dominant-color / palette-extraction pass image search and
+    curation run (group by palette, filter monochrome screenshots,
+    cheap color-similarity blocking before pixel-level comparison).
+    Emits per image the box count, an order-sensitive palette witness
+    (sum over boxes of (idx+1) * packed RGB), and the exact L1
+    quantization error; kept honest by an independent per-pixel
+    re-derivation of the same split rule in tests/test_kernels.py."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        nb_l, wit_l, err_l = [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            pal, _labels, err = midcut_palette(img)
+            packed = pal[:, 0] * 65536 + pal[:, 1] * 256 + pal[:, 2]
+            rank = np.arange(1, len(pal) + 1, dtype=np.int64)
+            nb_l.append(len(pal))
+            wit_l.append(int((rank * packed).sum()))
+            err_l.append(err)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "n_boxes": pa.array(nb_l, pa.int64()),
+                "pal_wsum": pa.array(wit_l, pa.int64()),
+                "l1_err": pa.array(err_l, pa.int64()),
+            }
+        )
+
+
+def img_palette_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): mid-cut palette extraction
+    over the deterministic fixture, one digest row. Pin kept honest by
+    the naive re-derivation + constant-image / two-color property
+    tests in tests/test_kernels.py."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    plt = ds.map_batches(
+        PaletteStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(plt.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    return _one_row_digest(t, ["n_boxes", "pal_wsum", "l1_err"])

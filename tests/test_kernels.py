@@ -978,3 +978,53 @@ def test_wht_parseval_and_naive_hadamard():
         )
     with pytest.raises(ValueError):
         wht_fast(np.zeros(6, np.int64))
+
+
+def test_midcut_palette_matches_naive_and_degenerates():
+    """midcut_palette vs an independent per-pixel implementation of
+    the same split rule, plus the constant-image (1 box, 0 error) and
+    exact-two-color (error 0 with enough rounds) degenerates."""
+    import numpy as np
+
+    from lulu_crawler_ray.pipelines.images_pipe import midcut_palette
+
+    def naive(img, rounds=2):
+        px = [tuple(int(v) for v in p) for p in img.reshape(-1, 3)]
+        boxes = [list(range(len(px)))]
+        for _ in range(rounds):
+            out = []
+            for box in boxes:
+                los = [min(px[i][c] for i in box) for c in range(3)]
+                his = [max(px[i][c] for i in box) for c in range(3)]
+                rngs = [h - l for h, l in zip(his, los)]
+                c = rngs.index(max(rngs))
+                if rngs[c] == 0:
+                    out.append(box)
+                    continue
+                t = (los[c] + his[c]) // 2
+                out.append([i for i in box if px[i][c] <= t])
+                out.append([i for i in box if px[i][c] > t])
+            boxes = out
+        pal, err = [], 0
+        for box in boxes:
+            col = [sum(px[i][c] for i in box) // len(box) for c in range(3)]
+            pal.append(col)
+            err += sum(abs(px[i][c] - col[c]) for i in box for c in range(3))
+        return np.array(pal, np.int64), err
+
+    rng = np.random.default_rng(9)
+    for _ in range(5):
+        img = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+        pal_f, _lab, err_f = midcut_palette(img)
+        pal_n, err_n = naive(img)
+        assert (pal_f == pal_n).all()
+        assert err_f == err_n
+
+    const = np.full((4, 4, 3), 77, np.uint8)
+    pal, lab, err = midcut_palette(const)
+    assert len(pal) == 1 and err == 0 and (pal[0] == 77).all()
+
+    two = np.zeros((4, 4, 3), np.uint8)
+    two[:, 2:] = 200
+    pal, lab, err = midcut_palette(two, rounds=2)
+    assert err == 0  # two pure colors separate exactly
