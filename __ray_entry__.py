@@ -117,6 +117,7 @@ _PRIORITY_R5 = [
     # bit-exact pytest oracle row (dtype-checked DuckDB gate), so a
     # driver re-check is a bonus, not a need
     "w18_ewm8", "d11_edit_pairs", "d12_entity_groups", "w22_scd_intervals", "w23_cusum",
+    "g32_quartiles", "s16_jsonl_gz_roundtrip",
     "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
@@ -332,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w22_scd_intervals": rl2.w22_scd_intervals,
         "w23_cusum": rl2.w23_cusum,
         "d12_entity_groups": rl2.d12_entity_groups,
+        "g32_quartiles": rl2.g32_quartiles,
+        "s16_jsonl_gz_roundtrip": rl2.s16_jsonl_gz_roundtrip,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
@@ -504,6 +507,8 @@ def oracle_sql() -> dict[str, str]:
         w19_windowed_topk_sql as _w19_sql,
         w23_cusum_sql as _w23_sql,
         d12_entity_groups_sql as _d12grp_sql,
+        g32_quartiles_sql as _g32_sql,
+        s16_jsonl_gz_roundtrip_sql as _s16_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -563,6 +568,10 @@ def oracle_sql() -> dict[str, str]:
         # entity resolution: transitive closure of the d11 edit-pair
         # graph, min-name representative (recursive min-root CTE oracle)
         "d12_entity_groups": _d12grp_sql(),
+        # exact grouped quartiles (pinned ceil(p*n/4) rank rule) and
+        # the gzip-JSONL shard roundtrip (content equality after decode)
+        "g32_quartiles": _g32_sql(),
+        "s16_jsonl_gz_roundtrip": _s16_sql(),
         # golden-pin digest: integer-exact histogram equalization
         # (floor-division LUT; per-pixel re-derivation in
         # tests/test_kernels.py keeps the pin honest)

@@ -170,7 +170,7 @@ def run_bench() -> dict:
         "video_clip_digest", "e_hnsw_ivf_ann", "t_prep_v5",
         "w23_cusum", "d12_entity_groups", "img_morph_digest",
         "img_rle_digest", "audio_wht_digest", "img_palette_digest",
-        "e_hard_negatives",
+        "e_hard_negatives", "g32_quartiles", "s16_jsonl_gz_roundtrip",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -1177,3 +1177,161 @@ def d12_entity_groups_sql(max_dist: int = 2) -> str:
         "SELECT node AS p_name, MIN(root) AS rep FROM reach GROUP BY node "
         "ORDER BY p_name"
     )
+
+
+# --------------------------------------------------- g32 quartiles
+
+
+def g32_quartiles(sf: str):
+    """EXACT grouped quartiles (PERCENTILE_DISC semantics: the
+    ceil(p*n/4)-th smallest value, a single order statistic — no
+    averaging, so the contract never leaves the integer domain) plus
+    the IQR, the robust-spread diagnostic that pairs with w20's MAD:
+    q1/med/q3 at ranks (p*n+3)//4 for p = 1,2,3 over e4-quantized
+    event values per event_type. Scale shape: the g27/g31 count-table
+    combiner — per-batch grouped value counts shuffle only
+    (group x distinct-e4-value x blocks) rows, then a result-sized
+    fold walks each group's sorted cumulative counts to all three
+    ranks in one pass. The count table is value-domain-bounded, never
+    row-bounded; above that domain g20's streaming histogram-quantile
+    is the fallback."""
+    from .relational import _e_units
+
+    ds = read_table(sf, "events", ["event_type", "value"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = _e_units(t["value"].to_numpy(zero_copy_only=False), 10000.0)
+        return (
+            pa.table({"event_type": t["event_type"], "v_e4": pa.array(v)})
+            .group_by(["event_type", "v_e4"])
+            .aggregate([("v_e4", "count")])
+            .rename_columns(["event_type", "v_e4", "cnt"])
+        )
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby(["event_type", "v_e4"], as_index=False)["cnt"].sum()
+    out = {"event_type": [], "n": [], "q1_e4": [], "med_e4": [], "q3_e4": [], "iqr_e4": []}
+    for et, g in merged.groupby("event_type", sort=True):
+        g = g.sort_values("v_e4")
+        v = g["v_e4"].to_numpy()
+        cum = np.cumsum(g["cnt"].to_numpy().astype(np.int64))
+        n = int(cum[-1])
+        q = [int(v[np.searchsorted(cum, (p * n + 3) // 4)]) for p in (1, 2, 3)]
+        out["event_type"].append(et)
+        out["n"].append(n)
+        out["q1_e4"].append(q[0])
+        out["med_e4"].append(q[1])
+        out["q3_e4"].append(q[2])
+        out["iqr_e4"].append(q[2] - q[0])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "q1_e4": pa.array(out["q1_e4"], pa.int64()),
+            "med_e4": pa.array(out["med_e4"], pa.int64()),
+            "q3_e4": pa.array(out["q3_e4"], pa.int64()),
+            "iqr_e4": pa.array(out["iqr_e4"], pa.int64()),
+        }
+    )
+
+
+def g32_quartiles_sql() -> str:
+    """The same ceil(p*n/4) order statistics via ROW_NUMBER (explicit
+    rather than quantile_disc so the rank rule is pinned, not
+    engine-defined)."""
+    return (
+        "WITH r AS (SELECT event_type, "
+        "CAST(ROUND(value * 10000, 0) AS BIGINT) AS v FROM events), "
+        "o AS (SELECT event_type, v, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM r), "
+        "q AS (SELECT event_type, MAX(n) AS n, "
+        "MAX(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1_e4, "
+        "MAX(CASE WHEN rn = (2 * n + 3) // 4 THEN v END) AS med_e4, "
+        "MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3_e4 "
+        "FROM o GROUP BY event_type) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n, q1_e4, med_e4, q3_e4, "
+        "q3_e4 - q1_e4 AS iqr_e4 FROM q ORDER BY event_type"
+    )
+
+
+# ------------------------------------------- s16 gzip JSONL source
+
+
+def s16_jsonl_gz_roundtrip(sf: str):
+    """S16 — GZIP-COMPRESSED JSONL sink/source roundtrip, the
+    Common-Crawl-style shard format (.jsonl.gz is how web-scale text
+    corpora actually ship): documents write as one gzip JSONL shard
+    per batch through a custom map_batches sink (Ray Data's write_json
+    has no compression hook on this stack), read back via
+    read_binary_files -> per-file gunzip + json parse, and must
+    hash-equal a plain SELECT over the parquet original. Both
+    directions stream — a shard is decompressed by the worker that
+    reads it, never on the driver; compression is stdlib zlib
+    (deterministic here, but the CONTRACT is content equality after
+    decode, never byte equality of the .gz)."""
+    import gzip
+    import json as _json
+    import os
+    import shutil
+
+    from .relational import _roundtrip_dir
+
+    cols = ["doc_id", "text", "lang", "source"]
+    ds = read_table(sf, "documents", cols)
+    out = _roundtrip_dir("jsonlgz", sf)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        rows = [
+            {c: t[c][i].as_py() for c in cols} for i in range(t.num_rows)
+        ]
+        payload = "\n".join(
+            _json.dumps(r, ensure_ascii=False, sort_keys=True) for r in rows
+        )
+        # shard name from the content hash: deterministic, collision-free
+        # across parallel writers, no driver-coordinated counter
+        import hashlib
+
+        name = hashlib.sha1(payload.encode()).hexdigest()[:16]
+        with gzip.open(os.path.join(out, f"part-{name}.jsonl.gz"), "wt", encoding="utf-8") as f:
+            f.write(payload)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    # materialize the write (count rows written)
+    sum(
+        b["n"].to_numpy().sum()
+        for b in ds.map_batches(write_shard, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+
+    back = ray.data.read_binary_files(out)
+
+    def parse_shard(t: pa.Table) -> pa.Table:
+        recs = []
+        for blob in t["bytes"].to_pylist():
+            # Ray's read_binary_files auto-gunzips by .gz extension on
+            # this stack; gate on the gzip magic so the parser is
+            # correct either way (and on readers without the hook)
+            raw = gzip.decompress(blob) if blob[:2] == b"\x1f\x8b" else blob
+            for line in raw.decode("utf-8").splitlines():
+                if line:
+                    recs.append(_json.loads(line))
+        return pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in recs], pa.int64()),
+                "text": pa.array([r["text"] for r in recs], pa.string()),
+                "lang": pa.array([r["lang"] for r in recs], pa.string()),
+                "source": pa.array([r["source"] for r in recs], pa.string()),
+            }
+        )
+
+    return back.map_batches(parse_shard, batch_format="pyarrow").sort("doc_id")
+
+
+def s16_jsonl_gz_roundtrip_sql() -> str:
+    return (
+        "SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"
+    )
