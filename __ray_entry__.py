@@ -134,6 +134,7 @@ _PRIORITY_R5 = [
     # continuation-session corpus/analytics ops: n-gram novelty, DSIR
     # importance weights, exact kNN graph, rolling per-key median
     "t_ngram_novelty", "t_dsir_weights", "e_knn_graph", "e_hard_negatives",
+    "e_mrl_overlap",
     "w13_rolling_median", "j11_interval_join", "g28_chi2", "e_maxsim",
     "d10_intersect_all", "img_patchify_digest", "w15_daily_extremes",
     "w14_gap_fill", "g29_bitwise", "e_dim_stats", "e_cov_matrix",
@@ -293,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_dsir_weights": to3.t_dsir_weights,
         "e_knn_graph": an.e_knn_graph,
         "e_hard_negatives": an.e_hard_negatives,
+        "e_mrl_overlap": an.e_mrl_overlap,
         "w13_rolling_median": rl.w13_rolling_median,
         "j11_interval_join": rl.j11_interval_join,
         "g28_chi2": rl.g28_chi2,
@@ -466,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.annsearch import e_cov_matrix_sql as _cov_sql
     from lulu_crawler_ray.pipelines.annsearch import e_knn_graph_sql as _knn_graph_sql
     from lulu_crawler_ray.pipelines.annsearch import e_hard_negatives_sql as _hardneg_sql
+    from lulu_crawler_ray.pipelines.annsearch import e_mrl_overlap_sql as _mrl_sql
     from lulu_crawler_ray.pipelines.annsearch import e_maxsim_sql as _maxsim_sql
     from lulu_crawler_ray.pipelines.textops3 import (
         t_dsir_weights_sql as _to3_dsir_sql,
@@ -620,6 +623,9 @@ def oracle_sql() -> dict[str, str]:
         # hard-negative mining: same exact-int top-k shape with the
         # anchor source cohort masked out
         "e_hard_negatives": _hardneg_sql(),
+        # Matryoshka truncation diagnostic: top-k overlap between the
+        # full-dim and prefix-dim exact rankings
+        "e_mrl_overlap": _mrl_sql(),
         "w13_rolling_median": _w13_sql(),
         "j11_interval_join": _j11_sql(),
         "g28_chi2": _g28_sql(),

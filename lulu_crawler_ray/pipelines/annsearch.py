@@ -1540,3 +1540,96 @@ def e_hard_negatives_sql(k: int = 3, n_src: int = 4) -> str:
         f"ip AS ip_e12, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= {k} "
         "ORDER BY vec_id, rnk"
     )
+
+
+def e_mrl_overlap(
+    sf: str, k: int = 3, prefix_dims: int = 16, dim_max: int = 2_000_000
+):
+    """MATRYOSHKA truncation diagnostic (Kusupati et al. 2022 — MRL
+    embeddings are trained so a prefix of the vector is itself a
+    usable embedding): for every anchor, compute the exact top-``k``
+    inner-product neighbors under the FULL vector and under the first
+    ``prefix_dims`` dimensions, and emit how many neighbors the
+    truncated ranking retains (n_overlap in 0..k) — the measurement a
+    team runs before shipping truncated vectors to cut ANN index cost
+    4x. One broadcast (both matrices derive from the same ref), two
+    bit-exact e6-integer matmuls per batch, set intersection per
+    anchor; the loud ``dim_max`` bound and the IVF refusal mirror
+    e_knn_graph."""
+    emb = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+    refs, n = [], 0
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=65536):
+        n += b.num_rows
+        if n > dim_max:
+            raise ValueError(
+                f"e_mrl_overlap: >{dim_max} vectors — run per IVF cell at "
+                "this scale"
+            )
+        if b.num_rows:
+            refs.append(ray.put(b))
+
+    @ray.remote
+    def build(*blocks: pa.Table):
+        t = pa.concat_tables(list(blocks)).combine_chunks()
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        m = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6)
+        o = np.argsort(ids, kind="stable")
+        return ids[o], m[o]
+
+    mat_ref = build.remote(*refs)
+
+    def _topk_sets(q: np.ndarray, m: np.ndarray, ids, all_ids, kk):
+        ip = q @ m.T
+        self_col = np.searchsorted(all_ids, ids)
+        rows = np.arange(len(ids))
+        hit = (self_col < len(all_ids)) & (
+            all_ids[np.minimum(self_col, len(all_ids) - 1)] == ids
+        )
+        ip[rows[hit], self_col[hit]] = -np.inf
+        return np.lexsort((np.broadcast_to(all_ids, ip.shape), -ip), axis=1)[:, :kk]
+
+    def partial(t: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(mat_ref)
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        q = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6)
+        kk = min(k, len(all_ids) - 1)
+        full = _topk_sets(q, all_m, ids, all_ids, kk)
+        trunc = _topk_sets(
+            q[:, :prefix_dims], all_m[:, :prefix_dims], ids, all_ids, kk
+        )
+        ov = [
+            len(set(all_ids[full[r]]) & set(all_ids[trunc[r]]))
+            for r in range(len(ids))
+        ]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "n_overlap": pa.array(ov, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(partial, batch_format="pyarrow").sort("vec_id")
+
+
+def e_mrl_overlap_sql(k: int = 3, prefix_dims: int = 16) -> str:
+    def knn(name: str, where: str) -> str:
+        return (
+            f"{name} AS (SELECT qid, nid FROM (SELECT a.vec_id AS qid, "
+            "b.vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY a.vec_id "
+            "ORDER BY SUM(a.v * b.v) DESC, b.vec_id) AS rn FROM u a JOIN u b "
+            f"ON a.i = b.i AND a.vec_id <> b.vec_id {where} "
+            f"GROUP BY a.vec_id, b.vec_id) WHERE rn <= {k})"
+        )
+
+    return (
+        "WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v "
+        "FROM embeddings), "
+        + knn("kf", "")
+        + ", "
+        + knn("kt", f"AND a.i <= {prefix_dims}")
+        + " SELECT kf.qid AS vec_id, CAST(COUNT(kt.nid) AS BIGINT) AS n_overlap "
+        "FROM kf LEFT JOIN kt ON kf.qid = kt.qid AND kf.nid = kt.nid "
+        "GROUP BY kf.qid ORDER BY vec_id"
+    )
