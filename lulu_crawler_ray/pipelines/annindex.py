@@ -120,6 +120,12 @@ class BucketIndexArtifact:
     # ---------------------------------------------------------------- probe
     def _shard_dirs(self) -> dict[int, str]:
         base = os.path.join(self.root, "data")
+        if not os.path.isdir(base):
+            raise ValueError(
+                f"index artifact at {self.root} was removed from disk after "
+                "this handle was built — rebuild via build_or_load (a cached "
+                "index object does not survive artifact cleanup)"
+            )
         out = {}
         for d in os.listdir(base):
             if d.startswith("shard="):

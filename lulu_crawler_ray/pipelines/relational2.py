@@ -1089,9 +1089,11 @@ def w23_cusum_sql(drift_c: int = 6000, h_c: int = 50000) -> str:
     return (
         "WITH e AS (SELECT user_id, ts, event_id, "
         f"CAST(ROUND(value * 100, 0) AS BIGINT) - {drift_c} AS y FROM events), "
-        "p AS (SELECT user_id, ts, event_id, SUM(y) OVER "
+        # CAST: DuckDB's window SUM on BIGINT yields HUGEINT, which
+        # pandas materializes as float64 and the driver hash rejects
+        "p AS (SELECT user_id, ts, event_id, CAST(SUM(y) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
-        "AS p FROM e), "
+        "AS BIGINT) AS p FROM e), "
         "s AS (SELECT user_id, event_id, p - LEAST(CAST(0 AS BIGINT), "
         "MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING)) AS s_c FROM p) "

@@ -419,10 +419,20 @@ def test_cosine_hot_group_blocking_recall():
 
 
 def _clear_ann_artifacts():
+    """Wipe the durable ANN artifact root AND every in-process index
+    cache: the root is shared by the LSH/IVF/PQ families, so clearing
+    only one family's cache leaves the others holding objects whose
+    files are gone (observed: a warm _IVF_CACHE after the PQ test's
+    clear crashed the per-cell-HNSW test's read_for)."""
     import shutil
 
+    from lulu_crawler_ray.pipelines import annsearch as _an
+    from lulu_crawler_ray.pipelines import pq as _pqm
     from lulu_crawler_ray.pipelines.annindex import _DEFAULT_ROOT
 
+    _an._LSH_CACHE.clear()
+    _an._IVF_CACHE.clear()
+    _pqm._PQ_CACHE.clear()
     shutil.rmtree(_DEFAULT_ROOT, ignore_errors=True)
 
 
