@@ -117,7 +117,7 @@ _PRIORITY_R5 = [
     # bit-exact pytest oracle row (dtype-checked DuckDB gate), so a
     # driver re-check is a bonus, not a need
     "w18_ewm8", "d11_edit_pairs", "d12_entity_groups", "w22_scd_intervals", "w23_cusum",
-    "g32_quartiles", "s16_jsonl_gz_roundtrip",
+    "g32_quartiles", "s16_jsonl_gz_roundtrip", "d13_upsert",
     "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d12_entity_groups": rl2.d12_entity_groups,
         "g32_quartiles": rl2.g32_quartiles,
         "s16_jsonl_gz_roundtrip": rl2.s16_jsonl_gz_roundtrip,
+        "d13_upsert": rl2.d13_upsert,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
@@ -512,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         d12_entity_groups_sql as _d12grp_sql,
         g32_quartiles_sql as _g32_sql,
         s16_jsonl_gz_roundtrip_sql as _s16_sql,
+        d13_upsert_sql as _d13_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -575,6 +577,9 @@ def oracle_sql() -> dict[str, str]:
         # the gzip-JSONL shard roundtrip (content equality after decode)
         "g32_quartiles": _g32_sql(),
         "s16_jsonl_gz_roundtrip": _s16_sql(),
+        # SCD-1 MERGE/upsert: last-writer-wins argmax via the
+        # combiner-then-co-partition witness discipline
+        "d13_upsert": _d13_sql(),
         # golden-pin digest: integer-exact histogram equalization
         # (floor-division LUT; per-pixel re-derivation in
         # tests/test_kernels.py keeps the pin honest)

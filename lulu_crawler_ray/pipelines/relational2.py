@@ -1337,3 +1337,97 @@ def s16_jsonl_gz_roundtrip_sql() -> str:
     return (
         "SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"
     )
+
+
+# ------------------------------------------------------ d13 upsert
+
+
+def d13_upsert(sf: str):
+    """LAKEHOUSE UPSERT / MERGE-INTO (SCD-1 last-writer-wins): apply a
+    CDC delta stream onto a base table so each key's newest version
+    wins — the maintenance op every incremental-ingest pipeline runs.
+    Base = orders at version 0; deltas = a deterministic synthetic CDC
+    batch (every o_orderkey % 7 == 0 re-arrives at version 1 with
+    status 'U' and price + 1.00). Scale shape: the w15 witness-merge
+    discipline — base and deltas UNION as one stream, a per-batch
+    combiner keeps only each key's max-version row per block (so the
+    shuffle carries keys x blocks rows, never the multiset), one key
+    co-partition finishes the argmax with the same kernel. No driver
+    state; version is distinct per key by construction, so the
+    (key, version desc) argmax has no ties."""
+    from .relational import _hash_partitioned
+
+    base = read_table(sf, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        price_c = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "status": t["o_orderstatus"],
+                "price_c": pa.array(price_c),
+                "version": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def make_deltas(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ok % 7 == 0
+        price_c = (
+            np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(
+                np.int64
+            )[keep]
+            + 100
+        )
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[keep]),
+                "status": pa.array(["U"] * n, pa.string()),
+                "price_c": pa.array(price_c),
+                "version": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    stream = base.map_batches(tag_base, batch_format="pyarrow").union(
+        base.map_batches(make_deltas, batch_format="pyarrow")
+    )
+
+    def keep_newest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        ver = t["version"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-ver, ok))
+        first = np.r_[True, ok[order][1:] != ok[order][:-1]]
+        return t.take(pa.array(order[first]))
+
+    # per-batch combiner first: the shuffle then carries at most one
+    # row per (key, block) instead of the unioned multiset
+    combined = stream.map_batches(keep_newest, batch_format="pyarrow")
+    merged = (
+        _hash_partitioned(combined, "o_orderkey", _npart())
+        .map_groups(keep_newest, batch_format="pyarrow")
+    )
+    return merged.map_batches(
+        lambda t: t.drop_columns(["__part"]) if "__part" in t.column_names else t,
+        batch_format="pyarrow",
+    ).sort("o_orderkey")
+
+
+def d13_upsert_sql() -> str:
+    return (
+        "WITH base AS (SELECT o_orderkey, o_orderstatus AS status, "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c, "
+        "CAST(0 AS BIGINT) AS version FROM orders), "
+        "deltas AS (SELECT o_orderkey, 'U' AS status, "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 100 AS price_c, "
+        "CAST(1 AS BIGINT) AS version FROM orders WHERE o_orderkey % 7 = 0), "
+        "u AS (SELECT * FROM base UNION ALL SELECT * FROM deltas), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey "
+        "ORDER BY version DESC) AS rn FROM u) "
+        "SELECT o_orderkey, status, price_c, version FROM r WHERE rn = 1 "
+        "ORDER BY o_orderkey"
+    )
