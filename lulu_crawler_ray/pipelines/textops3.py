@@ -850,3 +850,87 @@ def t_prep_v5_sql(
         "CAST(SUM(nw) AS BIGINT) AS sum_words "
         "FROM kept GROUP BY source ORDER BY source"
     )
+
+
+# ------------------------------------------- t_span_corruption
+
+
+def t_span_corruption(sf: str, rate_pct: int = 15, salt: int = 1_000_003):
+    """T5-style SPAN-CORRUPTION statistics (Raffel et al. 2020): the
+    denoising objective masks ~15% of tokens in contiguous spans; the
+    pre-training data pipeline wants, per document, how many tokens
+    and how many SPANS that yields (sentinel count = span count, and
+    the packed target length is n_masked + n_spans). The random draw
+    is replaced by the repo's deterministic hash surrogate (the o10
+    idiom): token i of doc d masks iff mix32(d * salt + i) % 100 <
+    ``rate_pct``, and a span STARTS at i iff mask(i) and not
+    mask(i-1) — both engines evaluate the predicate by re-hashing
+    i-1, so no window function and no order dependence anywhere.
+    ONE zero-shuffle streaming pass: tokens count via one RE2 kernel,
+    the per-token hashes vectorize over the exploded index ranges
+    (list-offset arithmetic, no per-row Python loop)."""
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+    M32 = np.uint64(4294967296)
+    MULT = np.uint64(2654435761)
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = (
+            pc.count_substring_regex(t["text"], pattern=r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exploded (doc, i) index ranges via offsets — vectorized
+        off = np.r_[np.int64(0), np.cumsum(n)]
+        tot = int(off[-1])
+        didx = np.repeat(np.arange(len(doc), dtype=np.int64), n)
+        i = np.arange(tot, dtype=np.int64) - off[didx] + 1  # 1-based
+        key = (doc[didx] * np.int64(salt) + i).astype(np.uint64)
+        mask = ((key * MULT) % M32) % np.uint64(100) < np.uint64(rate_pct)
+        keyp = (doc[didx] * np.int64(salt) + (i - 1)).astype(np.uint64)
+        maskp = ((keyp * MULT) % M32) % np.uint64(100) < np.uint64(rate_pct)
+        start = mask & ((i == 1) | ~maskp)
+        n_masked = np.bincount(didx, weights=mask, minlength=len(doc)).astype(
+            np.int64
+        )
+        n_spans = np.bincount(didx, weights=start, minlength=len(doc)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "n_tokens": pa.array(n),
+                "n_masked": pa.array(n_masked),
+                "n_spans": pa.array(n_spans),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def t_span_corruption_sql(rate_pct: int = 15, salt: int = 1_000_003) -> str:
+    def mask(expr: str) -> str:
+        # HUGEINT mirror of mix32: (key * 2654435761) % 2^32 % 100
+        return (
+            f"(((CAST({expr} AS HUGEINT) * 2654435761) % 4294967296) % 100) "
+            f"< {rate_pct}"
+        )
+
+    k = f"(doc_id * {salt} + i)"
+    kp = f"(doc_id * {salt} + i - 1)"
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n "
+        "FROM documents), "
+        "idx AS (SELECT doc_id, n, UNNEST(generate_series(1, n)) AS i "
+        "FROM tok), "
+        "m AS (SELECT doc_id, i, "
+        f"CASE WHEN {mask(k)} THEN 1 ELSE 0 END AS msk, "
+        f"CASE WHEN {mask(k)} AND (i = 1 OR NOT ({mask(kp)})) "
+        "THEN 1 ELSE 0 END AS st FROM idx) "
+        "SELECT tok.doc_id, tok.n AS n_tokens, "
+        "CAST(COALESCE(SUM(m.msk), 0) AS BIGINT) AS n_masked, "
+        "CAST(COALESCE(SUM(m.st), 0) AS BIGINT) AS n_spans "
+        "FROM tok LEFT JOIN m ON tok.doc_id = m.doc_id "
+        "GROUP BY tok.doc_id, tok.n ORDER BY tok.doc_id"
+    )
