@@ -117,7 +117,7 @@ _PRIORITY_R5 = [
     # bit-exact pytest oracle row (dtype-checked DuckDB gate), so a
     # driver re-check is a bonus, not a need
     "w18_ewm8", "d11_edit_pairs", "d12_entity_groups", "w22_scd_intervals", "w23_cusum",
-    "g32_quartiles", "s16_jsonl_gz_roundtrip", "d13_upsert",
+    "g32_quartiles", "s16_jsonl_gz_roundtrip", "d13_upsert", "t_span_corruption",
     "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_quality_clf": to3.t_quality_clf,
         "t_doc_embed": to3.t_doc_embed,
         "t_prep_v5": to3.t_prep_v5,
+        "t_span_corruption": to3.t_span_corruption,
         "t_token_count": to.t_token_count,
         "t_bpe_tokens": to.t_bpe_tokens,
         "t_bpe_real": to.t_bpe_real,
@@ -522,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         t_quality_clf_sql as _qclf_sql,
         t_doc_embed_sql as _dembed_sql,
         t_prep_v5_sql as _prep5_sql,
+        t_span_corruption_sql as _spanc_sql,
     )
 
     base = {
@@ -553,6 +555,9 @@ def oracle_sql() -> dict[str, str]:
         # v5 capstone: structural gates + classifier gate + exact
         # dedup + per-source mix, one composed CTE chain
         "t_prep_v5": _prep5_sql(),
+        # T5 span-corruption stats: splitmix64 Bernoulli masking,
+        # span starts by (doc, i-1) self-join on the oracle side
+        "t_span_corruption": _spanc_sql(),
         # bloom pre-filtered exact semi join (zero false negatives by
         # construction; false positives removed by the exact pass)
         "j12_bloom_semi": _j12_sql(),

@@ -861,17 +861,22 @@ def t_span_corruption(sf: str, rate_pct: int = 15, salt: int = 1_000_003):
     pre-training data pipeline wants, per document, how many tokens
     and how many SPANS that yields (sentinel count = span count, and
     the packed target length is n_masked + n_spans). The random draw
-    is replaced by the repo's deterministic hash surrogate (the o10
-    idiom): token i of doc d masks iff mix32(d * salt + i) % 100 <
-    ``rate_pct``, and a span STARTS at i iff mask(i) and not
-    mask(i-1) — both engines evaluate the predicate by re-hashing
-    i-1, so no window function and no order dependence anywhere.
-    ONE zero-shuffle streaming pass: tokens count via one RE2 kernel,
-    the per-token hashes vectorize over the exploded index ranges
-    (list-offset arithmetic, no per-row Python loop)."""
+    is the repo's splitmix64 hash surrogate — mix64(doc * salt + i)
+    % 100 < ``rate_pct`` — NOT the weaker Knuth multiplicative hash:
+    sequential keys under key*C % 2^32 shift by a constant mod 100,
+    so adjacent tokens (almost) never co-mask and every span
+    degenerates to length 1 (caught in-session by the avg-span
+    diagnostic; splitmix64's xor-shift cascade restores the
+    independent-Bernoulli span-length law ~1/(1-p)). A span STARTS
+    where mask(i) and not mask(i-1). ONE zero-shuffle streaming pass:
+    tokens count via one RE2 kernel, hashes vectorize over the
+    exploded index ranges (list-offset arithmetic), prev-mask is a
+    shift with doc-boundary reset. The DuckDB oracle runs the same
+    x0..x5 HUGEINT chain as the minhash oracles and takes prev-mask
+    by a (doc_id, i-1) self-join."""
+    from ..functions.hll import _mix64
+
     ds = read_table(sf, "documents", ["doc_id", "text"])
-    M32 = np.uint64(4294967296)
-    MULT = np.uint64(2654435761)
 
     def stats(t: pa.Table) -> pa.Table:
         n = (
@@ -880,16 +885,14 @@ def t_span_corruption(sf: str, rate_pct: int = 15, salt: int = 1_000_003):
             .astype(np.int64)
         )
         doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # exploded (doc, i) index ranges via offsets — vectorized
         off = np.r_[np.int64(0), np.cumsum(n)]
         tot = int(off[-1])
         didx = np.repeat(np.arange(len(doc), dtype=np.int64), n)
         i = np.arange(tot, dtype=np.int64) - off[didx] + 1  # 1-based
         key = (doc[didx] * np.int64(salt) + i).astype(np.uint64)
-        mask = ((key * MULT) % M32) % np.uint64(100) < np.uint64(rate_pct)
-        keyp = (doc[didx] * np.int64(salt) + (i - 1)).astype(np.uint64)
-        maskp = ((keyp * MULT) % M32) % np.uint64(100) < np.uint64(rate_pct)
-        start = mask & ((i == 1) | ~maskp)
+        mask = _mix64(key) % np.uint64(100) < np.uint64(rate_pct)
+        prev = np.r_[False, mask[:-1]] & (i != 1)  # reset at doc start
+        start = mask & ~prev
         n_masked = np.bincount(didx, weights=mask, minlength=len(doc)).astype(
             np.int64
         )
@@ -909,28 +912,29 @@ def t_span_corruption(sf: str, rate_pct: int = 15, salt: int = 1_000_003):
 
 
 def t_span_corruption_sql(rate_pct: int = 15, salt: int = 1_000_003) -> str:
-    def mask(expr: str) -> str:
-        # HUGEINT mirror of mix32: (key * 2654435761) % 2^32 % 100
-        return (
-            f"(((CAST({expr} AS HUGEINT) * 2654435761) % 4294967296) % 100) "
-            f"< {rate_pct}"
-        )
+    from .minhash_oracle import _C1, _C2, _GOLD, _M64, _mul64
 
-    k = f"(doc_id * {salt} + i)"
-    kp = f"(doc_id * {salt} + i - 1)"
     return (
         "WITH tok AS (SELECT doc_id, "
         r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n "
         "FROM documents), "
         "idx AS (SELECT doc_id, n, UNNEST(generate_series(1, n)) AS i "
         "FROM tok), "
-        "m AS (SELECT doc_id, i, "
-        f"CASE WHEN {mask(k)} THEN 1 ELSE 0 END AS msk, "
-        f"CASE WHEN {mask(k)} AND (i = 1 OR NOT ({mask(kp)})) "
-        "THEN 1 ELSE 0 END AS st FROM idx) "
+        "hx AS (SELECT doc_id, i, "
+        f"(CAST(doc_id AS HUGEINT) * {salt} + i + {_GOLD}) % {_M64} AS x0, "
+        "xor(x0, x0 >> 30) AS x1, "
+        f"{_mul64('x1', _C1)} AS x2, "
+        "xor(x2, x2 >> 27) AS x3, "
+        f"{_mul64('x3', _C2)} AS x4, "
+        "xor(x4, x4 >> 31) AS x5 FROM idx), "
+        f"m AS (SELECT doc_id, i, CASE WHEN x5 % 100 < {rate_pct} "
+        "THEN 1 ELSE 0 END AS msk FROM hx), "
+        "st AS (SELECT m.doc_id, m.msk, CASE WHEN m.msk = 1 AND "
+        "COALESCE(p.msk, 0) = 0 THEN 1 ELSE 0 END AS st FROM m "
+        "LEFT JOIN m p ON p.doc_id = m.doc_id AND p.i = m.i - 1) "
         "SELECT tok.doc_id, tok.n AS n_tokens, "
-        "CAST(COALESCE(SUM(m.msk), 0) AS BIGINT) AS n_masked, "
-        "CAST(COALESCE(SUM(m.st), 0) AS BIGINT) AS n_spans "
-        "FROM tok LEFT JOIN m ON tok.doc_id = m.doc_id "
+        "CAST(COALESCE(SUM(st.msk), 0) AS BIGINT) AS n_masked, "
+        "CAST(COALESCE(SUM(st.st), 0) AS BIGINT) AS n_spans "
+        "FROM tok LEFT JOIN st ON tok.doc_id = st.doc_id "
         "GROUP BY tok.doc_id, tok.n ORDER BY tok.doc_id"
     )
