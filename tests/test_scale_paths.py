@@ -459,3 +459,31 @@ def test_x6_sssp_paths_equal(ray_session):
     assert list(hops["node"]) == list(fast["node"])
     assert (fast["dist"].to_numpy() >= hops["dist"].to_numpy()).all()
     assert (fast["dist"].to_numpy() > hops["dist"].to_numpy()).any()
+
+
+def test_w23_and_d13_partition_count_independent(ray_session):
+    """The new co-partitioned ops must produce identical results at
+    different partition counts (the closed-form CUSUM and the upsert
+    argmax are per-key computations — partitioning is an
+    implementation detail, never semantics)."""
+    import pandas as pd
+
+    from lulu_crawler_ray.pipelines import relational as rl
+    from lulu_crawler_ray.pipelines import relational2 as rl2
+
+    sfd = "/root/testdata/sf0.001"
+    orig = rl._npart
+    try:
+        rl._npart = lambda rows=None: 2
+        rl2._npart = rl._npart
+        a1 = rl2.w23_cusum(sfd).to_pandas()
+        b1 = rl2.d13_upsert(sfd).to_pandas()
+        rl._npart = lambda rows=None: 13
+        rl2._npart = rl._npart
+        a2 = rl2.w23_cusum(sfd).to_pandas()
+        b2 = rl2.d13_upsert(sfd).to_pandas()
+    finally:
+        rl._npart = orig
+        rl2._npart = orig
+    pd.testing.assert_frame_equal(a1, a2)
+    pd.testing.assert_frame_equal(b1, b2)
