@@ -118,6 +118,7 @@ _PRIORITY_R5 = [
     # driver re-check is a bonus, not a need
     "w18_ewm8", "d11_edit_pairs", "d12_entity_groups", "w22_scd_intervals", "w23_cusum",
     "g32_quartiles", "s16_jsonl_gz_roundtrip", "d13_upsert", "t_span_corruption",
+    "m21_nfc_normalize",
     "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
@@ -338,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g32_quartiles": rl2.g32_quartiles,
         "s16_jsonl_gz_roundtrip": rl2.s16_jsonl_gz_roundtrip,
         "d13_upsert": rl2.d13_upsert,
+        "m21_nfc_normalize": rl2.m21_nfc_normalize,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
@@ -515,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         g32_quartiles_sql as _g32_sql,
         s16_jsonl_gz_roundtrip_sql as _s16_sql,
         d13_upsert_sql as _d13_sql,
+        m21_nfc_normalize_sql as _m21_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -585,6 +588,9 @@ def oracle_sql() -> dict[str, str]:
         # SCD-1 MERGE/upsert: last-writer-wins argmax via the
         # combiner-then-co-partition witness discipline
         "d13_upsert": _d13_sql(),
+        # Unicode NFC audit: stdlib unicodedata vs nfc_normalize (the
+        # pyarrow kernel silently no-ops on this wheel — see docstring)
+        "m21_nfc_normalize": _m21_sql(),
         # golden-pin digest: integer-exact histogram equalization
         # (floor-division LUT; per-pixel re-derivation in
         # tests/test_kernels.py keeps the pin honest)

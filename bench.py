@@ -171,7 +171,7 @@ def run_bench() -> dict:
         "w23_cusum", "d12_entity_groups", "img_morph_digest",
         "img_rle_digest", "audio_wht_digest", "img_palette_digest",
         "e_hard_negatives", "g32_quartiles", "s16_jsonl_gz_roundtrip",
-        "e_mrl_overlap", "d13_upsert", "t_span_corruption",
+        "e_mrl_overlap", "d13_upsert", "t_span_corruption", "m21_nfc_normalize",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -1431,3 +1431,54 @@ def d13_upsert_sql() -> str:
         "SELECT o_orderkey, status, price_c, version FROM r WHERE rn = 1 "
         "ORDER BY o_orderkey"
     )
+
+
+# --------------------------------------------- m21 nfc normalize
+
+
+def m21_nfc_normalize(sf: str):
+    """UNICODE NFC NORMALIZATION audit (the canonicalization pass a
+    multilingual corpus runs before dedup/hashing: NFD-decomposed
+    accents make byte-identical texts hash apart). The synthetic
+    corpus is ASCII, so each doc is first augmented with a
+    deterministic DECOMPOSED suffix ' caf' + e + U+0301 (combining
+    acute) — mirrored in the oracle — so every row exercises the
+    compose path (the t_pii augmentation idiom). Emits per doc the
+    pre/post codepoint lengths and a changed flag. Engine side uses
+    stdlib unicodedata.normalize('NFC') — NOT pyarrow's
+    utf8_normalize, which on this wheel silently passes decomposed
+    sequences through unchanged (verified in-session: e+U+0301
+    survived form='NFC'); DuckDB's nfc_normalize composes correctly,
+    so the stdlib is the only engine-side kernel that actually
+    matches the oracle. One zero-shuffle streaming pass."""
+    import unicodedata
+
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+    suffix = " caf" + chr(101) + chr(769)
+
+    def norm(t: pa.Table) -> pa.Table:
+        texts = [s + suffix for s in t["text"].to_pylist()]
+        out = [unicodedata.normalize("NFC", s) for s in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "len_raw": pa.array([len(s) for s in texts], pa.int64()),
+                "len_nfc": pa.array([len(s) for s in out], pa.int64()),
+                "changed": pa.array(
+                    [int(a != b) for a, b in zip(texts, out)], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")
+
+
+def m21_nfc_normalize_sql() -> str:
+    return (
+        "WITH a AS (SELECT doc_id, text || ' caf' || chr(101) || chr(769) "
+        "AS t FROM documents) "
+        "SELECT doc_id, CAST(length(t) AS BIGINT) AS len_raw, "
+        "CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc, "
+        "CAST(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS BIGINT) "
+        "AS changed FROM a ORDER BY doc_id"
+    )
