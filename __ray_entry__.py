@@ -142,7 +142,8 @@ _PRIORITY_R5 = [
     "e_whiten_digest", "w16_retention", "g30_zscore_outliers",
     "img_edge_digest", "w17_transitions", "img_otsu_digest",
     "img_blob_digest", "img_morph_digest", "img_rle_digest",
-    "audio_wht_digest", "img_palette_digest", "x6_sssp", "x7_hits",
+    "audio_wht_digest", "img_palette_digest", "img_shared_tiles_digest",
+    "x6_sssp", "x7_hits",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -318,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_rle_digest": im.img_rle_digest_query,
         "audio_wht_digest": im.audio_wht_digest_query,
         "img_palette_digest": im.img_palette_digest_query,
+        "img_shared_tiles_digest": im.img_shared_tiles_digest_query,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -773,6 +775,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(449708 AS BIGINT) AS mix_n_open, "
             "CAST(72845467 AS BIGINT) AS sum_open_wsum, "
             "CAST(791376138 AS BIGINT) AS mix_open_wsum"
+        ),
+        # golden-pin digest: planted-watermark shared-tile detection
+        # (exact 16x16 content hashes -> grouped count -> semi filter;
+        # planted-truth pytest in tests/test_kernels.py)
+        "img_shared_tiles_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(1941 AS BIGINT) AS sum_n_tiles, "
+            "CAST(593 AS BIGINT) AS mix_n_tiles, "
+            "CAST(57 AS BIGINT) AS sum_n_shared, "
+            "CAST(202 AS BIGINT) AS mix_n_shared"
         ),
         # golden-pin digest: mid-cut color quantization (deterministic
         # median-cut family; naive re-derivation test keeps it honest)

@@ -1920,3 +1920,132 @@ def img_palette_digest_query(sf: str) -> pa.Table:
     ).combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
     return _one_row_digest(t, ["n_boxes", "pal_wsum", "l1_err"])
+
+
+def _tile_hashes(img: np.ndarray, tile: int = 16) -> np.ndarray:
+    """Exact CONTENT hash per non-overlapping ``tile`` x ``tile`` gray
+    patch (edge-replication pad to a tile multiple, the patchify
+    convention): md5 of the tile's int64 3x-luma bytes, folded to a
+    signed int64. Identical pixel content <=> identical hash — this is
+    the watermark/shared-region detector's blocking key, not a
+    perceptual hash (phash lives in its own family)."""
+    import hashlib as _hl
+
+    g = img.astype(np.int64).sum(axis=2)
+    h, w = g.shape
+    ph = (tile - h % tile) % tile
+    pw = (tile - w % tile) % tile
+    if ph or pw:
+        g = np.pad(g, ((0, ph), (0, pw)), mode="edge")
+    gh, gw = g.shape[0] // tile, g.shape[1] // tile
+    tiles = g.reshape(gh, tile, gw, tile).swapaxes(1, 2).reshape(-1, tile, tile)
+    out = np.empty(len(tiles), np.int64)
+    for k in range(len(tiles)):
+        d = _hl.md5(tiles[k].tobytes()).digest()
+        out[k] = int.from_bytes(d[:8], "big", signed=True)
+    return out
+
+
+_WATERMARK = (
+    (np.arange(16)[:, None] * 7 + np.arange(16)[None, :] * 13) % 256
+).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+
+
+def _is_stamped(image_id: str, every: int = 3) -> bool:
+    """Deterministic watermark rule: stamp iff the id's leading 32 hash
+    bits fall in the 1/``every`` residue class (content-derived — no
+    row order anywhere)."""
+    return int(image_id[:8], 16) % every == 0
+
+
+class TileHashStage:
+    """Actor-pool stage: explode each image into (image_id, tile_hash)
+    rows over exact 16x16 content hashes — stage 1 of the shared-
+    region/watermark detector. The synthetic fixture's images are
+    tile-unique by construction, so a deterministic WATERMARK (a fixed
+    16x16 gradient block at the tile-aligned origin) is stamped onto
+    the _is_stamped subset first — the planted ground truth the
+    detector must find exactly (the img_near_dedup planted-dup
+    idiom)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            iid = t["image_id"][i].as_py()
+            if _is_stamped(iid):
+                img = img.copy()
+                img[:16, :16, :] = _WATERMARK[: img.shape[0], : img.shape[1], :]
+            th = np.unique(_tile_hashes(img))  # distinct per image
+            ids.extend([iid] * len(th))
+            hs.extend(th.tolist())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "tile_hash": pa.array(hs, pa.int64()),
+            }
+        )
+
+
+def img_shared_tiles_digest_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): SHARED-TILE detection —
+    the watermark / template-region gate: a 16x16 content tile that
+    appears in >= 2 distinct images marks both as carrying shared
+    content (logos, watermarks, template chrome), the curation signal
+    for "this pixel region is boilerplate, not subject". Distributed
+    shape: actor-pool decode explodes per-image DISTINCT tile hashes
+    (an image never spans a batch — the t_ngram_novelty argument), one
+    grouped count over (tile_hash) finds tiles with n_images >= 2, and
+    the pair stream filters against that set via adaptive_semi_filter
+    (broadcast under the bound, co-partitioned above — never a driver
+    gather). Emits per image (n_tiles, n_shared) folded to one digest
+    row; the tile kernel and the whole composition are re-derived
+    naively in tests/test_kernels.py."""
+    from .relational import adaptive_semi_filter, grouped_agg
+
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    pairs = ds.map_batches(
+        TileHashStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).materialize()
+    counts = grouped_agg(
+        pairs.map_batches(
+            lambda t: t.select(["tile_hash"]), batch_format="pyarrow"
+        ),
+        ["tile_hash"],
+        [("n_images", "count", None)],
+        round_to=None,
+    )
+    shared = counts.filter(expr="n_images >= 2")
+    marked = adaptive_semi_filter(pairs, shared, "tile_hash", "tile_hash")
+    per_img_total = grouped_agg(
+        pairs.map_batches(lambda t: t.select(["image_id"]), batch_format="pyarrow"),
+        ["image_id"],
+        [("n_tiles", "count", None)],
+        round_to=None,
+    )
+    per_img_shared = grouped_agg(
+        marked.map_batches(lambda t: t.select(["image_id"]), batch_format="pyarrow"),
+        ["image_id"],
+        [("n_shared", "count", None)],
+        round_to=None,
+    )
+    import pandas as pd
+
+    tot = per_img_total.to_pandas().set_index("image_id")["n_tiles"]
+    shr_df = per_img_shared.to_pandas()
+    shr = (
+        shr_df.set_index("image_id")["n_shared"]
+        if len(shr_df)
+        else pd.Series([], dtype=np.int64)
+    )
+    df = pd.DataFrame({"n_tiles": tot, "n_shared": shr.reindex(tot.index).fillna(0)})
+    df = df.sort_index().reset_index()
+    t = pa.table(
+        {
+            "image_id": pa.array(df["image_id"], pa.string()),
+            "n_tiles": pa.array(df["n_tiles"].astype(np.int64)),
+            "n_shared": pa.array(df["n_shared"].astype(np.int64)),
+        }
+    )
+    return _one_row_digest(t, ["n_tiles", "n_shared"])

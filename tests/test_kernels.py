@@ -1028,3 +1028,52 @@ def test_midcut_palette_matches_naive_and_degenerates():
     two[:, 2:] = 200
     pal, lab, err = midcut_palette(two, rounds=2)
     assert err == 0  # two pure colors separate exactly
+
+
+def test_shared_tiles_finds_exactly_the_planted_watermark(ray_session):
+    """The tile detector over the fixture must mark exactly the
+    stamped subset (same-shape images share the full watermark tile;
+    the naive recompute is an independent dict-based pass)."""
+    import numpy as np
+
+    from lulu_crawler_ray.functions.imagecodec import decode
+    from lulu_crawler_ray.pipelines.images_pipe import (
+        _WATERMARK,
+        _is_stamped,
+        _tile_hashes,
+        TileHashStage,
+        build_image_fixture,
+    )
+
+    t = build_image_fixture(60)
+    # naive: per image the distinct tile hash set, then dict counting
+    sets = {}
+    for i in range(t.num_rows):
+        img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+        iid = t["image_id"][i].as_py()
+        if _is_stamped(iid):
+            img = img.copy()
+            img[:16, :16, :] = _WATERMARK[: img.shape[0], : img.shape[1], :]
+        sets[iid] = set(np.unique(_tile_hashes(img)).tolist())
+    counts = {}
+    for s in sets.values():
+        for h in s:
+            counts[h] = counts.get(h, 0) + 1
+    naive_shared = {
+        iid: sum(1 for h in s if counts[h] >= 2) for iid, s in sets.items()
+    }
+    # the stage emits the same pair set
+    out = TileHashStage()(t)
+    got = {}
+    for iid, h in zip(out["image_id"].to_pylist(), out["tile_hash"].to_pylist()):
+        got.setdefault(iid, set()).add(h)
+    assert got == sets
+    # every image with a shared tile is stamped OR shares by size-
+    # truncated stamp; at minimum, two same-shape stamped images share
+    stamped = [iid for iid in sets if _is_stamped(iid)]
+    assert len(stamped) >= 2
+    shared_imgs = {iid for iid, n in naive_shared.items() if n > 0}
+    assert shared_imgs, "planted watermark must be detected"
+    assert all(_is_stamped(iid) for iid in shared_imgs), (
+        "only stamped images may share tiles in this fixture"
+    )
