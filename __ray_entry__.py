@@ -143,7 +143,7 @@ _PRIORITY_R5 = [
     "img_edge_digest", "w17_transitions", "img_otsu_digest",
     "img_blob_digest", "img_morph_digest", "img_rle_digest",
     "audio_wht_digest", "img_palette_digest", "img_shared_tiles_digest",
-    "x6_sssp", "x7_hits",
+    "img_prep_v2", "x6_sssp", "x7_hits",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_wht_digest": im.audio_wht_digest_query,
         "img_palette_digest": im.img_palette_digest_query,
         "img_shared_tiles_digest": im.img_shared_tiles_digest_query,
+        "img_prep_v2": im.img_prep_v2_query,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -775,6 +776,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(449708 AS BIGINT) AS mix_n_open, "
             "CAST(72845467 AS BIGINT) AS sum_open_wsum, "
             "CAST(791376138 AS BIGINT) AS mix_open_wsum"
+        ),
+        # golden-pin (VALUES form): the v2 image-curation capstone mix
+        # report (single-decode gates -> phash dedup -> per-fmt stats;
+        # composed-stage-equals-parts pytest in tests/test_kernels.py)
+        "img_prep_v2": (
+            "SELECT * FROM (VALUES "
+            "('png', CAST(58 AS BIGINT), CAST(249847123 AS BIGINT)), "
+            "('ppm', CAST(48 AS BIGINT), CAST(189527006 AS BIGINT)), "
+            "('raw', CAST(58 AS BIGINT), CAST(230814654 AS BIGINT))) "
+            "AS t(fmt, n_kept, sum_sharp_c) ORDER BY fmt"
         ),
         # golden-pin digest: planted-watermark shared-tile detection
         # (exact 16x16 content hashes -> grouped count -> semi filter;

@@ -2049,3 +2049,112 @@ def img_shared_tiles_digest_query(sf: str) -> pa.Table:
         }
     )
     return _one_row_digest(t, ["n_tiles", "n_shared"])
+
+
+class ImgPrepV2Stage:
+    """Actor-pool stage for the v2 IMAGE-CURATION capstone: ONE decode
+    per image computes every gate signal the chain needs — Laplacian
+    sharpness (the blur gate), Otsu+blob object count (the page-type
+    gate: a diagram/text page has few large blobs, noise has
+    hundreds), and the mid-cut palette L1 error (the monochrome/
+    flat-image gate: near-zero quantization error means the image
+    carries <= 4 effective colors). The fixture's stored phash rides
+    along for the dedup stage so the image is never decoded twice —
+    the t_prep_v5 read-once discipline applied to pixels."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sharp_l, blob_l, pal_l = [], [], []
+        for i in range(t.num_rows):
+            img = decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            g64 = img.astype(np.int64).sum(axis=2)
+            gl = (
+                299 * img[:, :, 0].astype(np.int64)
+                + 587 * img[:, :, 1].astype(np.int64)
+                + 114 * img[:, :, 2].astype(np.int64)
+            ) // 1000
+            lap = (
+                -4 * gl[1:-1, 1:-1]
+                + gl[:-2, 1:-1]
+                + gl[2:, 1:-1]
+                + gl[1:-1, :-2]
+                + gl[1:-1, 2:]
+            )
+            v = lap.astype(np.float64)
+            sharp_l.append(int(np.rint((float(v.var()) if v.size else 0.0) * 100)))
+            hist = np.bincount(g64.ravel(), minlength=766)
+            w0 = np.cumsum(hist)
+            s0 = np.cumsum(hist * np.arange(766, dtype=np.int64))
+            W, S = int(w0[-1]), int(s0[-1])
+            best_t, bn, bd = 0, -1, 1
+            for tt in range(766):
+                wa = int(w0[tt])
+                if wa == 0 or wa == W:
+                    continue
+                num = (int(s0[tt]) * W - wa * S) ** 2
+                den = wa * (W - wa)
+                if num * bd > bn * den:
+                    best_t, bn, bd = tt, num, den
+            nb, _mx = _blob_stats(g64 > best_t)
+            blob_l.append(nb)
+            _pal, _lab, err = midcut_palette(img)
+            pal_l.append(err)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "fmt": t["fmt"],
+                "phash": t["phash"],
+                "sharpness_c": pa.array(sharp_l, pa.int64()),
+                "n_blobs": pa.array(blob_l, pa.int64()),
+                "pal_err": pa.array(pal_l, pa.int64()),
+            }
+        )
+
+
+def img_prep_v2_query(
+    sf: str,
+    min_sharp_c: int = 100,
+    max_blobs: int = 600,
+    min_pal_err: int = 1,
+    max_hamming: int = 10,
+) -> pa.Table:
+    """queries() entry (golden-pin oracle): the v2 IMAGE-CURATION
+    capstone — the pixel-side sibling of t_prep_v5, composing this
+    round's gates the way a LAION-style pipeline chains them:
+    (1) structural gates from ONE decode pass (sharpness >=
+    ``min_sharp_c``, blob count <= ``max_blobs``, palette L1 error >=
+    ``min_pal_err`` — blur, noise and flat/monochrome drops), then
+    (2) phash near-dup dedup among the SURVIVORS ONLY (gating before
+    the quadratic-ish stage is the cost-ordering every curation recipe
+    uses), then (3) the per-format mix report (n_kept, sum_sharp_c) a
+    curation run ends with. Gates stream; dedup rides the adaptive
+    near_dedup_images engine; the mix is one small grouped fold."""
+    n = 400 if _is_big_sf(sf) else 200
+    ds = fixture_dataset(n)
+    sig = ds.map_batches(
+        ImgPrepV2Stage, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).materialize()
+    kept = sig.filter(
+        expr=(
+            f"sharpness_c >= {min_sharp_c} and n_blobs <= {max_blobs} "
+            f"and pal_err >= {min_pal_err}"
+        )
+    ).materialize()
+    survivors = near_dedup_images(kept, max_hamming=max_hamming)
+    t = pa.concat_tables(
+        list(survivors.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+    mix = (
+        t.select(["fmt", "sharpness_c"])
+        .group_by("fmt")
+        .aggregate([("sharpness_c", "count"), ("sharpness_c", "sum")])
+        .rename_columns(["fmt", "n_kept", "sum_sharp_c"])
+    )
+    mix = mix.take(pc.sort_indices(mix, sort_keys=[("fmt", "ascending")]))
+    return pa.table(
+        {
+            "fmt": mix["fmt"],
+            "n_kept": mix["n_kept"].cast(pa.int64()),
+            "sum_sharp_c": mix["sum_sharp_c"].cast(pa.int64()),
+        }
+    )

@@ -1077,3 +1077,25 @@ def test_shared_tiles_finds_exactly_the_planted_watermark(ray_session):
     assert all(_is_stamped(iid) for iid in shared_imgs), (
         "only stamped images may share tiles in this fixture"
     )
+
+
+def test_img_prep_v2_stage_equals_component_stages(ray_session):
+    """The composed single-decode ImgPrepV2Stage must emit exactly what
+    the standalone Blur/Blob/Palette stages emit — the read-once
+    optimization can never change a gate signal."""
+    from lulu_crawler_ray.pipelines.images_pipe import (
+        BlobStage,
+        BlurScoreStage,
+        ImgPrepV2Stage,
+        PaletteStage,
+        build_image_fixture,
+    )
+
+    t = build_image_fixture(24)
+    comp = ImgPrepV2Stage()(t)
+    blur = BlurScoreStage()(t)
+    blob = BlobStage()(t)
+    pal = PaletteStage()(t)
+    assert comp["sharpness_c"].to_pylist() == blur["sharpness_c"].to_pylist()
+    assert comp["n_blobs"].to_pylist() == blob["n_blobs"].to_pylist()
+    assert comp["pal_err"].to_pylist() == pal["l1_err"].to_pylist()
