@@ -143,7 +143,7 @@ _PRIORITY_R5 = [
     "img_edge_digest", "w17_transitions", "img_otsu_digest",
     "img_blob_digest", "img_morph_digest", "img_rle_digest",
     "audio_wht_digest", "img_palette_digest", "img_shared_tiles_digest",
-    "img_prep_v2", "x6_sssp", "x7_hits",
+    "img_prep_v2", "audio_prep_v2", "x6_sssp", "x7_hits",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_palette_digest": im.img_palette_digest_query,
         "img_shared_tiles_digest": im.img_shared_tiles_digest_query,
         "img_prep_v2": im.img_prep_v2_query,
+        "audio_prep_v2": im.audio_prep_v2_query,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -776,6 +777,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(449708 AS BIGINT) AS mix_n_open, "
             "CAST(72845467 AS BIGINT) AS sum_open_wsum, "
             "CAST(791376138 AS BIGINT) AS mix_open_wsum"
+        ),
+        # golden-pin (VALUES form): the audio-curation capstone mix
+        # (mixed-codec decode -> VAD -> resample -> WHT; planted-burst
+        # law pytest-gated per codec)
+        "audio_prep_v2": (
+            "SELECT * FROM (VALUES "
+            "('adpcm', CAST(10 AS BIGINT), CAST(19 AS BIGINT), "
+            "CAST(7600 AS BIGINT), CAST(1159288128 AS BIGINT)), "
+            "('flac', CAST(10 AS BIGINT), CAST(19 AS BIGINT), "
+            "CAST(7600 AS BIGINT), CAST(1081073688 AS BIGINT)), "
+            "('wav', CAST(10 AS BIGINT), CAST(19 AS BIGINT), "
+            "CAST(7600 AS BIGINT), CAST(1211867128 AS BIGINT))) "
+            "AS t(codec, n_files, sum_segments, sum_voiced_ms, sum_band0) "
+            "ORDER BY codec"
         ),
         # golden-pin (VALUES form): the v2 image-curation capstone mix
         # report (single-decode gates -> phash dedup -> per-fmt stats;

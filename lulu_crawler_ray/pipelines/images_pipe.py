@@ -2158,3 +2158,151 @@ def img_prep_v2_query(
             "sum_sharp_c": mix["sum_sharp_c"].cast(pa.int64()),
         }
     )
+
+
+class AudioPrepV2Stage:
+    """Actor-pool stage for the AUDIO-CURATION capstone: ONE decode per
+    file (wav PCM / IMA-ADPCM / FLAC through the real codec dispatch)
+    computes every signal the chain needs — VAD segments (20 ms RMS
+    frames > 0.1, the AudioSegmenter contract), total voiced
+    milliseconds, and the Walsh-Hadamard band-0 L1 energy of the
+    stream resampled to 16 kHz (resample_linear_int16 on the exact
+    int16 samples; WHT is the bit-pinnable spectral front end) — the
+    read-once discipline of ImgPrepV2Stage applied to audio."""
+
+    FRAME_MS = 20
+    THRESHOLD = 0.1
+    TARGET_SR = 16000
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.adpcm import decode_wav_ima_adpcm
+        from ..functions.flac import decode_flac
+        from ..stages.multimodal import (
+            decode_wav_pcm,
+            resample_linear_int16,
+            wht_fast,
+        )
+
+        out = {"media_id": [], "codec": [], "n_segments": [], "voiced_ms": [], "band0_l1": []}
+        for i in range(t.num_rows):
+            data = t["bytes"][i].as_py()
+            codec = t["codec"][i].as_py()
+            if codec == "wav":
+                x, sr, _ = decode_wav_pcm(data)
+                pcm = np.rint(x.astype(np.float64) * 32767.0).astype(np.int16)
+            elif codec == "adpcm":
+                x, sr = decode_wav_ima_adpcm(data)
+                pcm = np.rint(x.astype(np.float64) * 32767.0).astype(np.int16)
+            elif codec == "flac":
+                samples, sr, _bps = decode_flac(data)
+                pcm = samples[:, 0].astype(np.int16)
+                x = (pcm.astype(np.float32)) / 32768.0
+            else:
+                raise NotImplementedError(f"audio_prep_v2: codec {codec!r}")
+            spf = max(1, sr * self.FRAME_MS // 1000)
+            nf = len(x) // spf
+            segs, voiced_ms = 0, 0
+            if nf:
+                rms = np.sqrt(
+                    (x[: nf * spf].astype(np.float64).reshape(nf, spf) ** 2).mean(axis=1)
+                )
+                voiced = rms > self.THRESHOLD
+                d = np.diff(np.r_[0, voiced.astype(np.int8), 0])
+                segs = int((d == 1).sum())
+                voiced_ms = int(voiced.sum()) * self.FRAME_MS
+            rs = resample_linear_int16(pcm, sr, self.TARGET_SR).astype(np.int64)
+            nfr = len(rs) // 256
+            band0 = 0
+            for f in range(nfr):
+                coef = np.abs(wht_fast(rs[f * 256 : (f + 1) * 256]))
+                band0 += int(coef[:64].sum())
+            out["media_id"].append(t["media_id"][i].as_py())
+            out["codec"].append(codec)
+            out["n_segments"].append(segs)
+            out["voiced_ms"].append(voiced_ms)
+            out["band0_l1"].append(band0)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "codec": pa.array(out["codec"], pa.string()),
+                "n_segments": pa.array(out["n_segments"], pa.int64()),
+                "voiced_ms": pa.array(out["voiced_ms"], pa.int64()),
+                "band0_l1": pa.array(out["band0_l1"], pa.int64()),
+            }
+        )
+
+
+def _audio_prep_fixture(n: int) -> "ray.data.Dataset":
+    """Mixed-codec burst/silence fixture: file i carries 1 + (i//3)%3
+    tone bursts (400 ms at 110*(1 + i%5) Hz, amp 0.5) separated by
+    200 ms silence, encoded as wav/adpcm/flac cyclically — burst count
+    decoupled from codec so every codec sees every burst count; the
+    planted VAD ground truth (n_segments == n_bursts) runs through
+    three REAL codecs."""
+    import ray.data
+
+    from ..functions.adpcm import encode_wav_ima_adpcm
+    from ..functions.flac import encode_flac
+    from ..stages.multimodal import AUDIO_SCHEMA, encode_wav_pcm16
+
+    sr = 8000
+    rows = {"media_id": [], "bytes": [], "codec": [], "sample_rate": [], "n_channels": []}
+    for i in range(n):
+        n_bursts = 1 + (i // 3) % 3
+        freq = 110.0 * (1 + i % 5)
+        parts = [np.zeros(sr // 5, np.float32)]  # 200 ms lead-in
+        for _b in range(n_bursts):
+            tt = np.arange(int(sr * 0.4), dtype=np.float32) / sr
+            parts.append((0.5 * np.sin(2 * np.pi * freq * tt)).astype(np.float32))
+            parts.append(np.zeros(sr // 5, np.float32))
+        x = np.concatenate(parts)
+        codec = ("wav", "adpcm", "flac")[i % 3]
+        if codec == "wav":
+            blob = encode_wav_pcm16(x, sr)
+        elif codec == "adpcm":
+            blob = encode_wav_ima_adpcm(x, sr)
+        else:
+            blob = encode_flac(np.rint(x.astype(np.float64) * 32767.0).astype(np.int64), sr)
+        rows["media_id"].append(f"ap{i:04d}")
+        rows["bytes"].append(blob)
+        rows["codec"].append(codec)
+        rows["sample_rate"].append(sr)
+        rows["n_channels"].append(1)
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "codec": pa.array(rows["codec"]),
+            "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+            "n_channels": pa.array(rows["n_channels"], pa.int32()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+    return ray.data.from_arrow(t).repartition(4)
+
+
+def audio_prep_v2_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): the audio-curation capstone
+    — mixed-codec decode (wav / IMA-ADPCM / FLAC, all real) -> VAD ->
+    16 kHz resample -> WHT band energy, folded to the per-codec mix
+    report (n_files, sum_segments, sum_voiced_ms, sum_band0). The
+    planted-burst law (n_segments == bursts planted) is pytest-gated
+    per codec in tests/test_kernels.py."""
+    n = 60 if _is_big_sf(sf) else 30
+    ds = _audio_prep_fixture(n)
+    sig = ds.map_batches(
+        AudioPrepV2Stage, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(sig.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    mix = (
+        t.select(["codec", "n_segments", "voiced_ms", "band0_l1"])
+        .group_by("codec")
+        .aggregate(
+            [("n_segments", "count"), ("n_segments", "sum"), ("voiced_ms", "sum"), ("band0_l1", "sum")]
+        )
+        .rename_columns(["codec", "n_files", "sum_segments", "sum_voiced_ms", "sum_band0"])
+    )
+    mix = mix.take(pc.sort_indices(mix, sort_keys=[("codec", "ascending")]))
+    return pa.table({c: mix[c].cast(pa.int64()) if c != "codec" else mix[c] for c in mix.column_names})

@@ -1099,3 +1099,29 @@ def test_img_prep_v2_stage_equals_component_stages(ray_session):
     assert comp["sharpness_c"].to_pylist() == blur["sharpness_c"].to_pylist()
     assert comp["n_blobs"].to_pylist() == blob["n_blobs"].to_pylist()
     assert comp["pal_err"].to_pylist() == pal["l1_err"].to_pylist()
+
+
+def test_audio_prep_v2_planted_vad_law(ray_session):
+    """The capstone's VAD must find EXACTLY the planted burst count per
+    file through every real codec (wav PCM, IMA-ADPCM, FLAC)."""
+    import pyarrow as pa
+
+    from lulu_crawler_ray.pipelines.images_pipe import (
+        AudioPrepV2Stage,
+        _audio_prep_fixture,
+    )
+
+    ds = _audio_prep_fixture(18)
+    t = pa.concat_tables(
+        list(
+            ds.map_batches(
+                AudioPrepV2Stage, batch_format="pyarrow", batch_size=16
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    got = dict(zip(t["media_id"].to_pylist(), t["n_segments"].to_pylist()))
+    for i in range(18):
+        assert got[f"ap{i:04d}"] == 1 + (i // 3) % 3, (i, got[f"ap{i:04d}"])
+    # resampled spectral energy is nonzero for every file (tones carry
+    # band mass; a broken resample or WHT would zero it)
+    assert all(v > 0 for v in t["band0_l1"].to_pylist())
