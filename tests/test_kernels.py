@@ -1115,7 +1115,10 @@ def test_audio_prep_v2_planted_vad_law(ray_session):
     t = pa.concat_tables(
         list(
             ds.map_batches(
-                AudioPrepV2Stage, batch_format="pyarrow", batch_size=16
+                AudioPrepV2Stage,
+                batch_format="pyarrow",
+                batch_size=16,
+                concurrency=1,
             ).iter_batches(batch_format="pyarrow")
         )
     )
