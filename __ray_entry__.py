@@ -143,7 +143,7 @@ _PRIORITY_R5 = [
     "img_edge_digest", "w17_transitions", "img_otsu_digest",
     "img_blob_digest", "img_morph_digest", "img_rle_digest",
     "audio_wht_digest", "img_palette_digest", "img_shared_tiles_digest",
-    "img_prep_v2", "audio_prep_v2", "x6_sssp", "x7_hits",
+    "img_prep_v2", "audio_prep_v2", "video_prep_v2", "x6_sssp", "x7_hits",
     # last sampled before their oracles became bit-exact (r3 item 6) —
     # green rows exist; re-sample is a bonus, not a need
     "t_minhash_pairs", "t_near_dedup", "t_simhash", "t_simhash_neardup",
@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_shared_tiles_digest": im.img_shared_tiles_digest_query,
         "img_prep_v2": im.img_prep_v2_query,
         "audio_prep_v2": im.audio_prep_v2_query,
+        "video_prep_v2": im.video_prep_v2_query,
         "s12_ipc_roundtrip": rl.s12_ipc_roundtrip,
         "s13_avro_roundtrip": rl.s13_avro_roundtrip,
         "o10_weighted_sample": rl.o10_weighted_sample,
@@ -777,6 +778,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(449708 AS BIGINT) AS mix_n_open, "
             "CAST(72845467 AS BIGINT) AS sum_open_wsum, "
             "CAST(791376138 AS BIGINT) AS mix_open_wsum"
+        ),
+        # golden-pin (VALUES form): the video-curation capstone mix
+        # (RGB24+MJPEG decode -> scene cuts -> motion -> TSN witness;
+        # planted-scene law pytest-gated through both containers)
+        "video_prep_v2": (
+            "SELECT * FROM (VALUES "
+            "('avi', CAST(6 AS BIGINT), CAST(6 AS BIGINT), "
+            "CAST(7499988 AS BIGINT), CAST(170977024 AS BIGINT)), "
+            "('mjpeg', CAST(6 AS BIGINT), CAST(6 AS BIGINT), "
+            "CAST(7499988 AS BIGINT), CAST(181852672 AS BIGINT))) "
+            "AS t(codec, n_videos, sum_cuts, sum_motion_e4, sum_clip_wsum) "
+            "ORDER BY codec"
         ),
         # golden-pin (VALUES form): the audio-curation capstone mix
         # (mixed-codec decode -> VAD -> resample -> WHT; planted-burst

@@ -170,7 +170,7 @@ def run_bench() -> dict:
         "video_clip_digest", "e_hnsw_ivf_ann", "t_prep_v5",
         "w23_cusum", "d12_entity_groups", "img_morph_digest",
         "img_rle_digest", "audio_wht_digest", "img_palette_digest",
-        "img_shared_tiles_digest", "img_prep_v2", "audio_prep_v2",
+        "img_shared_tiles_digest", "img_prep_v2", "audio_prep_v2", "video_prep_v2",
         "e_hard_negatives", "g32_quartiles", "s16_jsonl_gz_roundtrip",
         "e_mrl_overlap", "d13_upsert", "t_span_corruption", "m21_nfc_normalize",
     ]

@@ -2306,3 +2306,122 @@ def audio_prep_v2_query(sf: str) -> pa.Table:
     )
     mix = mix.take(pc.sort_indices(mix, sort_keys=[("codec", "ascending")]))
     return pa.table({c: mix[c].cast(pa.int64()) if c != "codec" else mix[c] for c in mix.column_names})
+
+
+class VideoPrepV2Stage:
+    """Actor-pool stage for the VIDEO-CURATION capstone: ONE decode per
+    video (uncompressed RGB24 and MJPEG AVIs, both real) computes every
+    signal the chain needs — scene-cut count (mean |frame diff| > 24,
+    the SceneCutDetector contract), total motion energy (sum of the
+    per-transition mean-abs-diff in e4 units), and the TSN uniform-
+    segment center-frame position witness (the ClipSampler pick law) —
+    the read-once discipline of Img/AudioPrepV2 applied to video."""
+
+    THRESHOLD = 24.0
+    N_SEGMENTS = 5
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..stages.multimodal import decode_avi_rgb24
+
+        out = {"media_id": [], "codec": [], "n_cuts": [], "motion_e4": [], "clip_wsum": []}
+        for i in range(t.num_rows):
+            frames, _fps = decode_avi_rgb24(t["bytes"][i].as_py())
+            stack = np.stack(frames).astype(np.int16)
+            n = len(frames)
+            cuts, motion = 0, 0
+            if n >= 2:
+                diffs = np.abs(np.diff(stack, axis=0)).mean(axis=(1, 2, 3))
+                cuts = int((diffs > self.THRESHOLD).sum())
+                motion = int(np.rint(diffs * 10000).sum())
+            wsum = 0
+            S = min(self.N_SEGMENTS, n)
+            for s in range(S):
+                lo, hi = s * n // S, (s + 1) * n // S
+                idx = lo + (hi - lo - 1) // 2
+                g = frames[idx].astype(np.int64).sum(axis=2)
+                h, w = g.shape
+                yw = np.arange(1, h + 1, dtype=np.int64)[:, None]
+                xw = np.arange(1, w + 1, dtype=np.int64)[None, :]
+                wsum += int((yw * xw * g).sum())
+            out["media_id"].append(t["media_id"][i].as_py())
+            out["codec"].append(t["codec"][i].as_py())
+            out["n_cuts"].append(cuts)
+            out["motion_e4"].append(motion)
+            out["clip_wsum"].append(wsum)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "codec": pa.array(out["codec"], pa.string()),
+                "n_cuts": pa.array(out["n_cuts"], pa.int64()),
+                "motion_e4": pa.array(out["motion_e4"], pa.int64()),
+                "clip_wsum": pa.array(out["clip_wsum"], pa.int64()),
+            }
+        )
+
+
+def _video_prep_fixture(n: int) -> "ray.data.Dataset":
+    """Mixed-codec scene fixture: video v carries 1 + (v//2)%3 SCENES
+    of 4 frames each (scene base pattern jumps ~120 gray levels
+    between scenes, ~1 level of drift inside a scene), encoded RGB24 /
+    MJPEG alternately (codec decoupled from scene count) — the planted
+    ground truth n_cuts == n_scenes - 1 through both real containers."""
+    import ray.data
+
+    from ..stages.multimodal import VIDEO_SCHEMA, encode_avi_mjpeg, encode_avi_rgb24
+
+    rows = {"media_id": [], "bytes": [], "codec": [], "fps": [], "n_frames": []}
+    for v in range(n):
+        n_scenes = 1 + (v // 2) % 3
+        frames = []
+        for s in range(n_scenes):
+            base = (40 + 120 * s + 7 * v) % 250
+            for k in range(4):
+                f = np.full((16, 16, 3), base, np.uint8)
+                f[:, :, 0] = (base + k) % 250  # intra-scene drift ~1
+                frames.append(f)
+        codec = ("avi", "mjpeg")[v % 2]
+        blob = (
+            encode_avi_rgb24(frames, fps=6)
+            if codec == "avi"
+            else encode_avi_mjpeg(frames, fps=6, quality=90)
+        )
+        rows["media_id"].append(f"vp{v:03d}")
+        rows["bytes"].append(blob)
+        rows["codec"].append(codec)
+        rows["fps"].append(6.0)
+        rows["n_frames"].append(len(frames))
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "codec": pa.array(rows["codec"]),
+            "fps": pa.array(rows["fps"], pa.float32()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+        },
+        schema=VIDEO_SCHEMA,
+    )
+    return ray.data.from_arrow(t).repartition(4)
+
+
+def video_prep_v2_query(sf: str) -> pa.Table:
+    """queries() entry (golden-pin oracle): the video-curation capstone
+    — mixed-container decode (RGB24 + MJPEG AVIs, both real) -> scene
+    cuts -> motion energy -> TSN clip witness, folded to the per-codec
+    mix report. The planted-scene law (n_cuts == scenes - 1 per video,
+    through BOTH containers) is pytest-gated in tests/test_kernels.py."""
+    n = 24 if _is_big_sf(sf) else 12
+    ds = _video_prep_fixture(n)
+    sig = ds.map_batches(
+        VideoPrepV2Stage, batch_format="pyarrow", batch_size=8, concurrency=2
+    )
+    t = pa.concat_tables(
+        list(sig.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    mix = (
+        t.select(["codec", "n_cuts", "motion_e4", "clip_wsum"])
+        .group_by("codec")
+        .aggregate([("n_cuts", "count"), ("n_cuts", "sum"), ("motion_e4", "sum"), ("clip_wsum", "sum")])
+        .rename_columns(["codec", "n_videos", "sum_cuts", "sum_motion_e4", "sum_clip_wsum"])
+    )
+    mix = mix.take(pc.sort_indices(mix, sort_keys=[("codec", "ascending")]))
+    return pa.table({c: mix[c].cast(pa.int64()) if c != "codec" else mix[c] for c in mix.column_names})

@@ -1128,3 +1128,30 @@ def test_audio_prep_v2_planted_vad_law(ray_session):
     # resampled spectral energy is nonzero for every file (tones carry
     # band mass; a broken resample or WHT would zero it)
     assert all(v > 0 for v in t["band0_l1"].to_pylist())
+
+
+def test_video_prep_v2_planted_scene_law(ray_session):
+    """The capstone's cut detector must find exactly scenes-1 cuts per
+    video through BOTH real containers (RGB24 and MJPEG AVIs)."""
+    import pyarrow as pa
+
+    from lulu_crawler_ray.pipelines.images_pipe import (
+        VideoPrepV2Stage,
+        _video_prep_fixture,
+    )
+
+    ds = _video_prep_fixture(12)
+    t = pa.concat_tables(
+        list(
+            ds.map_batches(
+                VideoPrepV2Stage,
+                batch_format="pyarrow",
+                batch_size=8,
+                concurrency=1,
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    got = dict(zip(t["media_id"].to_pylist(), t["n_cuts"].to_pylist()))
+    for v in range(12):
+        assert got[f"vp{v:03d}"] == (v // 2) % 3, (v, got[f"vp{v:03d}"])
+    assert set(t["codec"].to_pylist()) == {"avi", "mjpeg"}
