@@ -1482,3 +1482,62 @@ def m21_nfc_normalize_sql() -> str:
         "CAST(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS BIGINT) "
         "AS changed FROM a ORDER BY doc_id"
     )
+
+
+# ------------------------------------------------------- w24 churn
+
+
+def w24_churn(sf: str, idle_hours: int = 30):
+    """INACTIVITY / CHURN-CANDIDATE detection: users whose LAST event
+    is more than ``idle_hours`` before the corpus watermark (global max
+    ts; 30 h splits the synthetic corpus non-trivially — max user idle
+    is ~2.4 days — so BOTH flag classes are populated and the compare
+    is non-vacuous) — the retention-alert query every engagement pipeline runs.
+    Scale shape: ONE combiner-first grouped max (per-batch grouped max
+    -> user-sized merge, the w15 witness discipline via grouped_agg),
+    the watermark is a user-table-sized max folded from the SAME
+    grouped result (no second pass over events), and the flag filter
+    streams. Emits every user with last_us and the idle flag (not just
+    the churned — null-free, and the compare covers both classes)."""
+    from .relational import grouped_agg
+
+    ds = read_table(sf, "events", ["user_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        return pa.table(
+            {"user_id": t["user_id"].cast(pa.int64()), "us": pa.array(us)}
+        )
+
+    last = grouped_agg(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        ["user_id"],
+        [("last_us", "max", "us")],
+        round_to=None,
+    )
+    t = pa.concat_tables(
+        list(last.iter_batches(batch_format="pyarrow", batch_size=65536))
+    ).combine_chunks()
+    wm = int(pc.max(t["last_us"]).as_py())
+    idle_us = np.int64(idle_hours) * 3_600_000_000
+    lu = t["last_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out = pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "last_us": pa.array(lu),
+            "churned": pa.array(((np.int64(wm) - lu) > idle_us).astype(np.int64)),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("user_id", "ascending")]))
+
+
+def w24_churn_sql(idle_hours: int = 30) -> str:
+    idle_us = idle_hours * 3_600_000_000
+    return (
+        "WITH l AS (SELECT user_id, MAX(epoch_us(CAST(ts AS TIMESTAMP))) "
+        "AS last_us FROM events GROUP BY user_id), "
+        "w AS (SELECT MAX(last_us) AS wm FROM l) "
+        "SELECT l.user_id, CAST(l.last_us AS BIGINT) AS last_us, "
+        f"CAST(CASE WHEN w.wm - l.last_us > {idle_us} THEN 1 ELSE 0 END "
+        "AS BIGINT) AS churned FROM l, w ORDER BY l.user_id"
+    )
