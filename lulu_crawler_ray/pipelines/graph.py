@@ -980,11 +980,19 @@ def x7_hits(sf: str, iters: int = 2, n_nodes: int = 1000):
 
     def _half_step(scores, score_col, join_on, group_to, out_col):
         """scores(node, score_col) -> (node, out_col): sum score over
-        edges joined on `join_on`, grouped to `group_to`, then
-        max-normalized to micro-units."""
+        edges decorated with the score on `join_on`, grouped to
+        `group_to`, then max-normalized to micro-units. The score side
+        is NODE-sized, so adaptive_dim_join broadcasts it and the edge
+        table never shuffles for the join (it did in the first
+        version: 8 edge-cardinality shuffle joins per query, and the
+        unmaterialized `raw` re-executed each of them twice for the
+        .max() pull — 35 s -> ~8 s at sf0.1); raw is node-sized and
+        materializes before its two consumers."""
+        from .relational import adaptive_dim_join
+
         raw = grouped_agg(
-            shuffle_join(
-                edges, scores, join_on, "node", num_partitions=npart
+            adaptive_dim_join(
+                edges, join_on, scores, "node", [score_col], how="inner"
             ).map_batches(
                 lambda t: pa.table({"gnode": t[group_to], "s": t[score_col]}),
                 batch_format="pyarrow",
@@ -992,7 +1000,7 @@ def x7_hits(sf: str, iters: int = 2, n_nodes: int = 1000):
             ["gnode"],
             [("s", "sum", "s")],
             round_to=None,
-        )
+        ).materialize()
         m = raw.max("s")
         m = int(m) if m is not None else 0
         if m * R0 >= 2**63:
