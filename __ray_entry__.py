@@ -118,7 +118,7 @@ _PRIORITY_R5 = [
     # driver re-check is a bonus, not a need
     "w18_ewm8", "d11_edit_pairs", "d12_entity_groups", "w22_scd_intervals", "w23_cusum",
     "g32_quartiles", "s16_jsonl_gz_roundtrip", "d13_upsert", "t_span_corruption",
-    "m21_nfc_normalize", "w24_churn",
+    "m21_nfc_normalize", "w24_churn", "w25_autocorr",
     "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d13_upsert": rl2.d13_upsert,
         "m21_nfc_normalize": rl2.m21_nfc_normalize,
         "w24_churn": rl2.w24_churn,
+        "w25_autocorr": rl2.w25_autocorr,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
@@ -525,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         d13_upsert_sql as _d13_sql,
         m21_nfc_normalize_sql as _m21_sql,
         w24_churn_sql as _w24c_sql,
+        w25_autocorr_sql as _w25_sql,
     )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -601,6 +603,9 @@ def oracle_sql() -> dict[str, str]:
         # churn candidates: combiner-first grouped last-seen vs the
         # corpus watermark (both flag classes populated at 30 h)
         "w24_churn": _w24c_sql(),
+        # lag-1 autocorrelation sufficient statistics: exact integer
+        # sums over ordered consecutive pairs vs the LAG oracle
+        "w25_autocorr": _w25_sql(),
         # golden-pin digest: integer-exact histogram equalization
         # (floor-division LUT; per-pixel re-derivation in
         # tests/test_kernels.py keeps the pin honest)

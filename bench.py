@@ -172,7 +172,7 @@ def run_bench() -> dict:
         "img_rle_digest", "audio_wht_digest", "img_palette_digest",
         "img_shared_tiles_digest", "img_prep_v2", "audio_prep_v2", "video_prep_v2",
         "e_hard_negatives", "g32_quartiles", "s16_jsonl_gz_roundtrip",
-        "e_mrl_overlap", "d13_upsert", "t_span_corruption", "m21_nfc_normalize", "w24_churn",
+        "e_mrl_overlap", "d13_upsert", "t_span_corruption", "m21_nfc_normalize", "w24_churn", "w25_autocorr",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

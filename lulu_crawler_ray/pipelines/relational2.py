@@ -1541,3 +1541,79 @@ def w24_churn_sql(idle_hours: int = 30) -> str:
         f"CAST(CASE WHEN w.wm - l.last_us > {idle_us} THEN 1 ELSE 0 END "
         "AS BIGINT) AS churned FROM l, w ORDER BY l.user_id"
     )
+
+
+# --------------------------------------------------- w25 autocorr
+
+
+def w25_autocorr(sf: str):
+    """Per-user LAG-1 AUTOCORRELATION sufficient statistics — the
+    serial-dependence diagnostic a metrics pipeline runs before
+    trusting i.i.d.-assuming tests (g12's grouped Pearson correlates
+    two columns; this correlates a series with its own lag, which
+    needs ORDER, not just grouping): for each user, over consecutive
+    event pairs in (ts, event_id) order, the exact integer sums
+    (n_pairs, sx, sy, sxy, sxx, syy) in cents — everything any
+    downstream r computation needs, kept as integers so both engines
+    agree bit-for-bit (the w18/w22 co-partition + lexsort + one
+    shifted product shape; Pearson's division never happens in the
+    engine). Users with < 2 events emit zeros (null-free)."""
+    ds = read_table(sf, "events", ["user_id", "ts", "event_id", "value"])
+
+    def ac_part(t: pa.Table) -> pa.Table:
+        cols = ["user_id", "n_pairs", "sx", "sy", "sxy", "sxx", "syy"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        us = t["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort(
+            (
+                t["event_id"].to_numpy(zero_copy_only=False),
+                us,
+                t["user_id"].to_numpy(zero_copy_only=False),
+            )
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False)[order].astype(np.float64) * 100
+        ).astype(np.int64)
+        same = uid[1:] == uid[:-1]  # consecutive pair within one user
+        x, y = c[:-1][same], c[1:][same]
+        pu = uid[1:][same]
+        users, inv = np.unique(uid, return_inverse=True)
+        pinv = np.searchsorted(users, pu)
+        def acc(v):
+            return np.bincount(pinv, weights=v, minlength=len(users)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users),
+                "n_pairs": acc(np.ones(len(pu), np.int64)),
+                "sx": acc(x),
+                "sy": acc(y),
+                "sxy": acc(x * y),
+                "sxx": acc(x * x),
+                "syy": acc(y * y),
+            }
+        )
+
+    return (
+        _hash_partitioned(ds, "user_id", _npart())
+        .map_groups(ac_part, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+def w25_autocorr_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, ts, event_id, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
+        "p AS (SELECT user_id, LAG(c) OVER w AS x, c AS y FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT user_id, "
+        "CAST(COUNT(x) AS BIGINT) AS n_pairs, "
+        "CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sx, "
+        "CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL THEN y END), 0) AS BIGINT) AS sy, "
+        "CAST(COALESCE(SUM(x * y), 0) AS BIGINT) AS sxy, "
+        "CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sxx, "
+        "CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL THEN y * y END), 0) AS BIGINT) AS syy "
+        "FROM p GROUP BY user_id ORDER BY user_id"
+    )
