@@ -119,6 +119,7 @@ _PRIORITY_R5 = [
     "w18_ewm8", "d11_edit_pairs", "d12_entity_groups", "w22_scd_intervals", "w23_cusum",
     "g32_quartiles", "s16_jsonl_gz_roundtrip", "d13_upsert", "t_span_corruption",
     "m21_nfc_normalize", "w24_churn", "w25_autocorr",
+    "d14_snapshot_diff", "j13_band_join", "w26_ohlc",
     "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import images_pipe as im
     from lulu_crawler_ray.pipelines import relational as rl
     from lulu_crawler_ray.pipelines import relational2 as rl2
+    from lulu_crawler_ray.pipelines import relational3 as rl3
     from lulu_crawler_ray.pipelines import textops as to
     from lulu_crawler_ray.pipelines import textops2 as to2
     from lulu_crawler_ray.pipelines import textops3 as to3
@@ -347,6 +349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m21_nfc_normalize": rl2.m21_nfc_normalize,
         "w24_churn": rl2.w24_churn,
         "w25_autocorr": rl2.w25_autocorr,
+        "d14_snapshot_diff": rl3.d14_snapshot_diff,
+        "j13_band_join": rl3.j13_band_join,
+        "w26_ohlc": rl3.w26_ohlc,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
@@ -528,6 +533,11 @@ def oracle_sql() -> dict[str, str]:
         w24_churn_sql as _w24c_sql,
         w25_autocorr_sql as _w25_sql,
     )
+    from lulu_crawler_ray.pipelines.relational3 import (
+        d14_snapshot_diff_sql as _d14_sql,
+        j13_band_join_sql as _j13_sql,
+        w26_ohlc_sql as _w26_sql,
+    )
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
         t_bpe_train_sql as _bpe_train_sql,
@@ -606,6 +616,15 @@ def oracle_sql() -> dict[str, str]:
         # lag-1 autocorrelation sufficient statistics: exact integer
         # sums over ordered consecutive pairs vs the LAG oracle
         "w25_autocorr": _w25_sql(),
+        # dual-snapshot CDC diff: one-pass per-user argmax at two
+        # cutoffs vs two ROW_NUMBER snapshots + left join
+        "d14_snapshot_diff": _d14_sql(),
+        # time-band self join: symmetric interval bucketing vs the
+        # non-equi BETWEEN join (DuckDB IEJoin)
+        "j13_band_join": _j13_sql(),
+        # grouped OHLC candles: argmin/argmax witnesses + reduceat
+        # folds vs ROW_NUMBER first/last + grouped MIN/MAX
+        "w26_ohlc": _w26_sql(),
         # golden-pin digest: integer-exact histogram equalization
         # (floor-division LUT; per-pixel re-derivation in
         # tests/test_kernels.py keeps the pin honest)
