@@ -120,6 +120,7 @@ _PRIORITY_R5 = [
     "g32_quartiles", "s16_jsonl_gz_roundtrip", "d13_upsert", "t_span_corruption",
     "m21_nfc_normalize", "w24_churn", "w25_autocorr",
     "d14_snapshot_diff", "j13_band_join", "w26_ohlc",
+    "img_caption_align_digest", "img_ssim_digest", "audio_mfcc_digest",
     "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
@@ -160,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import relational as rl
     from lulu_crawler_ray.pipelines import relational2 as rl2
     from lulu_crawler_ray.pipelines import relational3 as rl3
+    from lulu_crawler_ray.pipelines import multimodal2 as mm2
     from lulu_crawler_ray.pipelines import textops as to
     from lulu_crawler_ray.pipelines import textops2 as to2
     from lulu_crawler_ray.pipelines import textops3 as to3
@@ -352,6 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d14_snapshot_diff": rl3.d14_snapshot_diff,
         "j13_band_join": rl3.j13_band_join,
         "w26_ohlc": rl3.w26_ohlc,
+        "img_caption_align_digest": mm2.img_caption_align_digest_query,
+        "img_ssim_digest": mm2.img_ssim_digest_query,
+        "audio_mfcc_digest": mm2.audio_mfcc_digest_query,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
@@ -625,6 +630,36 @@ def oracle_sql() -> dict[str, str]:
         # grouped OHLC candles: argmin/argmax witnesses + reduceat
         # folds vs ROW_NUMBER first/last + grouped MIN/MAX
         "w26_ohlc": _w26_sql(),
+        # golden-pin digest: rule-based caption-image alignment gate
+        # (1-in-7 planted full misalignments -> kept 171 of 200; the
+        # construction laws in tests/test_multimodal2.py keep it honest)
+        "img_caption_align_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(513 AS BIGINT) AS sum_align_n, "
+            "CAST(933 AS BIGINT) AS mix_align_n, "
+            "CAST(171 AS BIGINT) AS sum_kept, "
+            "CAST(87 AS BIGINT) AS mix_kept"
+        ),
+        # golden-pin digest: uniform-window SSIM vs quality-40 4:2:0
+        # JPEG recompression (naive per-window re-derivation +
+        # identity/monotonicity laws in tests/test_multimodal2.py)
+        "img_ssim_digest": (
+            "SELECT CAST(200 AS BIGINT) AS n_rows, "
+            "CAST(1526942 AS BIGINT) AS sum_ssim_c, "
+            "CAST(102616 AS BIGINT) AS mix_ssim_c"
+        ),
+        # golden-pin digest: log-mel/MFCC front end over the sine-tone
+        # WAV fixture (naive-DFT re-derivation + amplitude-scale and
+        # tone-localization laws in tests/test_multimodal2.py)
+        "audio_mfcc_digest": (
+            "SELECT CAST(30 AS BIGINT) AS n_rows, "
+            "CAST(900 AS BIGINT) AS sum_n_frames, "
+            "CAST(610 AS BIGINT) AS mix_n_frames, "
+            "CAST(-54185358 AS BIGINT) AS sum_c0_sum, "
+            "CAST(14518723 AS BIGINT) AS mix_c0_sum, "
+            "CAST(173194359 AS BIGINT) AS sum_mfcc_mix, "
+            "CAST(-143608358 AS BIGINT) AS mix_mfcc_mix"
+        ),
         # golden-pin digest: integer-exact histogram equalization
         # (floor-division LUT; per-pixel re-derivation in
         # tests/test_kernels.py keeps the pin honest)
