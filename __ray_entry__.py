@@ -121,6 +121,7 @@ _PRIORITY_R5 = [
     "m21_nfc_normalize", "w24_churn", "w25_autocorr",
     "d14_snapshot_diff", "j13_band_join", "w26_ohlc",
     "img_caption_align_digest", "img_ssim_digest", "audio_mfcc_digest",
+    "t_source_sim", "x8_assortativity",
     "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines.graph import x5_bfs as _bfs
     from lulu_crawler_ray.pipelines.graph import x6_sssp as _sssp
     from lulu_crawler_ray.pipelines.graph import x7_hits as _hits
+    from lulu_crawler_ray.pipelines.graph import x8_assortativity as _assort
     from lulu_crawler_ray.pipelines.kmeans import e_kmeans_int as _kmeans
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
@@ -357,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_caption_align_digest": mm2.img_caption_align_digest_query,
         "img_ssim_digest": mm2.img_ssim_digest_query,
         "audio_mfcc_digest": mm2.audio_mfcc_digest_query,
+        "t_source_sim": to2.t_source_sim,
+        "x8_assortativity": _assort,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
@@ -543,6 +547,8 @@ def oracle_sql() -> dict[str, str]:
         j13_band_join_sql as _j13_sql,
         w26_ohlc_sql as _w26_sql,
     )
+    from lulu_crawler_ray.pipelines.textops2 import t_source_sim_sql as _tsrc_sql
+    from lulu_crawler_ray.pipelines.graph import x8_assortativity_sql as _x8_sql
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
         t_bpe_train_sql as _bpe_train_sql,
@@ -651,6 +657,13 @@ def oracle_sql() -> dict[str, str]:
         # golden-pin digest: log-mel/MFCC front end over the sine-tone
         # WAV fixture (naive-DFT re-derivation + amplitude-scale and
         # tone-localization laws in tests/test_multimodal2.py)
+        # cross-source MinHash similarity matrix: per-source 64-perm
+        # signature (biased-int64 MIN shuffle) vs the HUGEINT splitmix64
+        # mirror grouped by source
+        "t_source_sim": _tsrc_sql(),
+        # degree assortativity: exact integer sufficient statistics
+        # over degree-decorated edges (adaptive dim joins)
+        "x8_assortativity": _x8_sql(),
         "audio_mfcc_digest": (
             "SELECT CAST(30 AS BIGINT) AS n_rows, "
             "CAST(900 AS BIGINT) AS sum_n_frames, "

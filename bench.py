@@ -173,6 +173,9 @@ def run_bench() -> dict:
         "img_shared_tiles_digest", "img_prep_v2", "audio_prep_v2", "video_prep_v2",
         "e_hard_negatives", "g32_quartiles", "s16_jsonl_gz_roundtrip",
         "e_mrl_overlap", "d13_upsert", "t_span_corruption", "m21_nfc_normalize", "w24_churn", "w25_autocorr",
+        "d14_snapshot_diff", "j13_band_join", "w26_ohlc",
+        "img_caption_align_digest", "img_ssim_digest", "audio_mfcc_digest",
+        "t_source_sim", "x8_assortativity",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

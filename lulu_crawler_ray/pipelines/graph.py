@@ -1094,3 +1094,64 @@ def x7_hits_sql(iters: int = 2, n_nodes: int = 1000) -> str:
         f"CAST(a.s AS BIGINT) AS auth "
         f"FROM h{k} h JOIN a{k} a USING (node) ORDER BY h.node"
     )
+
+
+def x8_assortativity(sf: str, n_nodes: int = 1000):
+    """DEGREE ASSORTATIVITY sufficient statistics of the directed link
+    graph — the Pearson correlation between out-degree(src) and
+    in-degree(dst) across edges (Newman 2002), emitted as ONE row of
+    exact integer sums (m, s_du, s_dv, s_dudv, s_du2, s_dv2) so the
+    driver hash-compare is float-free; r = (m*s_dudv - s_du*s_dv) /
+    sqrt((m*s_du2 - s_du^2)(m*s_dv2 - s_dv2^2)) is derivable.
+
+    Distributed shape: two node-sized degree tables (grouped count),
+    each joined onto the edge stream via adaptive_dim_join (broadcast
+    under the bound, co-partitioned shuffle above — the edge table is
+    the 100-TB side and crosses the wire at most once per decoration),
+    then a per-batch integer fold to six partial sums and one
+    block-count-sized final fold."""
+    from .relational import adaptive_dim_join
+
+    edges = _edges(sf, n_nodes)
+    od = grouped_agg(edges, ["src"], [("od", "count", None)], round_to=None)
+    idg = grouped_agg(edges, ["dst"], [("idg", "count", None)], round_to=None)
+    e = adaptive_dim_join(edges, "src", od, "src", ["od"])
+    e = adaptive_dim_join(e, "dst", idg, "dst", ["idg"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        du = t["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t["idg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "m": pa.array([t.num_rows], pa.int64()),
+                "s_du": pa.array([int(du.sum())], pa.int64()),
+                "s_dv": pa.array([int(dv.sum())], pa.int64()),
+                "s_dudv": pa.array([int((du * dv).sum())], pa.int64()),
+                "s_du2": pa.array([int((du * du).sum())], pa.int64()),
+                "s_dv2": pa.array([int((dv * dv).sum())], pa.int64()),
+            }
+        )
+
+    parts = e.map_batches(fold, batch_format="pyarrow")
+    cols = ["m", "s_du", "s_dv", "s_dudv", "s_du2", "s_dv2"]
+    acc = {c: 0 for c in cols}
+    # block-count-sized fold (one row per input block) — not a data gather
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for c in cols:
+            acc[c] += int(pc.sum(b[c]).as_py() or 0)
+    return pa.table({c: pa.array([acc[c]], pa.int64()) for c in cols})
+
+
+def x8_assortativity_sql(n_nodes: int = 1000) -> str:
+    return (
+        f"WITH e AS (SELECT l_orderkey % {n_nodes} AS src, "
+        f"l_partkey % {n_nodes} AS dst FROM lineitem), "
+        "od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1), "
+        "idg AS (SELECT dst, COUNT(*) AS idg FROM e GROUP BY 1) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+        "CAST(SUM(od) AS BIGINT) AS s_du, CAST(SUM(idg) AS BIGINT) AS s_dv, "
+        "CAST(SUM(od * idg) AS BIGINT) AS s_dudv, "
+        "CAST(SUM(od * od) AS BIGINT) AS s_du2, "
+        "CAST(SUM(idg * idg) AS BIGINT) AS s_dv2 "
+        "FROM e JOIN od USING (src) JOIN idg USING (dst)"
+    )

@@ -997,3 +997,141 @@ def t_pmi_bigrams_sql(min_count: int = 5, top_k: int = 30) -> str:
         "FROM cand, tot JOIN cx a ON cand.w1 = a.w JOIN cx bb ON cand.w2 = bb.w "
         f"ORDER BY lift_e6 DESC, w1, w2 LIMIT {top_k}"
     )
+
+
+# --------------------------------------------- t_source_sim
+
+_SS_NUM_PERM = 64
+
+
+def t_source_sim(sf: str, sig_max: int = 200_000):
+    """CROSS-SOURCE SIMILARITY MATRIX via per-source MinHash: the
+    dataset-level analog of document near-dedup — estimate the Jaccard
+    overlap between each pair of SOURCES' shingle sets (the signal a
+    corpus-mixing pipeline uses to spot mirrored / syndicated feeds
+    before weighting them). Same 64-permutation splitmix64 sketch as
+    MinHasher (seed 1, word-3-gram md5 shingles), but the min folds all
+    the way down to ONE signature per source: per batch, a (docs x 64)
+    mix matrix reduces per-source via minimum.reduceat; the shuffle
+    then carries at most sources x 64 x blocks rows (grouped MIN) — the
+    document text never crosses the wire. Output: (src_a, src_b,
+    match_n) with match_n = #permutations whose minima agree, an
+    unbiased 64-sample Jaccard estimator per pair, bit-exactly mirrored
+    by the HUGEINT splitmix64 oracle.
+
+    Signatures are shuffled as sign-bit-BIASED int64 (sig ^ 2^63) —
+    monotone uint64 -> int64, so Arrow's signed MIN agrees with the
+    oracle's unsigned HUGEINT MIN."""
+    from ..functions import textstats as tx
+    from ..functions.hll import _mix64
+
+    seeds, _ = tx.minhash_params(_SS_NUM_PERM, seed=1)
+    umax = np.iinfo(np.uint64).max
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        sh_lists = [
+            np.fromiter(s, np.uint64, len(s))
+            for s in (tx.shingles(x) for x in texts)
+        ]
+        lens = np.array([len(s) for s in sh_lists], np.int64)
+        sigs = np.full((n, _SS_NUM_PERM), umax, np.uint64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            allsh = np.concatenate([sh_lists[i] for i in nz])
+            mixed = _mix64(allsh[:, None] ^ seeds[None, :])
+            starts = np.r_[0, np.cumsum(lens[nz])[:-1]]
+            sigs[nz] = np.minimum.reduceat(mixed, starts, axis=0)
+        # per-source fold within the batch
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        first = np.r_[True, inv[order][1:] != inv[order][:-1]]
+        ssig = np.minimum.reduceat(sigs[order], np.flatnonzero(first), axis=0)
+        k = len(uniq)
+        biased = (ssig ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(np.repeat(uniq, _SS_NUM_PERM)),
+                "pi": pa.array(np.tile(np.arange(_SS_NUM_PERM, dtype=np.int64), k)),
+                "sig_b": pa.array(biased.ravel()),
+            }
+        )
+
+    docs = read_table(sf, "documents", ["source", "text"])
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    mins = grouped_agg(partials, ["source", "pi"], [("sig_b", "min", "sig_b")], round_to=None)
+
+    parts, n = [], 0
+    for b in mins.iter_batches(batch_format="pyarrow", batch_size=65536):
+        n += b.num_rows
+        if n > sig_max:
+            raise ValueError(
+                f"t_source_sim: >{sig_max} signature rows — too many distinct "
+                "sources for the driver-side pairing; raise sig_max deliberately"
+            )
+        parts.append(b)
+    t = pa.concat_tables(parts).combine_chunks()
+    src = np.asarray(t["source"].to_pylist(), object)
+    pi = t["pi"].to_numpy()
+    sig = t["sig_b"].to_numpy()
+    uniq = np.unique(src)
+    mat = np.empty((len(uniq), _SS_NUM_PERM), np.int64)
+    for i, s in enumerate(uniq):
+        rows = src == s
+        mat[i, pi[rows]] = sig[rows]
+    a_l, b_l, m_l = [], [], []
+    for i in range(len(uniq)):
+        for j in range(i + 1, len(uniq)):
+            a_l.append(uniq[i])
+            b_l.append(uniq[j])
+            m_l.append(int((mat[i] == mat[j]).sum()))
+    return pa.table(
+        {
+            "src_a": pa.array(a_l, pa.string()),
+            "src_b": pa.array(b_l, pa.string()),
+            "match_n": pa.array(m_l, pa.int64()),
+        }
+    )
+
+
+def t_source_sim_sql() -> str:
+    from .minhash_oracle import _GOLD, _M64, _mul64, _C1, _C2
+
+    seeds, _ = __import__(
+        "lulu_crawler_ray.functions.textstats", fromlist=["minhash_params"]
+    ).minhash_params(_SS_NUM_PERM, seed=1)
+    seed_rows = ", ".join(f"({i}, {int(s)})" for i, s in enumerate(seeds))
+    return f"""WITH seeds(pi, seed) AS (VALUES {seed_rows}),
+l AS (SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l FROM documents),
+l2 AS (SELECT source, l, len(l) AS ntok FROM l),
+grams AS (
+  SELECT source, l[CAST(i AS BIGINT)] || ' ' || l[CAST(i AS BIGINT)+1] || ' ' || l[CAST(i AS BIGINT)+2] AS g
+  FROM l2 CROSS JOIN LATERAL (SELECT UNNEST(range(1, ntok - 1)) AS i) t WHERE ntok >= 3
+  UNION ALL
+  SELECT source, array_to_string(l, ' ') AS g FROM l2 WHERE ntok >= 1 AND ntok < 3
+),
+sh AS (SELECT DISTINCT source, CAST(CAST('0x' || substr(md5(g),1,16) AS UBIGINT) AS HUGEINT) AS shingle FROM grams),
+mixed AS (
+  SELECT source, pi, MIN(x5) AS sig FROM (
+    SELECT source, pi,
+      (xor(shingle, CAST(seed AS HUGEINT)) + {_GOLD}) % {_M64} AS x0,
+      xor(x0, x0 >> 30) AS x1,
+      {_mul64('x1', _C1)} AS x2,
+      xor(x2, x2 >> 27) AS x3,
+      {_mul64('x3', _C2)} AS x4,
+      xor(x4, x4 >> 31) AS x5
+    FROM sh CROSS JOIN seeds
+  ) GROUP BY source, pi
+),
+allsig AS (
+  SELECT d.source, s.pi, COALESCE(m.sig, {_M64 - 1}) AS sig
+  FROM (SELECT DISTINCT source FROM documents) d
+  CROSS JOIN seeds s
+  LEFT JOIN mixed m ON m.source = d.source AND m.pi = s.pi
+)
+SELECT a.source AS src_a, b.source AS src_b,
+  CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT) AS match_n
+FROM allsig a JOIN allsig b ON a.pi = b.pi AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2"""
