@@ -121,7 +121,7 @@ _PRIORITY_R5 = [
     "m21_nfc_normalize", "w24_churn", "w25_autocorr",
     "d14_snapshot_diff", "j13_band_join", "w26_ohlc",
     "img_caption_align_digest", "img_ssim_digest", "audio_mfcc_digest",
-    "t_source_sim", "x8_assortativity",
+    "t_source_sim", "x8_assortativity", "t_containment",
     "t_quality_clf",
     "img_resize_bilinear_digest", "img_trainprep_digest", "t_doc_embed",
     "s15_schema_evolution", "audio_resample_digest", "w19_windowed_topk",
@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_mfcc_digest": mm2.audio_mfcc_digest_query,
         "t_source_sim": to2.t_source_sim,
         "x8_assortativity": _assort,
+        "t_containment": to2.t_containment,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
         "img_trainprep_digest": im.img_trainprep_digest_query,
@@ -548,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         w26_ohlc_sql as _w26_sql,
     )
     from lulu_crawler_ray.pipelines.textops2 import t_source_sim_sql as _tsrc_sql
+    from lulu_crawler_ray.pipelines.textops2 import t_containment_sql as _tcont_sql
     from lulu_crawler_ray.pipelines.graph import x8_assortativity_sql as _x8_sql
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
@@ -664,6 +666,10 @@ def oracle_sql() -> dict[str, str]:
         # degree assortativity: exact integer sufficient statistics
         # over degree-decorated edges (adaptive dim joins)
         "x8_assortativity": _x8_sql(),
+        # asymmetric containment over LSH candidates: exact integer
+        # (inter, |A|, |B|) + cross-multiplied pct threshold vs the
+        # same HUGEINT minhash CTE chain
+        "t_containment": _tcont_sql(),
         "audio_mfcc_digest": (
             "SELECT CAST(30 AS BIGINT) AS n_rows, "
             "CAST(900 AS BIGINT) AS sum_n_frames, "

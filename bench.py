@@ -175,7 +175,7 @@ def run_bench() -> dict:
         "e_mrl_overlap", "d13_upsert", "t_span_corruption", "m21_nfc_normalize", "w24_churn", "w25_autocorr",
         "d14_snapshot_diff", "j13_band_join", "w26_ohlc",
         "img_caption_align_digest", "img_ssim_digest", "audio_mfcc_digest",
-        "t_source_sim", "x8_assortativity",
+        "t_source_sim", "x8_assortativity", "t_containment",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -1135,3 +1135,115 @@ SELECT a.source AS src_a, b.source AS src_b,
   CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT) AS match_n
 FROM allsig a JOIN allsig b ON a.pi = b.pi AND a.source < b.source
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+# --------------------------------------------- t_containment
+
+
+def t_containment(sf: str, pct: int = 80):
+    """ASYMMETRIC CONTAINMENT scoring of the LSH candidate pairs —
+    the superset/quote-inclusion signal plain Jaccard misses (a short
+    doc fully quoted inside a long one has low Jaccard but containment
+    ~1; Broder's containment coefficient |A∩B| / min(|A|,|B|)). Reuses
+    the MinHash LSH candidate generator, then decorates each pair with
+    both docs' sorted-unique shingle blobs via adaptive_dim_join (the
+    near_dedup_minhash discipline: candidate-sized broadcast under the
+    blob-aware bound, co-partitioned shuffle above) and emits exact
+    integer (inter_n, n_a, n_b) plus the pct-thresholded contained
+    flag (cross-multiplied — no float boundary; min() == 0 counts as
+    contained: the empty set is a subset of anything)."""
+    from ..functions import textstats as tx
+    from .relational import adaptive_dim_join
+    from .textops import minhash_candidate_pairs
+
+    docs = read_table(sf, "documents", ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs).materialize()
+
+    ids: list[np.ndarray] = []
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=262144):
+        ids.append(b["a"].to_numpy())
+        ids.append(b["b"].to_numpy())
+    idarr = np.unique(np.concatenate(ids)) if ids else np.array([], np.int64)
+    if len(idarr) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "inter_n": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "contained": pa.array([], pa.int64()),
+            }
+        )
+    idref = ray.put(idarr)
+
+    def sh(t: pa.Table) -> pa.Table:
+        m = np.isin(t["doc_id"].to_numpy(), ray.get(idref))
+        t = t.filter(pa.array(m))
+        arrs = [
+            np.unique(np.fromiter(tx.shingles(s), np.uint64))
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sh": pa.array([a.tobytes() for a in arrs], pa.binary()),
+            }
+        )
+
+    shingles = docs.map_batches(sh, batch_format="pyarrow")
+    sh_a = shingles.map_batches(
+        lambda t: t.rename_columns(["doc_id", "sh_a"]), batch_format="pyarrow"
+    )
+    sh_b = shingles.map_batches(
+        lambda t: t.rename_columns(["doc_id", "sh_b"]), batch_format="pyarrow"
+    )
+    blob_max = 200_000
+    j = adaptive_dim_join(pairs, "a", sh_a, "doc_id", ["sh_a"], broadcast_max=blob_max)
+    j = adaptive_dim_join(j, "b", sh_b, "doc_id", ["sh_b"], broadcast_max=blob_max)
+
+    def score(t: pa.Table) -> pa.Table:
+        rows = {"a": [], "b": [], "inter_n": [], "n_a": [], "n_b": [], "contained": []}
+        for a, b, sa, sb in zip(
+            t["a"].to_pylist(), t["b"].to_pylist(), t["sh_a"].to_pylist(), t["sh_b"].to_pylist()
+        ):
+            sa = np.frombuffer(sa, np.uint64)
+            sb = np.frombuffer(sb, np.uint64)
+            inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["inter_n"].append(inter)
+            rows["n_a"].append(sa.size)
+            rows["n_b"].append(sb.size)
+            rows["contained"].append(
+                int(inter * 100 >= pct * min(sa.size, sb.size))
+            )
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+        )
+
+    return j.map_batches(score, batch_format="pyarrow").sort(["a", "b"])
+
+
+def t_containment_sql(pct: int = 80) -> str:
+    from .minhash_oracle import minhash_ctes
+
+    return (
+        "WITH "
+        + minhash_ctes("documents")
+        + ",\n"
+        + "nsh AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),\n"
+        "inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c "
+        "JOIN sh x ON x.doc_id = c.a "
+        "JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle GROUP BY 1, 2)\n"
+        "SELECT c.a AS a, c.b AS b, "
+        "CAST(COALESCE(i.i, 0) AS BIGINT) AS inter_n, "
+        "CAST(COALESCE(xa.n, 0) AS BIGINT) AS n_a, "
+        "CAST(COALESCE(xb.n, 0) AS BIGINT) AS n_b, "
+        f"CAST(CASE WHEN COALESCE(i.i, 0) * 100 >= {pct} * "
+        "LEAST(COALESCE(xa.n, 0), COALESCE(xb.n, 0)) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS contained "
+        "FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b "
+        "LEFT JOIN nsh xa ON xa.doc_id = c.a "
+        "LEFT JOIN nsh xb ON xb.doc_id = c.b ORDER BY a, b"
+    )

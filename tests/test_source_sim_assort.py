@@ -60,3 +60,32 @@ def test_x8_matches_naive(ray_session):
     assert got["s_dudv"] == (du * dv).sum()
     assert got["s_du2"] == (du * du).sum()
     assert got["s_dv2"] == (dv * dv).sum()
+
+
+def test_containment_planted_prefix(ray_session, tmp_path):
+    """A doc that is a strict token-prefix of another must surface as
+    an LSH candidate with contained == 1 and inter_n == |prefix set|
+    (its shingles are a subset of the superset doc's)."""
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    longest = docs["text"].str.split().str.len().idxmax()
+    docs = pd.concat([docs.loc[[longest]], docs.drop(index=longest).iloc[:19]])
+    base = docs.iloc[0]["text"]
+    toks = base.split()
+    assert len(toks) >= 40, "fixture doc long enough for the plant"
+    prefix = " ".join(toks[: int(len(toks) * 0.75)])
+    synth = docs.copy()
+    synth.loc[synth.index[1], "text"] = prefix  # doc 1 := prefix of doc 0
+    ids = synth["doc_id"].to_numpy()
+    a_id, b_id = int(ids[0]), int(ids[1])
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(synth, preserve_index=False), d / "documents.parquet")
+    out = to2.t_containment(str(d))
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    lo, hi = min(a_id, b_id), max(a_id, b_id)
+    row = out[(out["a"] == lo) & (out["b"] == hi)]
+    assert len(row) == 1, "planted prefix pair must be an LSH candidate"
+    r = row.iloc[0]
+    n_small = min(r["n_a"], r["n_b"])
+    assert r["contained"] == 1
+    assert r["inter_n"] == n_small  # strict subset: intersection == smaller set
