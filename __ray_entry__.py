@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines.graph import x6_sssp as _sssp
     from lulu_crawler_ray.pipelines.graph import x7_hits as _hits
     from lulu_crawler_ray.pipelines.graph import x8_assortativity as _assort
+    from lulu_crawler_ray.pipelines.graph import x9_link_prediction as _linkpred
     from lulu_crawler_ray.pipelines.kmeans import e_kmeans_int as _kmeans
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
@@ -361,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_mfcc_digest": mm2.audio_mfcc_digest_query,
         "t_source_sim": to2.t_source_sim,
         "x8_assortativity": _assort,
+        "x9_link_prediction": _linkpred,
         "t_containment": to2.t_containment,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
@@ -375,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w19_windowed_topk": rl2.w19_windowed_topk,
         "t_quality_clf": to3.t_quality_clf,
         "t_doc_embed": to3.t_doc_embed,
+        "t_bm25": to3.t_bm25,
         "t_prep_v5": to3.t_prep_v5,
         "t_span_corruption": to3.t_span_corruption,
         "t_token_count": to.t_token_count,
@@ -551,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.textops2 import t_source_sim_sql as _tsrc_sql
     from lulu_crawler_ray.pipelines.textops2 import t_containment_sql as _tcont_sql
     from lulu_crawler_ray.pipelines.graph import x8_assortativity_sql as _x8_sql
+    from lulu_crawler_ray.pipelines.graph import x9_link_prediction_sql as _x9_sql
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
         t_bpe_train_sql as _bpe_train_sql,
@@ -559,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         t_doc_embed_sql as _dembed_sql,
         t_prep_v5_sql as _prep5_sql,
         t_span_corruption_sql as _spanc_sql,
+        t_bm25_sql as _bm25_sql,
     )
 
     base = {
@@ -593,6 +598,9 @@ def oracle_sql() -> dict[str, str]:
         # T5 span-corruption stats: splitmix64 Bernoulli masking,
         # span starts by (doc, i-1) self-join on the oracle side
         "t_span_corruption": _spanc_sql(),
+        # BM25 lexical retrieval: rational idf surrogate + k1/b tf
+        # saturation as exact integer floors (HUGEINT mirror)
+        "t_bm25": _bm25_sql(),
         # bloom pre-filtered exact semi join (zero false negatives by
         # construction; false positives removed by the exact pass)
         "j12_bloom_semi": _j12_sql(),
@@ -666,6 +674,9 @@ def oracle_sql() -> dict[str, str]:
         # degree assortativity: exact integer sufficient statistics
         # over degree-decorated edges (adaptive dim joins)
         "x8_assortativity": _x8_sql(),
+        # x9: common-neighbor link prediction; Jaccard derivable from
+        # (cn, deg_u, deg_v) as an exact rational — no float emitted
+        "x9_link_prediction": _x9_sql(),
         # asymmetric containment over LSH candidates: exact integer
         # (inter, |A|, |B|) + cross-multiplied pct threshold vs the
         # same HUGEINT minhash CTE chain

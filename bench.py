@@ -176,6 +176,7 @@ def run_bench() -> dict:
         "d14_snapshot_diff", "j13_band_join", "w26_ohlc",
         "img_caption_align_digest", "img_ssim_digest", "audio_mfcc_digest",
         "t_source_sim", "x8_assortativity", "t_containment",
+        "t_bm25",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -1155,3 +1155,196 @@ def x8_assortativity_sql(n_nodes: int = 1000) -> str:
         "CAST(SUM(idg * idg) AS BIGINT) AS s_dv2 "
         "FROM e JOIN od USING (src) JOIN idg USING (dst)"
     )
+
+
+def x9_link_prediction(sf: str, n_nodes: int = 1000, keep_mod: int = 13, k: int = 50):
+    """LINK PREDICTION by common-neighbor count (Liben-Nowell &
+    Kleinberg 2003) over the x2 sparsified undirected graph: for every
+    NON-edge pair at distance 2, cn = |N(u) ∩ N(v)|, decorated with
+    both degrees so the Jaccard coefficient cn / (deg_u + deg_v - cn)
+    is derivable as an exact rational — no float leaves the engine.
+    Top-``k`` by (cn DESC, u ASC, v ASC).
+
+    Distributed shape: canonical distinct edge set (x2 derivation)
+    materializes once; the two-direction adjacency streams from it;
+    the wedge self-join on the shared middle vertex is THE cost
+    (Σ deg² pairs — linear-ish on the keep_mod-sparsified graph, the
+    same natural-sparsity assumption x2 documents); candidate counts
+    come from one combiner-first grouped count; existing edges drop
+    via the packed-key adaptive ANTI semi-filter (edge-set-sized
+    build); degrees decorate through two node-sized adaptive_dim_joins
+    (the fact side crosses the wire at most once each); top-k is a
+    per-batch combiner + one k*blocks-row finalize — never a global
+    sort."""
+    from .relational import (
+        adaptive_dim_join,
+        adaptive_semi_filter,
+        grouped_agg,
+        shuffle_join,
+    )
+
+    ds = read_table(sf, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        m = (ok + pk) % keep_mod == 0
+        s = (ok[m] % n_nodes).astype(np.int64)
+        d = (pk[m] % n_nodes).astype(np.int64)
+        nz = s != d
+        u = np.minimum(s[nz], d[nz])
+        v = np.maximum(s[nz], d[nz])
+        return (
+            pa.table({"u": pa.array(u), "v": pa.array(v)})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+
+    edges = grouped_agg(
+        ds.map_batches(mk, batch_format="pyarrow"),
+        ["u", "v"],
+        [("__n", "count", None)],
+        round_to=None,
+    ).map_batches(
+        lambda t: pa.table(
+            {"u": t["u"].cast(pa.int64()), "v": t["v"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    adj = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "x": pa.concat_arrays(
+                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                ),
+                "y": pa.concat_arrays(
+                    [t["v"].combine_chunks(), t["u"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # wedge self-join on the shared middle vertex; canonical y1 < y2
+    left = adj.map_batches(
+        lambda t: pa.table({"x": t["x"], "y1": t["y"]}), batch_format="pyarrow"
+    )
+    right = adj.map_batches(
+        lambda t: pa.table({"x2": t["x"], "y2": t["y"]}), batch_format="pyarrow"
+    )
+    pairs = shuffle_join(left, right, "x", "x2").map_batches(
+        lambda t: t.filter(
+            pa.array(
+                t["y1"].to_numpy(zero_copy_only=False)
+                < t["y2"].to_numpy(zero_copy_only=False)
+            )
+        ).select(["y1", "y2"]),
+        batch_format="pyarrow",
+    )
+    cn = grouped_agg(
+        pairs, ["y1", "y2"], [("cn", "count", None)], round_to=None
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "u": t["y1"].cast(pa.int64()),
+                "v": t["y2"].cast(pa.int64()),
+                "cn": t["cn"].cast(pa.int64()),
+                "uv": pa.array(
+                    t["y1"].to_numpy(zero_copy_only=False).astype(np.int64) * n_nodes
+                    + t["y2"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    ekeys = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "uv": pa.array(
+                    t["u"].to_numpy(zero_copy_only=False).astype(np.int64) * n_nodes
+                    + t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cand = adaptive_semi_filter(cn, ekeys, "uv", "uv", anti=True)
+
+    deg = grouped_agg(adj, ["x"], [("d", "count", None)], round_to=None).map_batches(
+        lambda t: pa.table(
+            {"x": t["x"].cast(pa.int64()), "d": t["d"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    dec = adaptive_dim_join(cand, "u", deg, "x", ["d"])
+    dec = dec.map_batches(
+        lambda t: t.rename_columns(
+            [n if n != "d" else "deg_u" for n in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    dec = adaptive_dim_join(dec, "v", deg, "x", ["d"])
+    dec = dec.map_batches(
+        lambda t: t.rename_columns(
+            [n if n != "d" else "deg_v" for n in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("cn", "descending"),
+                    ("u", "ascending"),
+                    ("v", "ascending"),
+                ],
+            )
+        )
+        return t.slice(0, k)
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        t = local_topk(t)
+        return pa.table(
+            {
+                "u": pc.cast(t["u"], pa.int64()),
+                "v": pc.cast(t["v"], pa.int64()),
+                "cn": pc.cast(t["cn"], pa.int64()),
+                "deg_u": pc.cast(t["deg_u"], pa.int64()),
+                "deg_v": pc.cast(t["deg_v"], pa.int64()),
+                "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        dec.map_batches(
+            lambda t: local_topk(t.select(["u", "v", "cn", "deg_u", "deg_v"])),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+        .map_batches(final_rank, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def x9_link_prediction_sql(n_nodes: int = 1000, keep_mod: int = 13, k: int = 50) -> str:
+    return (
+        "WITH e0 AS (SELECT DISTINCT "
+        f"least(l_orderkey % {n_nodes}, l_partkey % {n_nodes}) AS u, "
+        f"greatest(l_orderkey % {n_nodes}, l_partkey % {n_nodes}) AS v "
+        f"FROM lineitem WHERE (l_orderkey + l_partkey) % {keep_mod} = 0 "
+        f"AND l_orderkey % {n_nodes} <> l_partkey % {n_nodes}), "
+        "adj AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0), "
+        "wed AS (SELECT a.y AS u, b.y AS v, CAST(COUNT(*) AS BIGINT) AS cn "
+        "FROM adj a JOIN adj b ON a.x = b.x AND a.y < b.y GROUP BY 1, 2), "
+        "cand AS (SELECT w.u, w.v, w.cn FROM wed w LEFT JOIN e0 "
+        "ON e0.u = w.u AND e0.v = w.v WHERE e0.u IS NULL), "
+        "deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1) "
+        "SELECT u, v, cn, deg_u, deg_v, rank FROM ("
+        "SELECT c.u, c.v, c.cn, du.d AS deg_u, dv.d AS deg_v, "
+        "ROW_NUMBER() OVER (ORDER BY c.cn DESC, c.u, c.v) AS rank "
+        "FROM cand c JOIN deg du ON du.x = c.u JOIN deg dv ON dv.x = c.v) "
+        f"WHERE rank <= {k} ORDER BY rank"
+    )

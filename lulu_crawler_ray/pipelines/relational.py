@@ -1103,6 +1103,11 @@ def _build_bcast_index(key: str, *blocks):
     enforced — duplicate build keys fail loudly rather than silently
     dropping matches."""
     t = pa.concat_tables(blocks).combine_chunks()
+    if t.num_rows == 0:
+        # empty build side — a row-filter that dropped every row can
+        # even leave a schema-less block (no columns); the probe's
+        # empty branch only needs the payload schema, if any
+        return np.zeros(0, np.int64), t
     k = t[key].to_numpy()
     order = np.argsort(k, kind="stable")
     ks = k[order]
@@ -1130,15 +1135,23 @@ def adaptive_join(
     counts = ray.get([_count_rows_ref.remote(b) for b in blocks])
     n = sum(counts)
     if n <= broadcast_max:
-        ref = _build_bcast_index.remote(
-            right_on, *[b for b, c in zip(blocks, counts) if c > 0]
-        )
+        # keep one (possibly empty) block when every block is empty so
+        # the index task still sees the build schema — concat_tables of
+        # zero tables raises ArrowInvalid in the worker otherwise
+        nz = [b for b, c in zip(blocks, counts) if c > 0] or list(blocks[:1])
+        if not nz:
+            return left.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+        ref = _build_bcast_index.remote(right_on, *nz)
 
         def probe(t: pa.Table) -> pa.Table:
             ks, payload = ray.get(ref)
             k = t[on].to_numpy()
             if len(ks) == 0:
-                return t.slice(0, 0)
+                t = t.slice(0, 0)
+                for name in payload.column_names:
+                    if name != right_on:
+                        t = t.append_column(name, payload[name].slice(0, 0))
+                return t
             idx = np.clip(np.searchsorted(ks, k), 0, len(ks) - 1)
             m = ks[idx] == k
             t = t.filter(pa.array(m))

@@ -938,3 +938,262 @@ def t_span_corruption_sql(rate_pct: int = 15, salt: int = 1_000_003) -> str:
         "FROM tok LEFT JOIN st ON tok.doc_id = st.doc_id "
         "GROUP BY tok.doc_id, tok.n ORDER BY tok.doc_id"
     )
+
+
+def t_bm25(
+    sf: str,
+    query_docs: tuple[int, ...] = (0, 17, 34),
+    terms_per_query: int = 4,
+    k: int = 10,
+):
+    """BM25 lexical retrieval top-k (Robertson & Walker 1994; Robertson
+    & Zaragoza 2009) — the LEXICAL sibling of the dense e_* retrieval
+    family, integer-exact end to end. Queries derive from the corpus
+    itself (the first ``terms_per_query`` DISTINCT tokens, ascending,
+    of each query doc) so no external data enters.
+
+    Integer contract (k1 = 6/5, b = 3/4; no float on either side):
+      idf_e6     = (1e6 * (2*(N - df) + 1)) // (2*df + 1)
+                   — the Robertson idf ratio (N-df+0.5)/(df+0.5) as an
+                   exact rational floor WITHOUT the log wrap (monotone
+                   in the classic idf; a documented surrogate, chosen
+                   because ln() is float on both engines and a rounded
+                   double at the floor boundary is not bit-portable)
+      ndl_e6     = (1e6 * dl * N) // SUM_DL    (normalized doc length)
+      contrib_e6 = (idf_e6 * 44_000_000 * tf)
+                   // (20_000_000*tf + 6_000_000 + 18*ndl_e6)
+                   — tf*(k1+1) / (tf + k1*(1 - b + b*ndl)) with both
+                   sides multiplied through by 20e6; intermediates
+                   overflow int64 (idf_e6*44e6*tf), so the per-row
+                   arithmetic runs in arbitrary-precision Python ints
+                   on the MATCHED rows only (HUGEINT in the oracle —
+                   the t_pmi_bigrams overflow lesson)
+      score_e6   = sum of contrib_e6 over matched query terms
+                   (int64-safe output until N ~ 1e12 docs)
+
+    Distributed shape: pass A streams per-batch (n_docs, n_tokens)
+    partials for N / SUM_DL (two scalars). Pass B explodes per-(doc,
+    term) tf + dl — batch-local, a doc never spans a batch, zero
+    shuffle — and filters to the <= len(query_docs)*terms_per_query
+    query terms, so only the selective MATCH set materializes; df is a
+    combiner-first grouped count over it (a query-term-sized gather),
+    contributions stream per batch, partial scores merge through ONE
+    (qid, doc_id)-keyed grouped_agg, and the final top-k is a
+    per-batch combiner + one k*blocks-row finalize. The corpus never
+    gathers and never shuffles."""
+    from .relational import grouped_agg
+
+    ds = read_table(sf, "documents", ["doc_id", "text"])
+
+    # ---- query terms: first `terms_per_query` distinct tokens asc of
+    # each query doc (a len(query_docs)-row driver gather)
+    qset = set(int(q) for q in query_docs)
+    qrows = (
+        _tokenized(ds)
+        .map_batches(
+            lambda t: t.filter(
+                pa.array(np.isin(t["doc_id"].to_numpy(zero_copy_only=False), list(qset)))
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    term_to_qids: dict[str, list[int]] = {}
+    for r in qrows:
+        qid = int(np.flatnonzero(np.array(sorted(qset)) == r["doc_id"])[0])
+        for tm in sorted(set(r["toks"]))[:terms_per_query]:
+            term_to_qids.setdefault(tm, []).append(qid)
+    qterm_list = sorted(term_to_qids)
+
+    # ---- pass A: corpus totals (N = docs with >= 1 token, SUM_DL)
+    def totals_batch(t: pa.Table) -> pa.Table:
+        lst = t["toks"].combine_chunks()
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = offs[1:] - offs[:-1]
+        return pa.table(
+            {
+                "nd": pa.array([int((cnt > 0).sum())], pa.int64()),
+                "nt": pa.array([int(cnt.sum())], pa.int64()),
+            }
+        )
+
+    tot = _tokenized(ds).map_batches(totals_batch, batch_format="pyarrow").sum(["nd", "nt"])
+    n_docs, sum_dl = int(tot["sum(nd)"]), int(tot["sum(nt)"])
+
+    # ---- pass B: batch-local (doc, term, tf, dl) explode, filtered to
+    # the query terms before anything leaves the batch
+    qarr = pa.array(qterm_list, pa.string())
+    qterms_np = np.array(qterm_list, object)
+    nq = len(qterm_list)
+
+    def match_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or nq == 0:
+            return empty
+        lst = t["toks"].combine_chunks()
+        flat = lst.flatten()
+        if len(flat) == 0:
+            return empty
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = offs[1:] - offs[:-1]
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.is_in(flat, value_set=qarr).to_numpy(zero_copy_only=False)
+        if not m.any():
+            return empty
+        tok_doc = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        sel = np.flatnonzero(m)
+        tid = (
+            pc.index_in(flat.take(pa.array(sel)), value_set=qarr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        key = tok_doc[sel] * nq + tid
+        uk, tf = np.unique(key, return_counts=True)
+        d_pos = uk // nq
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[d_pos]),
+                "term": pa.array(qterms_np[uk % nq], pa.string()),
+                "tf": pa.array(tf.astype(np.int64)),
+                "dl": pa.array(cnt[d_pos]),
+            }
+        )
+
+    matched = _tokenized(ds).map_batches(match_batch, batch_format="pyarrow").materialize()
+
+    # ---- df per query term (query-term-sized gather), then exact idf
+    df_rows = grouped_agg(
+        matched, ["term"], [("df", "count", None)], round_to=None
+    ).take_all()
+    idf_e6 = {
+        r["term"]: (1_000_000 * (2 * (n_docs - int(r["df"])) + 1)) // (2 * int(r["df"]) + 1)
+        for r in df_rows
+    }
+
+    # ---- per-row contributions (Python bigints over matched rows only)
+    def contrib_batch(t: pa.Table) -> pa.Table:
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        tfs = t["tf"].to_numpy(zero_copy_only=False)
+        dls = t["dl"].to_numpy(zero_copy_only=False)
+        terms = t["term"].to_pylist()
+        oq: list[int] = []
+        od: list[int] = []
+        oc: list[int] = []
+        for i, tm in enumerate(terms):
+            tf_i, dl_i = int(tfs[i]), int(dls[i])
+            ndl = (1_000_000 * dl_i * n_docs) // sum_dl
+            c = (idf_e6[tm] * 44_000_000 * tf_i) // (
+                20_000_000 * tf_i + 6_000_000 + 18 * ndl
+            )
+            for q in term_to_qids[tm]:
+                oq.append(q)
+                od.append(int(docs[i]))
+                oc.append(c)
+        return pa.table(
+            {
+                "qid": pa.array(oq, pa.int64()),
+                "doc_id": pa.array(od, pa.int64()),
+                "contrib": pa.array(oc, pa.int64()),
+            }
+        )
+
+    scores = grouped_agg(
+        matched.map_batches(contrib_batch, batch_format="pyarrow"),
+        ["qid", "doc_id"],
+        [("score_e6", "sum", "contrib"), ("n_terms", "count", None)],
+        round_to=None,
+    )
+
+    # ---- top-k per query: per-batch combiner + one small finalize
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("qid", "ascending"),
+                    ("score_e6", "descending"),
+                    ("doc_id", "ascending"),
+                ],
+            )
+        )
+        q = t["qid"].to_numpy(zero_copy_only=False)
+        starts = np.r_[True, q[1:] != q[:-1]] if len(q) else np.zeros(0, bool)
+        gid = np.cumsum(starts) - 1 if len(q) else np.zeros(0, np.int64)
+        pos = (
+            np.arange(len(q)) - np.flatnonzero(starts)[gid]
+            if len(q)
+            else np.zeros(0, np.int64)
+        )
+        return t.filter(pa.array(pos < k))
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        t = local_topk(t)
+        q = t["qid"].to_numpy(zero_copy_only=False)
+        starts = np.r_[True, q[1:] != q[:-1]] if len(q) else np.zeros(0, bool)
+        gid = np.cumsum(starts) - 1 if len(q) else np.zeros(0, np.int64)
+        pos = (
+            np.arange(len(q)) - np.flatnonzero(starts)[gid]
+            if len(q)
+            else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "qid": pc.cast(t["qid"], pa.int64()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "score_e6": pc.cast(t["score_e6"], pa.int64()),
+                "n_terms": pc.cast(t["n_terms"], pa.int64()),
+                "rank": pa.array(pos + 1, pa.int64()),
+            }
+        )
+
+    return (
+        scores.map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_rank, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def t_bm25_sql(
+    query_docs: tuple[int, ...] = (0, 17, 34),
+    terms_per_query: int = 4,
+    k: int = 10,
+) -> str:
+    vals = ", ".join(f"({i}, {d})" for i, d in enumerate(sorted(query_docs)))
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> x <> '') AS l FROM documents), "
+        "tok AS (SELECT doc_id, UNNEST(l) AS term FROM d), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY 1, 2), "
+        "dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), "
+        "tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(dl) AS HUGEINT) AS sum_dl FROM dl), "
+        "q AS (SELECT qid, term FROM (SELECT v.qid, f.term, "
+        "ROW_NUMBER() OVER (PARTITION BY v.qid ORDER BY f.term) AS rn "
+        f"FROM (VALUES {vals}) v(qid, qdoc) "
+        "JOIN (SELECT DISTINCT doc_id, term FROM tf) f ON f.doc_id = v.qdoc) "
+        f"WHERE rn <= {terms_per_query}), "
+        "df AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS df FROM tf "
+        "WHERE term IN (SELECT term FROM q) GROUP BY 1), "
+        "c AS (SELECT q.qid, f.doc_id, "
+        "((CAST(1000000 AS HUGEINT) * (2 * ((SELECT n FROM tot) - d2.df) + 1)) "
+        "// (2 * d2.df + 1)) * (CAST(44000000 AS HUGEINT) * f.tf) "
+        "// (CAST(20000000 AS HUGEINT) * f.tf + 6000000 + 18 * "
+        "((CAST(1000000 AS HUGEINT) * l.dl * (SELECT n FROM tot)) "
+        "// (SELECT sum_dl FROM tot))) AS contrib "
+        "FROM q JOIN tf f USING (term) JOIN df d2 USING (term) "
+        "JOIN dl l ON l.doc_id = f.doc_id), "
+        "s AS (SELECT qid, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_e6, "
+        "CAST(COUNT(*) AS BIGINT) AS n_terms FROM c GROUP BY 1, 2) "
+        "SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_e6, n_terms, rank "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY score_e6 DESC, doc_id) AS rank FROM s) "
+        f"WHERE rank <= {k} ORDER BY qid, rank"
+    )

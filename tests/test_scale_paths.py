@@ -487,3 +487,35 @@ def test_w23_and_d13_partition_count_independent(ray_session):
         rl2._npart = orig
     pd.testing.assert_frame_equal(a1, a2)
     pd.testing.assert_frame_equal(b1, b2)
+
+
+def test_adaptive_join_empty_build(ray_session):
+    """Empty build sides (zero rows, or a row-filter artifact block with
+    NO columns at all) must produce an empty join result instead of the
+    worker-side ArrowInvalid/KeyError `_build_bcast_index` used to
+    raise (caught live in a bench run: 'Must pass at least one table')."""
+    import ray.data
+    from lulu_crawler_ray.pipelines.relational import adaptive_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array(["a", "b", "c"])})
+    )
+    empty = ray.data.from_arrow(
+        pa.table({"rk": pa.array([], pa.int64()), "p": pa.array([], pa.string())})
+    )
+    out = adaptive_join(left, empty, "k", "rk")
+    assert out.count() == 0
+    assert out.schema().names == ["k", "v", "p"]
+
+    # row-filter that drops everything -> Ray emits a schema-less block
+    filtered = ray.data.from_arrow(
+        pa.table({"rk": pa.array([9], pa.int64()), "p": pa.array(["z"])})
+    ).filter(lambda r: False)
+    assert adaptive_join(left, filtered, "k", "rk").count() == 0
+
+    # populated path unchanged
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1, 3], pa.int64()), "p": pa.array(["x", "y"])})
+    )
+    t3 = adaptive_join(left, right, "k", "rk").to_pandas().sort_values("k")
+    assert list(t3["k"]) == [1, 3] and list(t3["p"]) == ["x", "y"]
