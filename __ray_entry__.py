@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn_graph": an.e_knn_graph,
         "e_hard_negatives": an.e_hard_negatives,
         "e_mrl_overlap": an.e_mrl_overlap,
+        "e_rrf_fusion": an.e_rrf_fusion,
         "w13_rolling_median": rl.w13_rolling_median,
         "j11_interval_join": rl.j11_interval_join,
         "g28_chi2": rl.g28_chi2,
@@ -338,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_hash_variants_digest": im.img_hash_variants_digest_query,
         "img_augment_digest": im.img_augment_digest_query,
         "m19_regex_extract": rl2.m19_regex_extract,
+        "m20_url_parse": rl3.m20_url_parse,
         "t_readability": rl2.t_readability,
         "w18_ewm8": rl2.w18_ewm8,
         "g31_gini": rl2.g31_gini,
@@ -498,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.annsearch import e_knn_graph_sql as _knn_graph_sql
     from lulu_crawler_ray.pipelines.annsearch import e_hard_negatives_sql as _hardneg_sql
     from lulu_crawler_ray.pipelines.annsearch import e_mrl_overlap_sql as _mrl_sql
+    from lulu_crawler_ray.pipelines.annsearch import e_rrf_fusion_sql as _rrf_sql
     from lulu_crawler_ray.pipelines.annsearch import e_maxsim_sql as _maxsim_sql
     from lulu_crawler_ray.pipelines.textops3 import (
         t_dsir_weights_sql as _to3_dsir_sql,
@@ -555,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.textops2 import t_containment_sql as _tcont_sql
     from lulu_crawler_ray.pipelines.graph import x8_assortativity_sql as _x8_sql
     from lulu_crawler_ray.pipelines.graph import x9_link_prediction_sql as _x9_sql
+    from lulu_crawler_ray.pipelines.relational3 import m20_url_parse_sql as _m20_sql
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
         t_bpe_train_sql as _bpe_train_sql,
@@ -570,6 +574,8 @@ def oracle_sql() -> dict[str, str]:
         # closing-session relational2 ops (RE2 semantics shared by
         # Arrow and DuckDB; w18 emits integer num/den — bit-exact)
         "m19_regex_extract": _m19_sql(),
+        # m20: URL component extraction (RE2 on both engines)
+        "m20_url_parse": _m20_sql(),
         "t_readability": _tread_sql(),
         "w18_ewm8": _w18_sql(),
         # g31: exact integer num/den Gini via count-table combiner;
@@ -741,6 +747,8 @@ def oracle_sql() -> dict[str, str]:
         # Matryoshka truncation diagnostic: top-k overlap between the
         # full-dim and prefix-dim exact rankings
         "e_mrl_overlap": _mrl_sql(),
+        # RRF hybrid fusion: integer 1e9//(k0+rank) contributions
+        "e_rrf_fusion": _rrf_sql(),
         "w13_rolling_median": _w13_sql(),
         "j11_interval_join": _j11_sql(),
         "g28_chi2": _g28_sql(),

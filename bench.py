@@ -176,7 +176,7 @@ def run_bench() -> dict:
         "d14_snapshot_diff", "j13_band_join", "w26_ohlc",
         "img_caption_align_digest", "img_ssim_digest", "audio_mfcc_digest",
         "t_source_sim", "x8_assortativity", "t_containment",
-        "t_bm25",
+        "t_bm25", "x9_link_prediction", "e_rrf_fusion", "m20_url_parse",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -1633,3 +1633,122 @@ def e_mrl_overlap_sql(k: int = 3, prefix_dims: int = 16) -> str:
         "FROM kf LEFT JOIN kt ON kf.qid = kt.qid AND kf.nid = kt.nid "
         "GROUP BY kf.qid ORDER BY vec_id"
     )
+
+
+def e_rrf_fusion(
+    sf: str,
+    k: int = 3,
+    pool: int = 10,
+    prefix_dims: int = 16,
+    k0: int = 60,
+    dim_max: int = 2_000_000,
+):
+    """RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher 2009) of two
+    retrieval rankings — the standard hybrid-search combiner: for every
+    anchor, fuse the exact full-dimension inner-product top-``pool``
+    ranking with the Matryoshka prefix-dimension ranking (the cheap
+    retriever e_mrl_overlap diagnoses) and emit the top-``k`` fused
+    neighbors. RRF score is integer-exact on both engines:
+    rrf_e9 = sum over rankings containing the doc of
+    1_000_000_000 // (k0 + rank). Output (vec_id, nid, rrf_e9, rank)
+    with (rrf_e9 DESC, nid ASC) ties.
+
+    Distributed shape: ONE worker-built e6-quantized matrix broadcast
+    (loud ``dim_max`` bound, the e_knn_graph refusal), two bit-exact
+    integer matmuls per anchor batch, per-anchor fusion over <= 2*pool
+    candidates — the corpus streams once and never shuffles."""
+    emb = read_table(sf, "embeddings", ["vec_id", "embedding"])
+
+    refs, n = [], 0
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=65536):
+        n += b.num_rows
+        if n > dim_max:
+            raise ValueError(
+                f"e_rrf_fusion: >{dim_max} vectors — run per IVF cell at "
+                "this scale"
+            )
+        if b.num_rows:
+            refs.append(ray.put(b))
+
+    @ray.remote
+    def build(*blocks: pa.Table):
+        t = pa.concat_tables(list(blocks)).combine_chunks()
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        m = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6)
+        o = np.argsort(ids, kind="stable")
+        return ids[o], m[o]
+
+    mat_ref = build.remote(*refs)
+
+    def _ranked(q: np.ndarray, m: np.ndarray, ids, all_ids, p):
+        ip = q @ m.T
+        self_col = np.searchsorted(all_ids, ids)
+        rows = np.arange(len(ids))
+        hit = (self_col < len(all_ids)) & (
+            all_ids[np.minimum(self_col, len(all_ids) - 1)] == ids
+        )
+        ip[rows[hit], self_col[hit]] = -np.inf
+        return np.lexsort((np.broadcast_to(all_ids, ip.shape), -ip), axis=1)[:, :p]
+
+    def fuse(t: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(mat_ref)
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        q = np.rint(np.array(t["embedding"].to_pylist(), np.float64) * 1e6)
+        p = min(pool, len(all_ids) - 1)
+        full = _ranked(q, all_m, ids, all_ids, p)
+        trunc = _ranked(q[:, :prefix_dims], all_m[:, :prefix_dims], ids, all_ids, p)
+        oa, on, os_, orr = [], [], [], []
+        for r in range(len(ids)):
+            sc: dict[int, int] = {}
+            for pos in range(p):
+                c = int(all_ids[full[r, pos]])
+                sc[c] = sc.get(c, 0) + 1_000_000_000 // (k0 + pos + 1)
+            for pos in range(p):
+                c = int(all_ids[trunc[r, pos]])
+                sc[c] = sc.get(c, 0) + 1_000_000_000 // (k0 + pos + 1)
+            top = sorted(sc.items(), key=lambda x: (-x[1], x[0]))[:k]
+            for rnk, (nid, s) in enumerate(top, 1):
+                oa.append(int(ids[r]))
+                on.append(nid)
+                os_.append(s)
+                orr.append(rnk)
+        return pa.table(
+            {
+                "vec_id": pa.array(oa, pa.int64()),
+                "nid": pa.array(on, pa.int64()),
+                "rrf_e9": pa.array(os_, pa.int64()),
+                "rank": pa.array(orr, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(fuse, batch_format="pyarrow").sort(["vec_id", "rank"])
+
+
+def e_rrf_fusion_sql(
+    k: int = 3, pool: int = 10, prefix_dims: int = 16, k0: int = 60
+) -> str:
+    def knn(name: str, where: str) -> str:
+        return (
+            f"{name} AS (SELECT qid, nid, rn FROM (SELECT a.vec_id AS qid, "
+            "b.vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY a.vec_id "
+            "ORDER BY SUM(a.v * b.v) DESC, b.vec_id) AS rn FROM u a JOIN u b "
+            f"ON a.i = b.i AND a.vec_id <> b.vec_id {where} "
+            f"GROUP BY a.vec_id, b.vec_id) WHERE rn <= {pool})"
+        )
+
+    return (
+        "WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v "
+        "FROM embeddings), "
+        + knn("kf", "")
+        + ", "
+        + knn("kt", f"AND a.i <= {prefix_dims}")
+        + ", fused AS (SELECT COALESCE(kf.qid, kt.qid) AS qid, "
+        "COALESCE(kf.nid, kt.nid) AS nid, "
+        f"COALESCE(1000000000 // ({k0} + kf.rn), 0) + "
+        f"COALESCE(1000000000 // ({k0} + kt.rn), 0) AS rrf_e9 "
+        "FROM kf FULL OUTER JOIN kt ON kf.qid = kt.qid AND kf.nid = kt.nid) "
+        "SELECT qid AS vec_id, nid, rrf_e9, rank FROM (SELECT qid, nid, rrf_e9, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_e9 DESC, nid) AS rank "
+        f"FROM fused) WHERE rank <= {k} ORDER BY vec_id, rank"
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -384,4 +385,84 @@ def w26_ohlc_sql() -> str:
         "FROM agg JOIN r o ON o.user_id = agg.user_id AND o.day_idx = agg.day_idx "
         "AND o.rn_a = 1 JOIN r c ON c.user_id = agg.user_id "
         "AND c.day_idx = agg.day_idx AND c.rn_d = 1 ORDER BY 1, 2"
+    )
+
+
+def m20_url_parse(sf: str, host_mod: int = 251):
+    """Scrape-side URL COMPONENT analytics: synthesize a deterministic
+    URL per lineitem row (host = orderkey residue, path depth varies
+    with partkey, the suppkey rides as a query parameter — mirrored
+    textually in the oracle), then parse it BACK with RE2 extraction
+    kernels and aggregate per host. The extraction is the op under
+    test: host / path / query-param pulls are exactly what a link
+    post-processor runs over a crawl ledger, and both engines speak
+    RE2 (Arrow extract_regex / DuckDB regexp_extract) so leftmost
+    semantics agree by construction.
+
+    Distributed shape: one streaming map_batches pass (vectorized
+    string build + three vectorized extractions, no Python rows), then
+    a combiner-first grouped count/sum keyed by the ~host_mod hosts."""
+    li = read_table(sf, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        host = pa.array((ok % host_mod).astype(str), pa.string())
+        part = pa.array(pk.astype(str), pa.string())
+        supp = pa.array(sk.astype(str), pa.string())
+        mid = pa.array(np.where(pk % 3 == 0, "/a/", "/a/b/"), pa.string())
+        url = pc.binary_join_element_wise(
+            "http://h", host, ".example.com", mid, part, "?s=", supp, ""
+        )
+        # --- the parse-back under test (all RE2, all vectorized)
+        h = pc.struct_field(
+            pc.extract_regex(url, r"^https?://(?P<g>[^/]+)/"), 0
+        )
+        path = pc.struct_field(
+            pc.extract_regex(url, r"^https?://[^/]+(?P<g>[^?]*)"), 0
+        )
+        sval = pc.struct_field(pc.extract_regex(url, r"[?]s=(?P<g>[0-9]+)"), 0)
+        return pa.table(
+            {
+                "host": h,
+                "depth": pc.cast(pc.count_substring(path, "/"), pa.int64()),
+                "s": pc.cast(sval, pa.int64()),
+            }
+        )
+
+    parsed = li.map_batches(parse, batch_format="pyarrow")
+    return grouped_agg(
+        parsed,
+        ["host"],
+        [("n", "count", None), ("sum_depth", "sum", "depth"), ("sum_s", "sum", "s")],
+        round_to=None,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "host": t["host"],
+                "n": t["n"].cast(pa.int64()),
+                "sum_depth": t["sum_depth"].cast(pa.int64()),
+                "sum_s": t["sum_s"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("host")
+
+
+def m20_url_parse_sql(host_mod: int = 251) -> str:
+    return (
+        "WITH u AS (SELECT 'http://h' || CAST(l_orderkey % "
+        f"{host_mod} AS VARCHAR) || '.example.com' || "
+        "CASE WHEN l_partkey % 3 = 0 THEN '/a/' ELSE '/a/b/' END || "
+        "CAST(l_partkey AS VARCHAR) || '?s=' || CAST(l_suppkey AS VARCHAR) "
+        "AS url FROM lineitem), "
+        "p AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, "
+        "CAST(length(regexp_extract(url, '^https?://[^/]+([^?]*)', 1)) - "
+        "length(replace(regexp_extract(url, '^https?://[^/]+([^?]*)', 1), '/', '')) "
+        "AS BIGINT) AS depth, "
+        "CAST(regexp_extract(url, '[?]s=([0-9]+)', 1) AS BIGINT) AS s FROM u) "
+        "SELECT host, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(depth) AS BIGINT) AS sum_depth, "
+        "CAST(SUM(s) AS BIGINT) AS sum_s FROM p GROUP BY host ORDER BY host"
     )
