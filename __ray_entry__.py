@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines import textops3 as to3
     from lulu_crawler_ray.pipelines.pq import e_pq_ann as _pq_ann
     from lulu_crawler_ray.pipelines.graph import x1_pagerank as _pagerank
+    from lulu_crawler_ray.sources.sitemaps import s17_sitemap_seeds as _s17_sitemap
     from lulu_crawler_ray.pipelines.graph import x2_triangles as _triangles
     from lulu_crawler_ray.pipelines.graph import x3_components as _components
     from lulu_crawler_ray.pipelines.graph import x4_kcore as _kcore
@@ -376,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pii_redact": to3.t_pii_redact,
         "j12_bloom_semi": rl2.j12_bloom_semi,
         "s15_schema_evolution": rl2.s15_schema_evolution,
+        "s17_sitemap_seeds": _s17_sitemap,
         "w19_windowed_topk": rl2.w19_windowed_topk,
         "t_quality_clf": to3.t_quality_clf,
         "t_doc_embed": to3.t_doc_embed,
@@ -576,6 +578,16 @@ def oracle_sql() -> dict[str, str]:
         "m19_regex_extract": _m19_sql(),
         # m20: URL component extraction (RE2 on both engines)
         "m20_url_parse": _m20_sql(),
+        # s17: GOLDEN PIN (SQL cannot parse sitemap XML) — constants
+        # validated against the fixture generator's ground truth by
+        # tests/test_sitemaps.py (reader == generator, independent
+        # digest recompute); a driver hash-match is a bit-exact
+        # regression check on the parse/dedup/extract path
+        "s17_sitemap_seeds": (
+            "SELECT CAST(240 AS BIGINT) AS n_urls, CAST(6 AS BIGINT) AS n_hosts, "
+            "CAST(4936562272080051019 AS BIGINT) AS url_mix, "
+            "CAST(3125348245015593678 AS BIGINT) AS lastmod_mix"
+        ),
         "t_readability": _tread_sql(),
         "w18_ewm8": _w18_sql(),
         # g31: exact integer num/den Gini via count-table combiner;
