@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprint": to.t_fingerprint,
         "t_minhash_pairs": to.t_minhash_pairs,
         "t_near_dedup": to.t_near_dedup,
+        "t_cluster_sizes": to.t_cluster_sizes,
         "t_prep_pipeline": to.t_prep_pipeline,
         "t_tfidf": to.t_tfidf,
         "t_heavy_hitters": to.t_heavy_hitters,
@@ -525,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         hll_registers_sql,
         minhash_pairs_sql,
         near_dedup_sql,
+        cluster_sizes_sql,
         prep_pipeline_sql,
         prep_v2_sql,
     )
@@ -1318,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_minhash_pairs": minhash_pairs_sql(),
         "t_near_dedup": near_dedup_sql(),
+        "t_cluster_sizes": cluster_sizes_sql(),
         "t_prep_pipeline": prep_pipeline_sql(),
         "g1_groupby_count": (
             "SELECT l_returnflag, COUNT(*) AS n, CAST(ROUND(SUM(l_quantity)*100,0) AS BIGINT) AS sum_qty "

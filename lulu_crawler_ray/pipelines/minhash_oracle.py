@@ -323,3 +323,17 @@ reg AS (SELECT l_returnflag, idx, MAX(rank) AS r FROM rr GROUP BY l_returnflag, 
 SELECT l_returnflag, CAST(SUM(r) AS BIGINT) AS reg_sum,
        CAST(COUNT(*) AS BIGINT) AS n_nonzero
 FROM reg GROUP BY l_returnflag"""
+
+
+def cluster_sizes_sql() -> str:
+    """Oracle for t_cluster_sizes: histogram of near-dup component
+    sizes over documents (comp = the same min-root recursive CTE the
+    survivor oracle uses; singletons included)."""
+    return (
+        "WITH RECURSIVE "
+        + survivor_ctes("documents")
+        + "\nSELECT CAST(sz AS BIGINT) AS cluster_size, "
+        "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM "
+        "(SELECT root, COUNT(*) AS sz FROM comp GROUP BY root) "
+        "GROUP BY sz ORDER BY 1"
+    )

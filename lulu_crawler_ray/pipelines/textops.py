@@ -454,20 +454,20 @@ def t_minhash_pairs(sf: str):
     return minhash_candidate_pairs(docs).sort(["a", "b"])
 
 
-def near_dedup_minhash(
-    docs: ray.data.Dataset, threshold: float = 0.7, num_partitions: int = 16
-):
-    """Full near-dedup: LSH candidates -> DISTRIBUTED exact Jaccard
-    verify -> connected components -> keep min doc_id per cluster.
+def minhash_verified_pairs(
+    docs: ray.data.Dataset, threshold: float = 0.7
+) -> ray.data.Dataset | None:
+    """LSH candidates -> DISTRIBUTED exact Jaccard verify; returns the
+    verified (a, b) pair dataset, or None when no candidate pair exists
+    (the caller's no-duplicates fast path). Shared by near_dedup_minhash
+    and the t_cluster_sizes reporting op.
 
     The verify stage is Dataset-native (round-1 built a driver-side
     shingle dict over every candidate doc): broadcast the pair-touched
     id set (8 B/id), compute sorted-unique shingle arrays for exactly
     those docs in map_batches, hash-join them onto the pair list (two
     small shuffles over candidate-sized data), and evaluate Jaccard
-    per pair inside map_batches. Only the VERIFIED pairs (small) reach
-    connected_components, which itself falls back to distributed label
-    propagation above its pair threshold."""
+    per pair inside map_batches."""
     pairs = minhash_candidate_pairs(docs).materialize()
 
     ids: list[np.ndarray] = []
@@ -476,7 +476,7 @@ def near_dedup_minhash(
         ids.append(b["b"].to_numpy())
     idarr = np.unique(np.concatenate(ids)) if ids else np.array([], np.int64)
     if len(idarr) == 0:
-        return docs.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+        return None
     idref = ray.put(idarr)
 
     def sh(t: pa.Table) -> pa.Table:
@@ -534,24 +534,120 @@ def near_dedup_minhash(
                 kb.append(b)
         return pa.table({"a": pa.array(ka, pa.int64()), "b": pa.array(kb, pa.int64())})
 
-    # component stage takes the verified pair DATASET (drop_nonroots:
-    # driver union-find + broadcast drop array under its threshold;
-    # above it distributed label propagation + a co-partitioned ANTI
-    # semi-join — the drop set never materializes on the driver at
-    # scale, VERDICT r4 item 3)
-    verified = j.map_batches(verify, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def near_dedup_minhash(
+    docs: ray.data.Dataset, threshold: float = 0.7, num_partitions: int = 16
+):
+    """Full near-dedup: LSH candidates -> DISTRIBUTED exact Jaccard
+    verify (minhash_verified_pairs) -> connected components -> keep min
+    doc_id per cluster. The component stage takes the verified pair
+    DATASET (drop_nonroots: driver union-find + broadcast drop array
+    under its threshold; above it distributed label propagation + a
+    co-partitioned ANTI semi-join — the drop set never materializes on
+    the driver at scale, VERDICT r4 item 3)."""
+    verified = minhash_verified_pairs(docs, threshold)
+    only_ids = docs.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    if verified is None:
+        return only_ids
     from .components import drop_nonroots
 
-    return drop_nonroots(
-        docs.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
-        "doc_id",
-        verified,
-    )
+    return drop_nonroots(only_ids, "doc_id", verified)
 
 
 def t_near_dedup(sf: str):
     docs = read_table(sf, "documents", ["doc_id", "text"])
     return near_dedup_minhash(docs)
+
+
+def t_cluster_sizes(sf: str, driver_max_pairs: int = 1_000_000):
+    """Near-dup CLUSTER-SIZE histogram — the dedup ecosystem's
+    reporting op (how much of the corpus is singleton vs 2-dup vs
+    pathological mega-clusters), read before choosing a dedup
+    threshold. Output (cluster_size, n_clusters), ascending.
+
+    Distributed shape: LSH -> exact-Jaccard verified pairs (shared with
+    near_dedup_minhash); below ``driver_max_pairs`` the verified pair
+    set (candidate-sized, tiny next to the corpus) collapses to driver
+    union-find and the (node -> root) map broadcasts into ONE streaming
+    decoration pass over the doc-id stream; above it the distributed
+    label-propagation table decorates via adaptive_dim_join (left,
+    null -> self). Either way the roots then fold through two
+    combiner-first grouped counts (root -> size -> histogram) — the
+    corpus text never shuffles."""
+    from .components import _label_propagation_ds, _union_find
+    from .relational import adaptive_dim_join, grouped_agg
+
+    docs = read_table(sf, "documents", ["doc_id", "text"])
+    ids = docs.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    verified = minhash_verified_pairs(docs)
+    if verified is None:
+        roots = ids.map_batches(
+            lambda t: pa.table({"root": t["doc_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    else:
+        verified = verified.materialize()
+        if verified.count() <= driver_max_pairs:
+            comp = _union_find(verified.to_pandas())
+            nodes = np.array(sorted(comp), np.int64)
+            rootv = np.array([comp[n] for n in nodes], np.int64)
+            ref = ray.put((nodes, rootv))
+
+            def lab(t: pa.Table) -> pa.Table:
+                ns, rs = ray.get(ref)
+                d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                idx = np.clip(np.searchsorted(ns, d), 0, max(len(ns) - 1, 0))
+                hit = (len(ns) > 0) & (ns[idx] == d) if len(ns) else np.zeros(len(d), bool)
+                return pa.table({"root": pa.array(np.where(hit, rs[idx], d))})
+
+            roots = ids.map_batches(lab, batch_format="pyarrow")
+        else:
+            labels = _label_propagation_ds(verified)
+            dec = adaptive_dim_join(ids, "doc_id", labels, "node", ["lbl"], how="left")
+            roots = dec.map_batches(
+                lambda t: pa.table(
+                    {
+                        "root": pa.array(
+                            np.where(
+                                pc.is_valid(t["lbl"].combine_chunks()).to_numpy(
+                                    zero_copy_only=False
+                                ),
+                                t["lbl"]
+                                .combine_chunks()
+                                .fill_null(0)
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64),
+                                t["doc_id"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64),
+                            )
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+    per_root = grouped_agg(roots, ["root"], [("sz", "count", None)], round_to=None)
+    hist = grouped_agg(
+        per_root.map_batches(
+            lambda t: pa.table({"cluster_size": t["sz"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["cluster_size"],
+        [("n_clusters", "count", None)],
+        round_to=None,
+    )
+    return hist.map_batches(
+        lambda t: pa.table(
+            {
+                "cluster_size": t["cluster_size"].cast(pa.int64()),
+                "n_clusters": t["n_clusters"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("cluster_size")
 
 
 def t_prep_pipeline(sf: str, min_tokens: int = 30, max_digit_ratio: float = 0.3):

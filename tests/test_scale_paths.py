@@ -519,3 +519,22 @@ def test_adaptive_join_empty_build(ray_session):
     )
     t3 = adaptive_join(left, right, "k", "rk").to_pandas().sort_values("k")
     assert list(t3["k"]) == [1, 3] and list(t3["p"]) == ["x", "y"]
+
+
+def test_cluster_sizes_paths_equal(ray_session):
+    """t_cluster_sizes: the driver union-find broadcast path and the
+    forced distributed label-propagation path (driver_max_pairs=0) must
+    produce the identical histogram."""
+    from lulu_crawler_ray.pipelines.textops import t_cluster_sizes
+
+    sf = "/root/testdata/sf0.001"
+    a = t_cluster_sizes(sf).to_pandas()
+    b = t_cluster_sizes(sf, driver_max_pairs=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    # the corpus total must be conserved: sum(size * count) == n_docs
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert int((a["cluster_size"] * a["n_clusters"]).sum()) == n_docs
