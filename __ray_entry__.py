@@ -177,7 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lulu_crawler_ray.pipelines.graph import x7_hits as _hits
     from lulu_crawler_ray.pipelines.graph import x8_assortativity as _assort
     from lulu_crawler_ray.pipelines.graph import x9_link_prediction as _linkpred
+    from lulu_crawler_ray.pipelines.graph import x10_clustering_coeff as _clustco
     from lulu_crawler_ray.pipelines.kmeans import e_kmeans_int as _kmeans
+    from lulu_crawler_ray.pipelines.kmeans import e_inertia as _inertia
     from lulu_crawler_ray.pipelines import tpch_extra as tx
 
     base = {
@@ -189,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_prep_v3": to.t_prep_v3,
         "e_gram_topk": an.e_gram_topk,
         "e_kmeans_int": _kmeans,
+        "e_inertia": _inertia,
         "t_sample_mix": to.t_sample_mix,
         "q2_min_cost_supplier": tx.q2_min_cost_supplier,
         "q8_market_share": tx.q8_market_share,
@@ -366,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_source_sim": to2.t_source_sim,
         "x8_assortativity": _assort,
         "x9_link_prediction": _linkpred,
+        "x10_clustering_coeff": _clustco,
         "t_containment": to2.t_containment,
         "img_histeq_digest": im.img_histeq_digest_query,
         "img_resize_bilinear_digest": im.img_resize_bilinear_digest_query,
@@ -400,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_minhash_pairs": to.t_minhash_pairs,
         "t_near_dedup": to.t_near_dedup,
         "t_cluster_sizes": to.t_cluster_sizes,
+        "t_jaccard_histogram": to.t_jaccard_histogram,
         "t_prep_pipeline": to.t_prep_pipeline,
         "t_tfidf": to.t_tfidf,
         "t_heavy_hitters": to.t_heavy_hitters,
@@ -474,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.graph import x6_sssp_sql as _x6_sql
     from lulu_crawler_ray.pipelines.graph import x7_hits_sql as _x7_sql
     from lulu_crawler_ray.pipelines.kmeans import kmeans_sql
+    from lulu_crawler_ray.pipelines.kmeans import e_inertia_sql as _inertia_sql
     from lulu_crawler_ray.pipelines.relational import j10_asof_sql as _j10_asof_sql
     from lulu_crawler_ray.pipelines.relational import (
         d9_except_all_sql as _d9_sql,
@@ -527,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
         minhash_pairs_sql,
         near_dedup_sql,
         cluster_sizes_sql,
+        jaccard_histogram_sql,
         prep_pipeline_sql,
         prep_v2_sql,
     )
@@ -563,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
     from lulu_crawler_ray.pipelines.graph import x8_assortativity_sql as _x8_sql
     from lulu_crawler_ray.pipelines.graph import x9_link_prediction_sql as _x9_sql
     from lulu_crawler_ray.pipelines.relational3 import m20_url_parse_sql as _m20_sql
+    from lulu_crawler_ray.pipelines.graph import x10_clustering_coeff_sql as _x10_sql
     from lulu_crawler_ray.pipelines.textops3 import (
         t_gopher_quality_sql as _gopher_sql,
         t_bpe_train_sql as _bpe_train_sql,
@@ -697,6 +705,9 @@ def oracle_sql() -> dict[str, str]:
         # x9: common-neighbor link prediction; Jaccard derivable from
         # (cn, deg_u, deg_v) as an exact rational — no float emitted
         "x9_link_prediction": _x9_sql(),
+        # x10: per-node clustering coefficient stats; the rational
+        # 2*n_tri/(deg*(deg-1)) is derivable, no float emitted
+        "x10_clustering_coeff": _x10_sql(),
         # asymmetric containment over LSH candidates: exact integer
         # (inter, |A|, |B|) + cross-multiplied pct threshold vs the
         # same HUGEINT minhash CTE chain
@@ -1225,6 +1236,8 @@ def oracle_sql() -> dict[str, str]:
         # SQL-checked (splitmix64 via HUGEINT 32-bit-split multiply;
         # see pipelines/minhash_oracle.py)
         "e_kmeans_int": kmeans_sql(),
+        # per-cluster inertia: same unrolled chain, d{iters} distances
+        "e_inertia": _inertia_sql(),
         "g18_hll_registers": hll_registers_sql(),
         # integer histogram quantile: the SQL replays the identical
         # bucket/rank/estimate integer pipeline (relational.py g20)
@@ -1321,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "t_minhash_pairs": minhash_pairs_sql(),
         "t_near_dedup": near_dedup_sql(),
         "t_cluster_sizes": cluster_sizes_sql(),
+        "t_jaccard_histogram": jaccard_histogram_sql(),
         "t_prep_pipeline": prep_pipeline_sql(),
         "g1_groupby_count": (
             "SELECT l_returnflag, COUNT(*) AS n, CAST(ROUND(SUM(l_quantity)*100,0) AS BIGINT) AS sum_qty "

@@ -177,7 +177,8 @@ def run_bench() -> dict:
         "img_caption_align_digest", "img_ssim_digest", "audio_mfcc_digest",
         "t_source_sim", "x8_assortativity", "t_containment",
         "t_bm25", "x9_link_prediction", "e_rrf_fusion", "m20_url_parse",
-        "s17_sitemap_seeds", "t_cluster_sizes",
+        "s17_sitemap_seeds", "t_cluster_sizes", "e_inertia",
+        "x10_clustering_coeff", "t_jaccard_histogram",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

@@ -1348,3 +1348,152 @@ def x9_link_prediction_sql(n_nodes: int = 1000, keep_mod: int = 13, k: int = 50)
         "FROM cand c JOIN deg du ON du.x = c.u JOIN deg dv ON dv.x = c.v) "
         f"WHERE rank <= {k} ORDER BY rank"
     )
+
+
+def x10_clustering_coeff(sf: str, n_nodes: int = 1000, keep_mod: int = 13):
+    """LOCAL CLUSTERING COEFFICIENT sufficient statistics per node
+    (Watts & Strogatz 1998): n_tri = triangles through the node, deg =
+    undirected degree — the coefficient 2*n_tri / (deg*(deg-1)) is
+    derivable as an exact rational, so no float leaves the engine.
+    Nodes with deg >= 2 only (the coefficient is undefined below),
+    ordered by node. Completes the per-node view of x2's global count.
+
+    Distributed shape: the x2 canonical edge set materializes once;
+    the wedge join keeps all three corners this time (a, b, c), the
+    closing join runs on the packed (a, c) key, the per-node triangle
+    count is one combiner-first grouped count over the 3x exploded
+    corners, and degrees decorate via a node-sized adaptive_dim_join
+    (left, null -> 0)."""
+    from .relational import adaptive_dim_join, grouped_agg, shuffle_join
+
+    ds = read_table(sf, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        m = (ok + pk) % keep_mod == 0
+        s = (ok[m] % n_nodes).astype(np.int64)
+        d = (pk[m] % n_nodes).astype(np.int64)
+        nz = s != d
+        u = np.minimum(s[nz], d[nz])
+        v = np.maximum(s[nz], d[nz])
+        return (
+            pa.table({"u": pa.array(u), "v": pa.array(v)})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+
+    edges = grouped_agg(
+        ds.map_batches(mk, batch_format="pyarrow"),
+        ["u", "v"],
+        [("__n", "count", None)],
+        round_to=None,
+    ).map_batches(
+        lambda t: pa.table(
+            {"u": t["u"].cast(pa.int64()), "v": t["v"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    left = edges.map_batches(
+        lambda t: pa.table({"a": t["u"], "b": t["v"]}), batch_format="pyarrow"
+    )
+    right = edges.map_batches(
+        lambda t: pa.table({"b2": t["u"], "c": t["v"]}), batch_format="pyarrow"
+    )
+    wedges = shuffle_join(left, right, "b", "b2").map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "c": t["c"],
+                "ac": pa.array(
+                    t["a"].to_numpy(zero_copy_only=False).astype(np.int64) * n_nodes
+                    + t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ekeys = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "uv": pa.array(
+                    t["u"].to_numpy(zero_copy_only=False).astype(np.int64) * n_nodes
+                    + t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tri = shuffle_join(wedges, ekeys, "ac", "uv")
+    corners = tri.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t["a"].combine_chunks().cast(pa.int64()),
+                        t["b"].combine_chunks().cast(pa.int64()),
+                        t["c"].combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tc = grouped_agg(corners, ["node"], [("n_tri", "count", None)], round_to=None)
+
+    adj = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "x": pa.concat_arrays(
+                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    deg = grouped_agg(adj, ["x"], [("deg", "count", None)], round_to=None)
+    dec = adaptive_dim_join(deg, "x", tc, "node", ["n_tri"], how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        dv = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = (
+            t["n_tri"]
+            .combine_chunks()
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = dv >= 2
+        return pa.table(
+            {
+                "node": pa.array(
+                    t["x"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+                ),
+                "deg": pa.array(dv[keep]),
+                "n_tri": pa.array(nt[keep]),
+            }
+        )
+
+    return dec.map_batches(finalize, batch_format="pyarrow").sort("node")
+
+
+def x10_clustering_coeff_sql(n_nodes: int = 1000, keep_mod: int = 13) -> str:
+    return (
+        f"WITH raw AS (SELECT (l_orderkey % {n_nodes}) AS s, "
+        f"(l_partkey % {n_nodes}) AS d FROM lineitem "
+        f"WHERE (l_orderkey + l_partkey) % {keep_mod} = 0), "
+        "e AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v "
+        "FROM raw WHERE s <> d), "
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 "
+        "JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+        "corners AS (SELECT UNNEST([a, b, c]) AS node FROM tri), "
+        "tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri "
+        "FROM corners GROUP BY 1), "
+        "adj AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e), "
+        "deg AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM adj GROUP BY 1) "
+        "SELECT d.node, d.deg, COALESCE(tc.n_tri, 0) AS n_tri "
+        "FROM deg d LEFT JOIN tc USING (node) WHERE d.deg >= 2 ORDER BY d.node"
+    )

@@ -171,13 +171,11 @@ def kmeans_sql(k: int = 4, iters: int = 3) -> str:
     )
 
 
-def kmeans_assignments(ds: "ray.data.Dataset", k: int = 4, iters: int = 3):
-    """Ray-side final cluster assignment matching kmeans_assign_ctes's
-    a{iters}: run iters-1 integer-exact centroid updates, then ONE
-    streaming assignment pass that tags every vec_id with the nearest
-    centroid (ties -> lowest cid). Centroids broadcast via ray.put;
-    the pass never shuffles vectors. ``ds`` must carry (vec_id,
-    embedding) and be materialized by the caller if reused."""
+def _fit_centroids(ds: "ray.data.Dataset", k: int = 4, iters: int = 3) -> np.ndarray:
+    """iters-1 integer-exact centroid updates from the deterministic
+    vec_id<k seed — the centroid state kmeans_assign_ctes's a{iters}
+    assignment is computed against (c{iters-1}). Shared by
+    kmeans_assignments and e_inertia."""
     from .relational import grouped_agg
 
     seed = (
@@ -230,6 +228,17 @@ def kmeans_assignments(ds: "ray.data.Dataset", k: int = 4, iters: int = 3):
                 new[j] = s // counts[j]
         cent = new
 
+    return cent
+
+
+def kmeans_assignments(ds: "ray.data.Dataset", k: int = 4, iters: int = 3):
+    """Ray-side final cluster assignment matching kmeans_assign_ctes's
+    a{iters}: _fit_centroids, then ONE streaming assignment pass that
+    tags every vec_id with the nearest centroid (ties -> lowest cid).
+    Centroids broadcast via ray.put; the pass never shuffles vectors.
+    ``ds`` must carry (vec_id, embedding) and be materialized by the
+    caller if reused."""
+    cent = _fit_centroids(ds, k, iters)
     cref = ray.put(cent)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -248,3 +257,93 @@ def kmeans_assignments(ds: "ray.data.Dataset", k: int = 4, iters: int = 3):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def e_inertia(sf: str, k: int = 4, iters: int = 3):
+    """Per-cluster INERTIA (within-cluster sum of squared distances to
+    the assigned centroid) — the k-means quality diagnostic read when
+    choosing k, integer-exact in the shared e6+offset quantized domain:
+    sse(cid) = sum over assigned vectors of |q(x) - c_cid|^2, with
+    c = the SAME post-(iters-1)-update centroids the assignment uses
+    (kmeans_assign_ctes's c{iters-1}), so the DuckDB mirror's d{iters}
+    distances ARE these distances. Empty clusters emit (n=0, sse=0) on
+    both sides (range(k) LEFT JOIN in the oracle).
+
+    Distributed shape: centroid fit = iters-1 combiner-first grouped
+    sums (k*(dim+1) rows per block); the inertia pass is ONE streaming
+    matmul-free batch fold (k rows per block) — vectors never shuffle.
+    Per-batch partials carry a loud 2^61 bound; past it switch to
+    two-limb int64 accumulation (not needed below ~10^5 full-range
+    vectors per batch)."""
+    from ..sources.testdata import read_table
+    from .relational import grouped_agg
+
+    ds = read_table(sf, "embeddings", ["vec_id", "embedding"]).materialize()
+    cent = _fit_centroids(ds, k, iters)
+    cref = ray.put(cent)
+
+    def par(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sse": pa.array([], pa.int64()),
+                }
+            )
+        q = _quantize(np.array(t["embedding"].to_pylist()))
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        m = d[np.arange(len(a)), a]
+        cids, ns, ss = [], [], []
+        for j in range(k):
+            sel = m[a == j]
+            s = int(sel.sum())
+            if s > (1 << 61):
+                raise ValueError(
+                    "e_inertia: per-batch SSE partial exceeds 2^61 — "
+                    "switch to two-limb accumulation at this scale"
+                )
+            cids.append(j)
+            ns.append(int(len(sel)))
+            ss.append(s)
+        return pa.table(
+            {
+                "cid": pa.array(cids, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "sse": pa.array(ss, pa.int64()),
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(par, batch_format="pyarrow"),
+        ["cid"],
+        [("n_members", "sum", "n"), ("sse", "sum", "sse")],
+        round_to=None,
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "cid": t["cid"].cast(pa.int64()),
+                "n_members": t["n_members"].cast(pa.int64()),
+                "sse": t["sse"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("cid")
+
+
+def e_inertia_sql(k: int = 4, iters: int = 3) -> str:
+    ctes, _prev, assign = kmeans_assign_ctes(k, iters)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f", j AS (SELECT a.cid, d.dist FROM {assign} a "
+        f"JOIN d{iters} d ON d.vec_id = a.vec_id AND d.cid = a.cid), "
+        "s AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members, "
+        "CAST(SUM(dist) AS BIGINT) AS sse FROM j GROUP BY cid) "
+        f"SELECT r.range AS cid, COALESCE(s.n_members, 0) AS n_members, "
+        f"COALESCE(s.sse, 0) AS sse FROM range({k}) r LEFT JOIN s "
+        "ON s.cid = r.range ORDER BY 1"
+    )

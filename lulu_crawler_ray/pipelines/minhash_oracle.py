@@ -337,3 +337,31 @@ def cluster_sizes_sql() -> str:
         "(SELECT root, COUNT(*) AS sz FROM comp GROUP BY root) "
         "GROUP BY sz ORDER BY 1"
     )
+
+
+def jaccard_histogram_sql(buckets: int = 20) -> str:
+    """Oracle for t_jaccard_histogram: exact-Jaccard bucket counts over
+    the LSH candidate pairs ((buckets*ni)//union; union=0 -> top)."""
+    return (
+        "WITH "
+        + minhash_ctes("documents")
+        + f""",
+mh_szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+mh_inter AS (
+  SELECT c.a, c.b, COUNT(*) AS ni
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+bk AS (
+  SELECT CASE WHEN (COALESCE(za.n,0) + COALESCE(zb.n,0) - COALESCE(i.ni,0)) = 0
+    THEN {buckets}
+    ELSE ({buckets} * COALESCE(i.ni,0))
+         // (COALESCE(za.n,0) + COALESCE(zb.n,0) - COALESCE(i.ni,0)) END AS bucket
+  FROM cand c
+  LEFT JOIN mh_szs za ON za.doc_id = c.a
+  LEFT JOIN mh_szs zb ON zb.doc_id = c.b
+  LEFT JOIN mh_inter i ON i.a = c.a AND i.b = c.b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM bk GROUP BY bucket ORDER BY bucket"""
+    )

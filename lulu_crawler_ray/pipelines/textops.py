@@ -455,12 +455,14 @@ def t_minhash_pairs(sf: str):
 
 
 def minhash_verified_pairs(
-    docs: ray.data.Dataset, threshold: float = 0.7
+    docs: ray.data.Dataset, threshold: float | None = 0.7
 ) -> ray.data.Dataset | None:
     """LSH candidates -> DISTRIBUTED exact Jaccard verify; returns the
     verified (a, b) pair dataset, or None when no candidate pair exists
-    (the caller's no-duplicates fast path). Shared by near_dedup_minhash
-    and the t_cluster_sizes reporting op.
+    (the caller's no-duplicates fast path). threshold=None returns ALL
+    candidate pairs with their exact (ni, uni) intersection/union sizes
+    — the t_jaccard_histogram feed. Shared by near_dedup_minhash and
+    the t_cluster_sizes / t_jaccard_histogram reporting ops.
 
     The verify stage is Dataset-native (round-1 built a driver-side
     shingle dict over every candidate doc): broadcast the pair-touched
@@ -517,7 +519,7 @@ def minhash_verified_pairs(
     j = adaptive_dim_join(j, "b", sh_b, "doc_id", ["sh_b"], broadcast_max=blob_max)
 
     def verify(t: pa.Table) -> pa.Table:
-        ka, kb = [], []
+        ka, kb, kn, ku = [], [], [], []
         for a, b, sa, sb in zip(
             t["a"].to_pylist(), t["b"].to_pylist(), t["sh_a"].to_pylist(), t["sh_b"].to_pylist()
         ):
@@ -529,12 +531,24 @@ def minhash_verified_pairs(
             # — matches functions.textstats.jaccard and the round-1
             # driver-side verify
             sim = inter / uni if uni else 1.0
-            if sim >= threshold:
+            if threshold is None or sim >= threshold:
                 ka.append(a)
                 kb.append(b)
-        return pa.table({"a": pa.array(ka, pa.int64()), "b": pa.array(kb, pa.int64())})
+                kn.append(int(inter))
+                ku.append(int(uni))
+        return pa.table(
+            {
+                "a": pa.array(ka, pa.int64()),
+                "b": pa.array(kb, pa.int64()),
+                "ni": pa.array(kn, pa.int64()),
+                "uni": pa.array(ku, pa.int64()),
+            }
+        )
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    stats = j.map_batches(verify, batch_format="pyarrow")
+    return stats.map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    ) if threshold is not None else stats
 
 
 def near_dedup_minhash(
@@ -559,6 +573,54 @@ def near_dedup_minhash(
 def t_near_dedup(sf: str):
     docs = read_table(sf, "documents", ["doc_id", "text"])
     return near_dedup_minhash(docs)
+
+
+def t_jaccard_histogram(sf: str, buckets: int = 20):
+    """Candidate-pair JACCARD HISTOGRAM — the threshold-sweep
+    diagnostic read before fixing a near-dedup cutoff: every LSH
+    candidate pair's exact Jaccard, bucketed integer-exactly as
+    (buckets * ni) // union (union = 0 -> the top bucket: two empty
+    shingle sets ARE duplicates), counted per bucket. Output
+    (bucket, n_pairs) ascending.
+
+    Distributed shape: the shared LSH -> exact-verify stage with
+    threshold=None (candidate-sized, the corpus never shuffles), one
+    streaming bucket map, one combiner-first grouped count."""
+    from .relational import grouped_agg
+
+    docs = read_table(sf, "documents", ["doc_id", "text"])
+    stats = minhash_verified_pairs(docs, threshold=None)
+    if stats is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ni = t["ni"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = t["uni"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.where(uni > 0, (buckets * ni) // np.maximum(uni, 1), buckets)
+        return pa.table({"bucket": pa.array(b.astype(np.int64))})
+
+    hist = grouped_agg(
+        stats.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"],
+        [("n_pairs", "count", None)],
+        round_to=None,
+    )
+    return hist.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": t["bucket"].cast(pa.int64()),
+                "n_pairs": t["n_pairs"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("bucket")
 
 
 def t_cluster_sizes(sf: str, driver_max_pairs: int = 1_000_000):
