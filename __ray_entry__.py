@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_hard_negatives": an.e_hard_negatives,
         "e_mrl_overlap": an.e_mrl_overlap,
         "e_rrf_fusion": an.e_rrf_fusion,
+        "e_recall_eval": an.e_recall_eval,
         "w13_rolling_median": rl.w13_rolling_median,
         "j11_interval_join": rl.j11_interval_join,
         "g28_chi2": rl.g28_chi2,
@@ -774,6 +775,15 @@ def oracle_sql() -> dict[str, str]:
         "e_mrl_overlap": _mrl_sql(),
         # RRF hybrid fusion: integer 1e9//(k0+rank) contributions
         "e_rrf_fusion": _rrf_sql(),
+        # e_recall_eval: GOLDEN PIN (the LSH/IVF index probes are not
+        # SQL-expressible) — the intersection counts are recomputed
+        # from the three independently-checked query surfaces in
+        # tests/test_round5_ops.py; deterministic by seeded hashing
+        "e_recall_eval": (
+            "SELECT CAST(c0 AS BIGINT) AS query_id, CAST(c1 AS BIGINT) AS n_hit_lsh, "
+            "CAST(c2 AS BIGINT) AS n_hit_ivf, CAST(c3 AS BIGINT) AS k FROM "
+            "(VALUES (0, 9, 9, 10), (1, 9, 8, 10), (2, 7, 9, 10)) t(c0, c1, c2, c3)"
+        ),
         "w13_rolling_median": _w13_sql(),
         "j11_interval_join": _j11_sql(),
         "g28_chi2": _g28_sql(),

@@ -178,7 +178,7 @@ def run_bench() -> dict:
         "t_source_sim", "x8_assortativity", "t_containment",
         "t_bm25", "x9_link_prediction", "e_rrf_fusion", "m20_url_parse",
         "s17_sitemap_seeds", "t_cluster_sizes", "e_inertia",
-        "x10_clustering_coeff", "t_jaccard_histogram",
+        "x10_clustering_coeff", "t_jaccard_histogram", "e_recall_eval",
     ]
     extras: dict[str, float] = {}
     extras5: dict[str, float] = {}

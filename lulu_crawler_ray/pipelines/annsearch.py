@@ -1752,3 +1752,37 @@ def e_rrf_fusion_sql(
         "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_e9 DESC, nid) AS rank "
         f"FROM fused) WHERE rank <= {k} ORDER BY vec_id, rank"
     )
+
+
+def e_recall_eval(sf: str, k: int = 10, n_queries: int = 3):
+    """ANN EVALUATION harness as a first-class op — recall@k of the two
+    approximate indexes (bucket-partitioned LSH, IVF) against the exact
+    brute-force ranking, per query: the measurement a team runs before
+    trusting an ANN index in a retrieval pipeline ("measure, don't
+    guess"). Deterministic end to end (seeded hyperplanes,
+    deterministic IVF centroids), so the result is pinnable; the pin is
+    kept honest by a pytest that recomputes the intersections from the
+    three (independently correctness-checked) query surfaces.
+
+    Output (query_id, n_hit_lsh, n_hit_ivf, k) — recall@k = n_hit / k
+    derivable exactly. Result-sized driver work only (3 x k rows per
+    surface); the heavy lifting happens inside the three underlying
+    distributed queries."""
+    exact = e_knn_bruteforce(sf, k, n_queries).to_pandas()
+    lsh = e_lsh_ann(sf, k, n_queries).to_pandas()
+    ivf = e_ivf_ann(sf, k, n_queries).to_pandas()
+
+    def hits(approx, qid: int) -> int:
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        return len(a & e)
+
+    qids = sorted(set(exact["query_id"]))
+    return pa.table(
+        {
+            "query_id": pa.array([int(q) for q in qids], pa.int64()),
+            "n_hit_lsh": pa.array([hits(lsh, q) for q in qids], pa.int64()),
+            "n_hit_ivf": pa.array([hits(ivf, q) for q in qids], pa.int64()),
+            "k": pa.array([k] * len(qids), pa.int64()),
+        }
+    )

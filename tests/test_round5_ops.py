@@ -231,3 +231,32 @@ def test_w17_transitions_conservation(ray_session):
     ).fetchone()
     assert df["n"].sum() == ev - users
     assert (df["n"] > 0).all()
+
+
+def test_e_recall_eval_matches_surfaces(ray_session):
+    """The e_recall_eval pin must equal intersections recomputed from
+    the three independently-checked query surfaces."""
+    from lulu_crawler_ray.pipelines.annsearch import (
+        e_ivf_ann,
+        e_knn_bruteforce,
+        e_lsh_ann,
+        e_recall_eval,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = e_recall_eval(sf).to_pandas()
+    exact = e_knn_bruteforce(sf).to_pandas()
+    lsh = e_lsh_ann(sf).to_pandas()
+    ivf = e_ivf_ann(sf).to_pandas()
+    for _, r in got.iterrows():
+        q = r["query_id"]
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        assert r["n_hit_lsh"] == len(set(lsh[lsh["query_id"] == q]["neighbor_id"]) & e)
+        assert r["n_hit_ivf"] == len(set(ivf[ivf["query_id"] == q]["neighbor_id"]) & e)
+        assert r["k"] == 10
+    # the pinned oracle constants (driver hash-match contract)
+    assert got.to_dict("records") == [
+        {"query_id": 0, "n_hit_lsh": 9, "n_hit_ivf": 9, "k": 10},
+        {"query_id": 1, "n_hit_lsh": 9, "n_hit_ivf": 8, "k": 10},
+        {"query_id": 2, "n_hit_lsh": 7, "n_hit_ivf": 9, "k": 10},
+    ]
